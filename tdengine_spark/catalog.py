@@ -1,0 +1,161 @@
+"""Super-table catalog over Parquet.
+
+Reference data model (SURVEY §1): a super table is a schema template whose
+first column is a TIMESTAMP primary key plus tag columns; child tables are
+one-time-series slices identified by ``tbname``. Duplicate (tbname, ts)
+inserts overwrite keeping the newest version (reference
+include/common/taosdef.h:59-64, TD_ROW_OVERWRITE_UPDATE).
+
+Spark-first mapping:
+  - one partitioned Parquet dataset per super table,
+  - tags are ordinary columns (usable for partition pruning),
+  - ``tbname`` is an ordinary string column,
+  - dedup-keep-last on (tbname, ts) is applied on read when requested —
+    expressed as ``max_by(struct(*cols), _version)`` per key, which Spark
+    executes as a single hash aggregate (partial+final, no extra shuffle
+    beyond the one groupBy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: canonical table names shipped in the driver's testdata dirs
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class SuperTable:
+    """Descriptor for a super table: where it lives and its key columns."""
+
+    name: str
+    path: str
+    ts_col: str = "ts"
+    tbname_col: str = "tbname"
+    tag_cols: tuple[str, ...] = ()
+    version_col: str | None = None  # ingest version for keep-last dedup
+
+    def read(self, spark: SparkSession, dedup: bool = False) -> DataFrame:
+        df = spark.read.parquet(self.path)
+        df = _normalize_ns_timestamps(df, self.path)
+        if dedup and self.ts_col in df.columns:
+            df = dedup_keep_last(
+                df,
+                keys=[c for c in (self.tbname_col, self.ts_col) if c in df.columns],
+                version_col=self.version_col,
+            )
+        return df
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    LongType nanos under ``spark.sql.legacy.parquet.nanosAsLong``."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = glob.glob(f"{path}/*.parquet") or glob.glob(f"{path}/**/*.parquet")
+            if not parts:
+                return []
+            f = parts[0]
+        schema = pq.read_schema(f)
+        return [
+            fld.name
+            for fld in schema
+            if str(fld.type) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
+def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """ns→us conversion (floor), matching DuckDB's TIMESTAMP_NS→TIMESTAMP
+    cast so oracle comparisons line up. The reference stores ns-precision
+    epochs as int64 too (SURVEY §1.2 TIMESTAMP row)."""
+    for c in _ns_timestamp_cols(path):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+            )
+    return df
+
+
+def dedup_keep_last(
+    df: DataFrame, keys: list[str], version_col: str | None = None
+) -> DataFrame:
+    """Keep the newest version per key — the reference's overwrite-on-
+    duplicate-ts semantics (taosdef.h TD_ROW_OVERWRITE_UPDATE) as a read-
+    time transform.
+
+    With no explicit version column, "newest" falls back to an arbitrary
+    single row per key (still deterministic under Parquet file order is NOT
+    guaranteed, so ingest should stamp ``_version``).
+
+    Scale: one hash aggregate; partial aggregation collapses duplicates
+    map-side before the shuffle, so cost ~ one groupBy on the natural key.
+    """
+    other = [c for c in df.columns if c not in keys]
+    ver = F.col(version_col) if version_col else F.monotonically_increasing_id()
+    packed = df.select(*keys, F.struct(*other).alias("_row"), ver.alias("_v"))
+    deduped = packed.groupBy(*keys).agg(F.max_by("_row", "_v").alias("_row"))
+    return deduped.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in other])
+
+
+@dataclass
+class Database:
+    """A directory of Parquet super tables (the reference's db namespace)."""
+
+    root: str
+    tables: dict[str, SuperTable] = field(default_factory=dict)
+
+    def table(self, name: str) -> SuperTable:
+        if name not in self.tables:
+            self.tables[name] = SuperTable(name=name, path=f"{self.root}/{name}.parquet")
+        return self.tables[name]
+
+    def read(self, spark: SparkSession, name: str, dedup: bool = False) -> DataFrame:
+        return self.table(name).read(spark, dedup=dedup)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's testdata tables and register temp views."""
+    db = Database(root=sf_dir)
+    out = {}
+    for n in names:
+        df = db.read(spark, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def information_schema(spark: SparkSession, dbs: dict[str, Database]) -> DataFrame:
+    """``information_schema.ins_tables`` analog (reference
+    source/libs/executor/src/sysscanoperator.c): synthesize a catalog
+    DataFrame from registered databases."""
+    rows = []
+    for db_name, db in dbs.items():
+        for t in db.tables.values():
+            rows.append((db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols)))
+    return spark.createDataFrame(
+        rows, "db_name string, table_name string, ts_col string, tbname_col string, tags string"
+    )

@@ -1,0 +1,188 @@
+"""ASOF JOIN and WINDOW JOIN — the reference's ts-inequality join family
+(grammar sql.y:2766-2780; JOIN_STYPE_ASOF / JOIN_STYPE_WIN executed inside
+mergejoinoperator.c).
+
+Spark has no native as-of join; the classic distributed strategies are:
+
+  A. **union + ordered window** (implemented here): tag both sides, union
+     on the key space, and carry the most recent right-side row forward
+     with ``last(..., ignorenulls=True)`` over (keys, ts, side). One
+     shuffle on the join keys, one per-key sort — the exact cost profile
+     of the reference's sort-merge as-of. Scales linearly; no O(n²) risk.
+     Handles JLIMIT=1 (the reference default).
+
+  B. **bucketed range join** (window_join below): for bounded ts windows,
+     bucket both sides by the window width and join on (key, bucket ∈
+     {b-1, b, b+1}) then filter the exact range — turns an O(n·m) theta
+     join into an equi-join with 3× fan-out.
+
+Direction/strictness variants (>=, >, <=, <) map to sort-order + tiebreak
+choices in strategy A.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tdengine_spark.durations import Duration, parse_duration
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "list[str] | None",
+    ts_col: str = "ts",
+    right_ts_col: "str | None" = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: "str | int | Duration | None" = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """LEFT ASOF JOIN: for each left row, the single right row with the
+    largest right.ts <= left.ts (direction='backward', operator >=) or the
+    smallest right.ts >= left.ts (direction='forward', operator <=).
+    ``strict`` excludes ts equality (> / <). ``tolerance`` bounds the match
+    distance (reference: as-of condition ANDed with a range).
+
+    Right columns come back prefixed with ``right_prefix`` (right ts as
+    ``{prefix}{right_ts_col}``). Unmatched left rows keep NULLs (LEFT
+    outer semantics, JLIMIT=1).
+    """
+    on = on or []
+    right_ts_col = right_ts_col or ts_col
+    rcols = [c for c in right.columns if c not in on]
+
+    # Tag and union: left rows carry NULL right-payload; right rows carry
+    # their payload. Sorting by (ts, side) with right first at ties makes
+    # `last(payload) ignorenulls` pick up ts-equal right rows for >=
+    # (non-strict); left-first at ties excludes them for > (strict).
+    payload = F.struct(*[F.col(c) for c in rcols]).alias("_rpay")
+    l_tag = left.select(
+        *on,
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(payload).schema["_rpay"].dataType.simpleString()
+        ).alias("_rpay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload,
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x"))
+            .schema["x"].dataType.simpleString()
+        ).alias("_lpay"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # right rows must sort before a ts-equal left row to be visible
+        side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+    elif direction == "forward":
+        side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").desc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    # For non-strict, a right row at the same _t must be visible to the left
+    # row in the frame ending at 0 — ordering puts right (side=0) first.
+    matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+    out = matched.where(F.col("_side") == 1)
+
+    if tolerance is not None:
+        tol_us = parse_duration(tolerance).microseconds
+        # need matched right ts to test tolerance
+        mts = F.col(f"_m.{right_ts_col}")
+        dist = F.abs(F.unix_micros(F.col("_t")) - F.unix_micros(mts))
+        out = out.withColumn("_m", F.when(dist <= tol_us, F.col("_m")))
+
+    lcols = left.columns
+    return out.select(
+        *[F.col(f"_lpay.{c}").alias(c) for c in lcols],
+        *[F.col(c) for c in on if c not in lcols],
+        *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols],
+    )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    lower: "str | int | Duration",
+    upper: "str | int | Duration",
+    ts_col: str = "ts",
+    right_ts_col: "str | None" = None,
+    jlimit: "int | None" = None,
+    right_prefix: str = "r_",
+    how: str = "left",
+) -> DataFrame:
+    """WINDOW JOIN ... WINDOW_OFFSET(lower, upper) [JLIMIT k]: for each
+    left row, all right rows with r.ts ∈ [l.ts+lower, l.ts+upper].
+
+    Implemented as a *bucketed* range join: both sides bucketed at the
+    window width; the right side is exploded into the (at most 3)
+    candidate buckets; the join is a pure equi-join on (keys, bucket),
+    then the exact range filter is applied. Keeps Catalyst on the
+    sort-merge/shuffled-hash equi-join path — no BroadcastNestedLoopJoin.
+    """
+    right_ts_col = right_ts_col or ts_col
+    lo_us = _signed_us(lower)
+    hi_us = _signed_us(upper)
+    if hi_us < lo_us:
+        raise ValueError("WINDOW_OFFSET upper < lower")
+    width = max(hi_us - lo_us, 1)
+
+    l_us = F.unix_micros(F.col(ts_col))
+    r_us = F.unix_micros(F.col(right_ts_col))
+
+    lb = left.withColumn("_lb", F.floor((l_us + lo_us) / width))
+    rcols = [c for c in right.columns if c not in on]
+    rb = (
+        right.withColumn("_b0", F.floor(r_us / width))
+        .withColumn("_cand", F.explode(F.sequence(F.col("_b0") - 1, F.col("_b0") + 1)))
+        .select(*on, F.col("_cand").alias("_lb"), *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols])
+    )
+    pr_us = F.unix_micros(F.col(f"{right_prefix}{right_ts_col}"))
+    cond_cols = [*on, "_lb"]
+    joined = lb.join(rb, on=cond_cols, how="inner").where(
+        (pr_us >= F.unix_micros(F.col(ts_col)) + lo_us)
+        & (pr_us <= F.unix_micros(F.col(ts_col)) + hi_us)
+    )
+    if jlimit:
+        w = Window.partitionBy(*on, ts_col).orderBy(F.col(f"{right_prefix}{right_ts_col}"))
+        joined = joined.withColumn("_jrn", F.row_number().over(w)).where(
+            F.col("_jrn") <= jlimit
+        ).drop("_jrn")
+    joined = joined.drop("_lb")
+    if how == "left":
+        # reattach unmatched left rows
+        matched_keys = joined.select(*on, ts_col).distinct()
+        unmatched = left.join(matched_keys, on=[*on, ts_col], how="left_anti")
+        for c in rcols:
+            unmatched = unmatched.withColumn(
+                f"{right_prefix}{c}", F.lit(None).cast(right.schema[c].dataType)
+            )
+        joined = joined.unionByName(unmatched)
+    return joined
+
+
+def _signed_us(spec: "str | int | Duration") -> int:
+    if isinstance(spec, str) and spec.strip().startswith("-"):
+        return -parse_duration(spec.strip()[1:]).microseconds
+    if isinstance(spec, int) and spec < 0:
+        return -parse_duration(-spec).microseconds
+    return parse_duration(spec).microseconds

@@ -1,0 +1,184 @@
+"""Session / state / event / count windows — the reference's data-driven
+window family (timewindowoperator.c SESSION, STATE_WINDOW; eventwindow
+operator.c EVENT_WINDOW; countwindowoperator.c COUNT_WINDOW) as one shared
+Spark kernel:
+
+    boundary flag  →  running sum over (keys, ts)  →  window id  →  groupBy
+
+All four windows reduce to "assign a window id per row, then aggregate" —
+exactly how the reference's operators stream over ts-sorted blocks, but
+expressed as Catalyst window + aggregate so Spark handles partitioning,
+sorting, codegen and spill.
+
+Scale notes: the window-id assignment is one ordered analytic window per
+series key (`partitionBy(tbname).orderBy(ts)`) — the same per-child-table
+ts-ordered pass the reference makes. Spark shuffles once on the keys; the
+subsequent groupBy on (keys, window_id) reuses that partitioning, so the
+whole operator costs a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tdengine_spark.durations import Duration, parse_duration
+from tdengine_spark.operators.timewindow import WEND, WSTART
+
+WINDOW_ID = "_wid"
+
+
+def _keyed(partition_by: "list[str] | None"):
+    return list(partition_by or [])
+
+
+def assign_session_windows(
+    df: DataFrame,
+    ts_col: str,
+    gap: "str | int | Duration",
+    partition_by: "list[str] | None" = None,
+) -> DataFrame:
+    """SESSION(ts, gap): a new window starts when the gap since the previous
+    row exceeds ``gap``. Adds ``_wid``."""
+    keys = _keyed(partition_by)
+    gap_us = parse_duration(gap).microseconds
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_flag = (
+        F.when(prev_ts.isNull(), 1)
+        .when(F.unix_micros(F.col(ts_col)) - prev_ts > gap_us, 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(WINDOW_ID, F.sum(new_flag).over(run))
+
+
+def assign_state_windows(
+    df: DataFrame,
+    ts_col: str,
+    state_col: "str | Column",
+    partition_by: "list[str] | None" = None,
+) -> DataFrame:
+    """STATE_WINDOW(expr): one window per run of equal state value. Adds
+    ``_wid`` and ``_state``."""
+    keys = _keyed(partition_by)
+    state = F.col(state_col) if isinstance(state_col, str) else state_col
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    tagged = df.withColumn("_state", state)
+    prev = F.lag("_state").over(w)
+    change = F.when(prev.isNull() | (prev != F.col("_state")), 1).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return tagged.withColumn(WINDOW_ID, F.sum(change).over(run))
+
+
+def assign_event_windows(
+    df: DataFrame,
+    ts_col: str,
+    start_cond: Column,
+    end_cond: Column,
+    partition_by: "list[str] | None" = None,
+) -> DataFrame:
+    """EVENT_WINDOW START WITH <cond> END WITH <cond>.
+
+    Reference semantics (eventwindowoperator.c): a window opens at a row
+    satisfying start_cond (if none is open) and closes at the first
+    subsequent row satisfying end_cond (inclusive). Rows outside any
+    window get ``_wid`` NULL.
+
+    Kernel: running count of closed windows -> segment id; within a
+    segment, rows from the first start_cond row onward are in the window.
+    """
+    keys = _keyed(partition_by)
+    order = Window.partitionBy(*keys).orderBy(ts_col)
+    run_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run_cur = order.rowsBetween(Window.unboundedPreceding, 0)
+
+    df2 = df.withColumn("_s", start_cond.cast("int")).withColumn(
+        "_e", end_cond.cast("int")
+    )
+    # segment = number of END rows strictly before this row → rows between
+    # one close and the next close share a segment; the closing row belongs
+    # to its own (earlier) segment.
+    seg = F.coalesce(F.sum("_e").over(run_prev), F.lit(0))
+    df2 = df2.withColumn("_seg", seg)
+    # within a segment, the window is open from the first _s=1 row onward
+    seg_order = Window.partitionBy(*keys, "_seg").orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    started = F.max("_s").over(seg_order)
+    return (
+        df2.withColumn(
+            WINDOW_ID, F.when(started == 1, F.col("_seg") + 1).otherwise(F.lit(None))
+        )
+        .drop("_s", "_e", "_seg")
+    )
+
+
+def assign_count_windows(
+    df: DataFrame,
+    ts_col: str,
+    count: int,
+    sliding: "int | None" = None,
+    partition_by: "list[str] | None" = None,
+) -> DataFrame:
+    """COUNT_WINDOW(n[, sliding]): fixed-row-count windows per key.
+
+    Tumbling (sliding is None or == n): ``floor((row_number-1)/n)``.
+    Sliding: each row belongs to multiple windows — rows are exploded into
+    their window ids (window j covers rows [j*s, j*s + n)).
+    """
+    keys = _keyed(partition_by)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    rn = F.row_number().over(w) - 1
+    if not sliding or sliding == count:
+        return df.withColumn(WINDOW_ID, F.floor(rn / count) + 1)
+    s = sliding
+    # window ids j with j*s <= rn < j*s + n  →  j in [ceil((rn-n+1)/s), rn/s]
+    lo = F.greatest(F.ceil((rn - count + 1) / s), F.lit(0))
+    hi = F.floor(rn / s)
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn(WINDOW_ID, F.explode(F.sequence(lo, hi)) + 1)
+        .drop("_rn")
+    )
+
+
+def window_agg(
+    assigned: DataFrame,
+    ts_col: str,
+    aggs: list[Column],
+    partition_by: "list[str] | None" = None,
+    true_for: "str | int | Duration | None" = None,
+    min_rows: "int | None" = None,
+    keep_state: bool = False,
+) -> DataFrame:
+    """Aggregate rows by assigned window id; emit _wstart/_wend.
+
+    ``true_for`` implements ``TRUE_FOR(duration)`` (state/event windows):
+    drop windows whose duration < the minimum. ``min_rows`` drops count
+    windows' trailing partial window if desired.
+    """
+    keys = _keyed(partition_by)
+    group = [*keys, WINDOW_ID] + (["_state"] if keep_state else [])
+    out = (
+        assigned.where(F.col(WINDOW_ID).isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.min(ts_col).alias(WSTART),
+            F.max(ts_col).alias(WEND),
+            F.count(F.lit(1)).alias("_wrows"),
+            *aggs,
+        )
+    )
+    if true_for is not None:
+        dur_us = parse_duration(true_for).microseconds
+        out = out.where(
+            F.unix_micros(F.col(WEND)) - F.unix_micros(F.col(WSTART)) >= dur_us
+        )
+    if min_rows:
+        out = out.where(F.col("_wrows") >= min_rows)
+    return out.orderBy(*keys, WSTART)

@@ -1,0 +1,151 @@
+"""FILL — materialize missing interval buckets per fill mode.
+
+Reference: executor/src/filloperator.c + tfill.c; modes EFillMode
+(querynodes.h:717-727): NONE, VALUE, VALUE_F, PREV, NULL, NULL_F, LINEAR,
+NEXT, NEAR.
+
+Spark-first design:
+  1. build the bucket *spine* per group with ``sequence(min_ws, max_ws, w)``
+     + ``explode`` — a per-group expression, no driver loop;
+  2. left-join the aggregated buckets onto the spine (broadcast-friendly:
+     the spine and the aggregate are both post-aggregation row counts,
+     orders of magnitude smaller than the raw data);
+  3. apply the fill mode with window functions over buckets.
+
+Scale notes: everything downstream of the aggregate operates on bucket
+rows (raw_rows / bucket_width), so the per-group ordered windows used by
+PREV/NEXT/LINEAR/NEAR sort only the downsampled series. The spine join is
+an equi-join on (group, _wstart) — AQE will broadcast the smaller side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tdengine_spark.durations import Duration, parse_duration
+from tdengine_spark.operators.timewindow import WEND, WSTART, window_end
+
+FILL_MODES = ("none", "null", "value", "prev", "next", "linear", "near")
+
+
+def bucket_spine(
+    agg: DataFrame,
+    width: "str | int | Duration",
+    partition_by: "list[str] | None" = None,
+    range_start=None,
+    range_end=None,
+) -> DataFrame:
+    """All bucket starts per group between the group's (or the query's)
+    min/max ``_wstart``, as a DataFrame (group_cols..., _wstart)."""
+    partition_by = partition_by or []
+    w = parse_duration(width)
+    lo = F.lit(range_start).cast("timestamp") if range_start is not None else F.min(WSTART)
+    hi = F.lit(range_end).cast("timestamp") if range_end is not None else F.max(WSTART)
+    per_group = agg.groupBy(*partition_by).agg(lo.alias("_lo"), hi.alias("_hi"))
+    step = F.expr(f"interval {w.interval_string()}")
+    return per_group.select(
+        *partition_by,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(WSTART),
+    )
+
+
+def fill(
+    agg: DataFrame,
+    mode: str,
+    width: "str | int | Duration",
+    partition_by: "list[str] | None" = None,
+    value_cols: "list[str] | None" = None,
+    fill_values: "dict[str, object] | None" = None,
+    range_start=None,
+    range_end=None,
+) -> DataFrame:
+    """Apply a FILL mode to an interval-aggregated DataFrame.
+
+    ``agg`` must contain ``_wstart``, the group columns, and value columns.
+    Returns the same shape with missing buckets materialized (plus
+    ``_wend`` recomputed if it was present).
+    """
+    mode = mode.lower().rstrip("_f")  # VALUE_F/NULL_F force-fill variants
+    if mode == "none":
+        return agg
+    partition_by = partition_by or []
+    value_cols = value_cols or [
+        c for c in agg.columns if c not in (*partition_by, WSTART, WEND)
+    ]
+    had_wend = WEND in agg.columns
+
+    spine = bucket_spine(agg, width, partition_by, range_start, range_end)
+    joined = spine.join(
+        agg.drop(WEND) if had_wend else agg, on=[*partition_by, WSTART], how="left"
+    )
+
+    if mode == "null":
+        out = joined
+    elif mode == "value":
+        fv = fill_values or {}
+        out = joined.select(
+            *partition_by,
+            WSTART,
+            *[
+                F.coalesce(F.col(c), F.lit(fv.get(c, 0))).alias(c)
+                for c in value_cols
+            ],
+        )
+    elif mode in ("prev", "next", "linear", "near"):
+        out = _directional_fill(joined, mode, partition_by, value_cols)
+    else:
+        raise ValueError(f"unknown fill mode {mode!r}")
+
+    if had_wend:
+        out = out.withColumn(WEND, window_end(F.col(WSTART), width))
+        out = out.select(WSTART, WEND, *partition_by, *value_cols)
+    else:
+        out = out.select(WSTART, *partition_by, *value_cols)
+    return out.orderBy(*partition_by, WSTART)
+
+
+def _directional_fill(
+    joined: DataFrame, mode: str, partition_by: list[str], value_cols: list[str]
+) -> DataFrame:
+    """PREV / NEXT / LINEAR / NEAR over the bucket sequence."""
+    wprev = (
+        Window.partitionBy(*partition_by)
+        .orderBy(WSTART)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(*partition_by)
+        .orderBy(WSTART)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ts_us = F.unix_micros(F.col(WSTART))
+    cols: list[Column] = []
+    for c in value_cols:
+        v = F.col(c)
+        prev_v = F.last(v, ignorenulls=True).over(wprev)
+        next_v = F.first(v, ignorenulls=True).over(wnext)
+        prev_t = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wprev)
+        next_t = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wnext)
+        if mode == "prev":
+            filled = prev_v
+        elif mode == "next":
+            filled = next_v
+        elif mode == "near":
+            filled = (
+                F.when(v.isNotNull(), v)
+                .when(next_t.isNull(), prev_v)
+                .when(prev_t.isNull(), next_v)
+                .when((ts_us - prev_t) <= (next_t - ts_us), prev_v)
+                .otherwise(next_v)
+            )
+        else:  # linear: interpolate between surrounding non-null buckets
+            frac = (ts_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+            interp = prev_v + (next_v - prev_v) * frac
+            filled = (
+                F.when(v.isNotNull(), v)
+                .when(prev_t.isNull() | next_t.isNull(), F.lit(None))
+                .otherwise(interp)
+            )
+        cols.append(F.coalesce(F.col(c), filled).alias(c) if mode in ("prev", "next") else filled.alias(c))
+    return joined.select(*partition_by, WSTART, *cols)

@@ -1,0 +1,133 @@
+"""INTERVAL / SLIDING time windows — the reference's HashInterval operator
+(executor/src/timewindowoperator.c createIntervalOperatorInfo) re-expressed
+as Catalyst-native bucketing.
+
+Semantics reproduced:
+  - ``INTERVAL(w)``: tumbling windows aligned to the epoch (reference aligns
+    to calendar for calendar units, epoch for fixed units).
+  - ``INTERVAL(w, offset)``: bucket origin shifted by offset.
+  - ``SLIDING(s)`` with s < w: hopping windows — each row lands in w/s
+    windows.
+  - emits ``_wstart`` / ``_wend`` pseudo-columns (builtins.c:5253-5281).
+  - calendar widths ``1n`` (month) / ``1y``: date_trunc-based buckets.
+
+Scale notes: tumbling windows compile to a single projection + hash
+aggregate — the bucket expression is a pure Catalyst expression
+(whole-stage codegen), and partial aggregation runs map-side, so the
+shuffle carries one row per (group, bucket). Hopping windows use
+``F.window`` which explodes each row into w/s buckets *before* the partial
+aggregate — unavoidable in any engine (the reference does the same loop in
+timewindowoperator.c hashIntervalAgg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tdengine_spark.durations import Duration, parse_duration
+
+WSTART = "_wstart"
+WEND = "_wend"
+
+
+def window_start(
+    ts: "Column | str", width: "str | int | Duration", offset: "str | int | Duration | None" = None
+) -> Column:
+    """``_wstart`` of the tumbling window containing ``ts``.
+
+    Pure expression (no shuffle, codegen-friendly): epoch-aligned integer
+    arithmetic on microseconds for fixed widths; date_trunc for calendar
+    widths. Matches DuckDB's ``time_bucket`` for the same width/offset,
+    which is what the correctness oracle uses.
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    w = parse_duration(width)
+    if w.is_calendar:
+        months = w.value * (12 if w.unit == "y" else 1)
+        if months == 1:
+            return F.date_trunc("month", ts)
+        if months == 12:
+            return F.date_trunc("year", ts)
+        # k-month buckets anchored at epoch (1970-01)
+        month_idx = (F.year(ts) - F.lit(1970)) * 12 + F.month(ts) - 1
+        bucket = F.floor(month_idx / months) * months
+        return F.to_timestamp(
+            F.make_date(
+                (bucket / 12).cast("int") + 1970, (bucket % 12).cast("int") + 1, F.lit(1)
+            )
+        )
+    us = F.lit(w.microseconds)
+    off = F.lit(parse_duration(offset).microseconds if offset is not None else 0)
+    epoch_us = F.unix_micros(ts)
+    start_us = F.floor((epoch_us - off) / us) * us + off
+    return F.timestamp_micros(start_us.cast("long"))
+
+
+def window_end(
+    ts: "Column | str", width: "str | int | Duration", offset: "str | int | Duration | None" = None
+) -> Column:
+    """``_wend`` = ``_wstart + width`` (exclusive end, reference semantics
+    emit inclusive wend = start+width-1 unit; we expose exclusive end and
+    let the dialect layer subtract one unit if needed)."""
+    w = parse_duration(width)
+    start = window_start(ts, width, offset)
+    if w.is_calendar:
+        months = w.value * (12 if w.unit == "y" else 1)
+        return F.add_months(start, months).cast("timestamp")
+    return F.timestamp_micros((F.unix_micros(start) + w.microseconds).cast("long"))
+
+
+def interval_window(
+    df: DataFrame,
+    ts_col: str,
+    width: "str | int | Duration",
+    sliding: "str | int | Duration | None" = None,
+    offset: "str | int | Duration | None" = None,
+    partition_by: "list[str] | None" = None,
+    aggs: "list[Column] | None" = None,
+) -> DataFrame:
+    """``SELECT _wstart, _wend, <part>, <aggs> ... PARTITION BY <part>
+    INTERVAL(width[, offset]) [SLIDING(sliding)]``.
+
+    Tumbling path: custom epoch-aligned bucket expression + groupBy.
+    Hopping path (sliding < width): ``F.window(ts, w, s, offset)``.
+    Result is ordered by (partition, _wstart) as the reference guarantees.
+    """
+    partition_by = partition_by or []
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = parse_duration(width)
+    s = parse_duration(sliding) if sliding is not None else None
+
+    if s is not None and not w.is_calendar and s.microseconds != w.microseconds:
+        off_str = parse_duration(offset).interval_string() if offset is not None else None
+        win = F.window(F.col(ts_col), w.interval_string(), s.interval_string(), off_str)
+        out = (
+            df.groupBy(win.alias("_w"), *partition_by)
+            .agg(*aggs)
+            .select(
+                F.col("_w.start").alias(WSTART),
+                F.col("_w.end").alias(WEND),
+                *partition_by,
+                *[c for c in _agg_names(aggs)],
+            )
+        )
+    else:
+        ws = window_start(F.col(ts_col), w, offset)
+        out = (
+            df.groupBy(ws.alias(WSTART), *partition_by)
+            .agg(*aggs)
+            .withColumn(WEND, window_end(F.col(WSTART), w, offset))
+            .select(WSTART, WEND, *partition_by, *_agg_names(aggs))
+        )
+    return out.orderBy(*partition_by, WSTART)
+
+
+def _agg_names(aggs: list[Column]) -> list[str]:
+    """Output column names of aggregate expressions (requires .alias())."""
+    names = []
+    for c in aggs:
+        # Column's name is the last alias; toString gives `name AS alias`
+        jc = c._jc.toString()
+        names.append(jc.split(" AS ")[-1].strip("`") if " AS " in jc else jc)
+    return names

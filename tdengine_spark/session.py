@@ -1,0 +1,65 @@
+"""SparkSession factory for the engine.
+
+Replaces the reference's process/cluster bring-up (taosd vnodes/qnodes/mnode;
+see /root/reference SURVEY §3.4). On Spark, session-level configuration is
+the whole story: AQE for runtime re-planning (the analog of the reference's
+per-vgroup scale-out in planScaleOut.c), Arrow for the Python boundary
+(the analog of the udfd RPC boundary), UTC timestamps to match the
+reference's epoch-int64 storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tdengine_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for time-series analytics.
+
+    Scale notes (targeting 1000-executor / 100 TB deployments):
+      - AQE on: coalesces post-shuffle partitions and rewrites skew joins at
+        runtime, so the same plan works at sf0.01 and at 100 TB.
+      - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+        on a real cluster set it ~2-3x total cores and let AQE coalesce.
+      - Arrow enabled: every pandas_udf / applyInPandas crossing is
+        Arrow-batched, never per-row pickled.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ns-precision timestamps (reference db precision 'b') surface as
+        # LongType nanos; the catalog converts to us TimestampType on read
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    # Only force a master when none is configured (tests / local runs);
+    # on a cluster the submitter owns it.
+    if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
