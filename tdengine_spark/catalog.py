@@ -92,9 +92,9 @@ def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
     epochs as int64 too (SURVEY §1.2 TIMESTAMP row)."""
     for c in _ns_timestamp_cols(path):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: float division of ns-scale int64
+            # (~1.7e18) loses precision beyond 2^53 and shifts by ±1us
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,959 @@
+"""Query registry: every implemented operator as a (Spark impl, DuckDB
+oracle SQL) pair, keyed by name. `__spark_entry__.py` re-exports this.
+
+Conventions that make the driver's order-insensitive value-hash compare
+work (see repo README):
+  - every computed column is aliased identically in Spark and SQL;
+  - float aggregates are rounded to 4 decimals on BOTH sides (sums over
+    60k doubles differ in the last ulp between engines otherwise);
+  - ``events.ts`` is ns in parquet: Spark reads ns→us (catalog), oracle
+    SQL casts ``CAST(ts AS TIMESTAMP)`` (DuckDB TIMESTAMP is us) so both
+    sides see identical microsecond values;
+  - time buckets use epoch-anchored integer arithmetic on microseconds in
+    both engines (DuckDB ``time_bucket`` has a non-epoch origin; avoided).
+
+Scale notes are in each operator module; the Spark side of each query is
+the plan we'd run at 100 TB (broadcast dims, single-shuffle windows,
+partial aggs), tested here at sf0.01 for correctness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tdengine_spark.catalog import Database
+from tdengine_spark.functions import aggregate as agg_fn
+from tdengine_spark.functions import indef as indef_fn
+from tdengine_spark.functions import selection as sel_fn
+from tdengine_spark.operators import fill as fill_op
+from tdengine_spark.operators import timewindow as tw
+from tdengine_spark.operators.asofjoin import asof_join, window_join
+from tdengine_spark.operators.eventwindow import (
+    assign_count_windows,
+    assign_event_windows,
+    assign_session_windows,
+    assign_state_windows,
+    window_agg,
+)
+
+HOUR_US = 3_600_000_000
+
+
+@dataclass
+class Query:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: "str | None"  # DuckDB SQL; None → rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, oracle: "str | None" = None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _CACHE:
+        _CACHE[key] = Database(root=sf_dir).read(spark, name)
+    return _CACHE[key]
+
+
+def _r4(c) -> F.Column:
+    # epsilon shift: averages of 2-decimal inputs land on exact decimal
+    # midpoints (x.xxxx5) that different engines' round() break
+    # differently; +1e-7 moves them off the boundary identically in both.
+    # `+ 0.0` collapses IEEE -0.0 to +0.0 (hash/serialization parity).
+    return F.round(c + F.lit(1e-7), 4) + F.lit(0.0)
+
+
+# DuckDB-side helpers (inlined into oracle SQL)
+TS = "CAST(ts AS TIMESTAMP)"  # ns→us normalize
+
+
+def bucket_sql(width_us: int, ts_expr: str = TS) -> str:
+    """Epoch-aligned bucket start, identical to timewindow.window_start."""
+    return (
+        f"make_timestamp(CAST(floor(epoch_us({ts_expr}) / {width_us}) "
+        f"* {width_us} AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, projection, filter
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scan_filter_project",
+    f"""
+    SELECT event_id, {TS} AS ts, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 150
+      AND {TS} >= TIMESTAMP '2024-01-03' AND {TS} < TIMESTAMP '2024-01-20'
+    """,
+)
+def q_scan(spark, sf_dir):
+    """Pushed-down ts-range scan (reference TableScan, scanoperator.c:2713):
+    predicate + projection reach the parquet reader."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 150)
+            & (F.col("ts") >= "2024-01-03")
+            & (F.col("ts") < "2024-01-20")
+        ).select("event_id", "ts", "value")
+    )
+
+
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           (ROUND(SUM(l_quantity) + 0.0000001, 4) + 0) AS sum_qty,
+           (ROUND(SUM(l_extendedprice) + 0.0000001, 4) + 0) AS sum_base_price,
+           (ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.0000001, 4) + 0) AS sum_disc_price,
+           (ROUND(AVG(l_discount) + 0.0000001, 4) + 0) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing(spark, sf_dir):
+    """Hash aggregate with map-side partials (reference Agg/Group ops)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "join_revenue_by_nation",
+    """
+    SELECT n_name, (ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.0000001, 4) + 0) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_nation(spark, sf_dir):
+    """Multi-join: big-big shuffle join (lineitem⋈orders) + broadcast dims
+    (customer/nation) — the plan shape that holds at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    """TakeOrdered: per-partition top-k + merge, never a full sort."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "distinct_pairs",
+    "SELECT DISTINCT event_type, user_id FROM events",
+)
+def q_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+
+
+@q(
+    "union_all_counts",
+    """
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT event_type FROM events WHERE value > 150
+      UNION ALL
+      SELECT event_type FROM events WHERE value < 50
+    ) GROUP BY event_type
+    """,
+)
+def q_union(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.where(F.col("value") > 150).select("event_type").unionAll(
+        ev.where(F.col("value") < 50).select("event_type")
+    )
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "over_clause_analytics",
+    f"""
+    SELECT user_id, {TS} AS ts, value,
+           row_number() OVER w AS rn,
+           (ROUND(value - lag(value) OVER w + 0.0000001, 4) + 0) AS dv,
+           (ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 0.0000001, 4) + 0) AS ma5
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_over(spark, sf_dir):
+    """ANSI OVER clause (reference windowfuncoperator.c) — native Window."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        _r4(F.col("value") - F.lag("value").over(w)).alias("dv"),
+        _r4(F.avg("value").over(w.rowsBetween(-4, 0))).alias("ma5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 time windows + fill
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "interval_1h_by_type",
+    f"""
+    SELECT {bucket_sql(HOUR_US)} AS _wstart, event_type,
+           (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_value,
+           (ROUND(SUM(value) + 0.0000001, 4) + 0) AS sum_value,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_interval(spark, sf_dir):
+    """INTERVAL(1h) PARTITION BY tag (reference HashInterval)."""
+    ev = t(spark, sf_dir, "events")
+    return tw.interval_window(
+        ev,
+        "ts",
+        "1h",
+        partition_by=["event_type"],
+        aggs=[
+            _r4(F.avg("value")).alias("avg_value"),
+            _r4(F.sum("value")).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+    ).drop("_wend")
+
+
+@q(
+    "interval_sliding_30m",
+    f"""
+    WITH b AS (
+      SELECT unnest([{bucket_sql(1_800_000_000)},
+                     {bucket_sql(1_800_000_000)} - INTERVAL 30 MINUTE]) AS _wstart,
+             value
+      FROM events
+    )
+    SELECT _wstart, (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_value, COUNT(*) AS cnt
+    FROM b GROUP BY 1
+    """,
+)
+def q_sliding(spark, sf_dir):
+    """INTERVAL(1h) SLIDING(30m): hopping windows via F.window."""
+    ev = t(spark, sf_dir, "events")
+    return tw.interval_window(
+        ev,
+        "ts",
+        "1h",
+        sliding="30m",
+        aggs=[_r4(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("cnt")],
+    ).drop("_wend")
+
+
+@q(
+    "interval_fill_prev",
+    f"""
+    WITH a AS (
+      SELECT {bucket_sql(HOUR_US)} AS _wstart, event_type,
+             (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS _wstart
+      FROM (SELECT event_type, min(_wstart) lo, max(_wstart) hi FROM a GROUP BY 1)
+    )
+    SELECT s.event_type, s._wstart,
+           last_value(a.avg_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s._wstart) AS avg_value
+    FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s._wstart = a._wstart
+    """,
+)
+def q_fill_prev(spark, sf_dir):
+    """INTERVAL(1h) FILL(PREV) (reference filloperator.c/tfill.c)."""
+    ev = t(spark, sf_dir, "events")
+    a = tw.interval_window(
+        ev, "ts", "1h", partition_by=["event_type"],
+        aggs=[_r4(F.avg("value")).alias("avg_value")],
+    ).drop("_wend")
+    f = fill_op.fill(a, "prev", "1h", ["event_type"], ["avg_value"])
+    return f.select("event_type", "_wstart", "avg_value")
+
+
+@q(
+    "interval_fill_linear",
+    f"""
+    WITH a AS (
+      SELECT {bucket_sql(HOUR_US)} AS _wstart, event_type,
+             (ROUND(AVG(value) + 0.0000001, 4) + 0) AS v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS _wstart
+      FROM (SELECT event_type, min(_wstart) lo, max(_wstart) hi FROM a GROUP BY 1)
+    ), j AS (
+      SELECT s.event_type, s._wstart, a.v,
+             last_value(a.v IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN a.v IS NOT NULL THEN epoch_us(s._wstart) END
+                        IGNORE NULLS) OVER w AS pt,
+             first_value(a.v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN a.v IS NOT NULL THEN epoch_us(s._wstart) END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s._wstart = a._wstart
+      WINDOW w AS (PARTITION BY s.event_type ORDER BY s._wstart
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY s.event_type ORDER BY s._wstart
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, _wstart,
+           (ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pt IS NULL OR nt IS NULL THEN NULL
+                      ELSE pv + (nv - pv) * (CAST(epoch_us(_wstart) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                 END + 0.0000001, 4) + 0) AS avg_value
+    FROM j
+    """,
+)
+def q_fill_linear(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = tw.interval_window(
+        ev, "ts", "1h", partition_by=["event_type"],
+        aggs=[_r4(F.avg("value")).alias("avg_value")],
+    ).drop("_wend")
+    f = fill_op.fill(a, "linear", "1h", ["event_type"], ["avg_value"])
+    # epsilon-shift before rounding: interpolation midpoints (frac=1/2 of
+    # 4-decimal endpoints) are exact decimal .xxxx5 values that different
+    # engines' round() break differently
+    return f.select(
+        "event_type", "_wstart",
+        (F.round(F.col("avg_value") + 1e-7, 4) + F.lit(0.0)).alias("avg_value"),
+    )
+
+
+@q(
+    "session_windows_30m",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, {TS} AS ts, value,
+             CASE WHEN lag({TS}) OVER w IS NULL
+                       OR epoch_us({TS}) - epoch_us(lag({TS}) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _wid
+      FROM flagged
+    )
+    SELECT user_id, _wid, min(ts) AS _wstart, max(ts) AS _wend,
+           COUNT(*) AS n_events, (ROUND(SUM(value) + 0.0000001, 4) + 0) AS sum_value
+    FROM sess GROUP BY user_id, _wid
+    """,
+)
+def q_session(spark, sf_dir):
+    """SESSION(ts, 30m) per user (reference timewindowoperator.c:3018)."""
+    ev = t(spark, sf_dir, "events")
+    assigned = assign_session_windows(ev, "ts", "30m", ["user_id"])
+    out = window_agg(
+        assigned,
+        "ts",
+        [F.count(F.lit(1)).alias("n_events"), _r4(F.sum("value")).alias("sum_value")],
+        ["user_id"],
+    )
+    return out.select("user_id", "_wid", "_wstart", "_wend", "n_events", "sum_value")
+
+
+@q(
+    "state_windows_event_type",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, {TS} AS ts, event_type, value,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), runs AS (
+      SELECT user_id, ts, event_type, value,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _wid
+      FROM flagged
+    )
+    SELECT user_id, _wid, event_type AS state, min(ts) AS _wstart,
+           max(ts) AS _wend, COUNT(*) AS n_rows
+    FROM runs GROUP BY user_id, _wid, event_type
+    """,
+)
+def q_state(spark, sf_dir):
+    """STATE_WINDOW(event_type) per user."""
+    ev = t(spark, sf_dir, "events")
+    assigned = assign_state_windows(ev, "ts", "event_type", ["user_id"])
+    out = window_agg(
+        assigned, "ts", [F.count(F.lit(1)).alias("n_rows")], ["user_id"], keep_state=True
+    )
+    return out.select(
+        "user_id", "_wid", F.col("_state").alias("state"), "_wstart", "_wend", "n_rows"
+    )
+
+
+@q(
+    "count_windows_100",
+    f"""
+    WITH numbered AS (
+      SELECT user_id, {TS} AS ts, value,
+             CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1)
+                  / 100) AS BIGINT) + 1 AS _wid
+      FROM events
+    )
+    SELECT user_id, _wid, min(ts) AS _wstart, max(ts) AS _wend,
+           COUNT(*) AS n_rows, (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_value
+    FROM numbered GROUP BY user_id, _wid
+    """,
+)
+def q_count_window(spark, sf_dir):
+    """COUNT_WINDOW(100) per user (reference countwindowoperator.c)."""
+    ev = t(spark, sf_dir, "events")
+    assigned = assign_count_windows(ev, "ts", 100, partition_by=["user_id"])
+    out = window_agg(
+        assigned,
+        "ts",
+        [F.count(F.lit(1)).alias("n_rows2"), _r4(F.avg("value")).alias("avg_value")],
+        ["user_id"],
+    )
+    return out.select(
+        "user_id", "_wid", "_wstart", "_wend",
+        F.col("_wrows").alias("n_rows"), "avg_value",
+    )
+
+
+@q(
+    "event_windows_spike",
+    f"""
+    WITH base AS (
+      SELECT user_id, {TS} AS ts, value,
+             CASE WHEN value > 180 THEN 1 ELSE 0 END AS s,
+             CASE WHEN value < 20 THEN 1 ELSE 0 END AS e
+      FROM events
+    ), seg AS (
+      SELECT *, CAST(COALESCE(SUM(e) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS _seg
+      FROM base
+    ), op AS (
+      SELECT *, MAX(s) OVER (PARTITION BY user_id, _seg ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS started
+      FROM seg
+    )
+    SELECT user_id, _seg + 1 AS _wid, min(ts) AS _wstart, max(ts) AS _wend,
+           COUNT(*) AS n_rows
+    FROM op WHERE started = 1 GROUP BY user_id, _seg
+    """,
+)
+def q_event_window(spark, sf_dir):
+    """EVENT_WINDOW START WITH value>180 END WITH value<20 per user."""
+    ev = t(spark, sf_dir, "events")
+    assigned = assign_event_windows(
+        ev, "ts", F.col("value") > 180, F.col("value") < 20, ["user_id"]
+    )
+    out = window_agg(assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"])
+    return out.select(
+        "user_id", "_wid", "_wstart", "_wend", F.col("_wrows").alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 as-of / window joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_purchase_click",
+    f"""
+    SELECT l.event_id, l.user_id, {TS.replace('ts', 'l.ts')} AS ts,
+           l.value AS purchase_value,
+           {TS.replace('ts', 'r.ts')} AS r_ts, r.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof(spark, sf_dir):
+    """LEFT ASOF JOIN (>=) JLIMIT 1 — union+ordered-window strategy
+    (single shuffle on user_id; DuckDB's native ASOF JOIN is the oracle)."""
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(left, right, ["user_id"], "ts")
+
+
+@q(
+    "window_join_5m",
+    f"""
+    SELECT l.event_id, l.user_id, {TS.replace('ts', 'l.ts')} AS ts,
+           COUNT(r.ts) AS n_nearby,
+           (ROUND(AVG(r.value) + 0.0000001, 4) + 0) AS avg_nearby_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 5 MINUTE AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_join(spark, sf_dir):
+    """WINDOW JOIN WINDOW_OFFSET(-5m, 5m): bucketed range join (equi-join
+    on (key, bucket), 3x right-side fan-out, no nested-loop)."""
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = window_join(left, right, ["user_id"], "-5m", "5m", ts_col="ts")
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("r_ts").alias("n_nearby"),
+        _r4(F.avg("r_value")).alias("avg_nearby_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 ts-aggregate / selection functions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "twa_by_type",
+    f"""
+    WITH s AS (
+      SELECT event_type, epoch_us({TS}) AS t, value,
+             lag(epoch_us({TS})) OVER w AS pt, lag(value) OVER w AS pv
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    )
+    SELECT event_type,
+           (ROUND(SUM(CASE WHEN pt IS NULL THEN 0
+                          ELSE (value + pv) / 2 * (t - pt) END)
+                 / (MAX(t) - MIN(t)) + 0.0000001, 4) + 0) AS twa
+    FROM s GROUP BY event_type
+    """,
+)
+def q_twa(spark, sf_dir):
+    """twa(): trapezoid time-weighted average (builtinsimpl.c twa)."""
+    ev = t(spark, sf_dir, "events")
+    out = agg_fn.twa(ev, "ts", "value", ["event_type"])
+    return out.select("event_type", _r4(F.col("twa")).alias("twa"))
+
+
+@q(
+    "irate_by_type",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, epoch_us({TS}) AS t, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+      FROM events
+    ), last2 AS (
+      SELECT event_type,
+             max(CASE WHEN rn = 1 THEN value END) AS v1,
+             max(CASE WHEN rn = 2 THEN value END) AS v0,
+             max(CASE WHEN rn = 1 THEN t END) AS t1,
+             max(CASE WHEN rn = 2 THEN t END) AS t0
+      FROM ranked WHERE rn <= 2 GROUP BY event_type
+    )
+    SELECT event_type,
+           (ROUND(CASE WHEN t0 IS NULL THEN 0
+                      WHEN v1 >= v0 THEN (v1 - v0) / ((t1 - t0) / 1e6)
+                      ELSE v1 / ((t1 - t0) / 1e6) END + 0.0000001, 4) + 0) AS irate
+    FROM last2
+    """,
+)
+def q_irate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = agg_fn.irate(ev, "ts", "value", ["event_type"])
+    return out.select("event_type", _r4(F.col("irate")).alias("irate"))
+
+
+@q(
+    "elapsed_spread_by_user",
+    f"""
+    SELECT user_id,
+           (ROUND((max(epoch_us({TS})) - min(epoch_us({TS}))) / 1000.0 + 0.0000001, 4) + 0) AS elapsed_ms,
+           (ROUND(max(value) - min(value) + 0.0000001, 4) + 0) AS spread_value,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_elapsed(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _r4(agg_fn.elapsed("ts", "a")).alias("elapsed_ms"),
+        _r4(agg_fn.spread("value")).alias("spread_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "first_last_by_type",
+    f"""
+    SELECT event_type,
+           arg_min(value, {TS}) AS first_value,
+           arg_max(value, {TS}) AS last_value,
+           min({TS}) AS first_ts, max({TS}) AS last_ts
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_first_last(spark, sf_dir):
+    """first()/last(): oldest/newest non-null by ts (builtins.c:3852/3930)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        sel_fn.first_value("ts", "value").alias("first_value"),
+        sel_fn.last_value("ts", "value").alias("last_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@q(
+    "last_row_per_user",
+    f"""
+    SELECT user_id, arg_max(event_id, {TS}) AS event_id, max({TS}) AS ts,
+           arg_max(event_type, {TS}) AS event_type, arg_max(value, {TS}) AS value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_last_row(spark, sf_dir):
+    """last_row(*) (cachescanoperator.c fast path = this aggregate
+    materialized; see streaming/latest.py)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return sel_fn.last_row(ev, "ts", ["user_id"])
+
+
+@q(
+    "top3_per_type",
+    f"""
+    SELECT event_type, {TS} AS ts, value FROM (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts DESC) AS rn
+      FROM events WHERE value IS NOT NULL
+    ) WHERE rn <= 3
+    """,
+)
+def q_top(spark, sf_dir):
+    out = sel_fn.top(
+        t(spark, sf_dir, "events"), "value", 3, "ts", ["event_type"]
+    )
+    return out.select("event_type", "ts", "value")
+
+
+@q(
+    "tail5_per_user",
+    f"""
+    SELECT user_id, {TS} AS ts, value FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_tail(spark, sf_dir):
+    out = sel_fn.tail(t(spark, sf_dir, "events"), 5, 0, "ts", ["user_id"])
+    return out.select("user_id", "ts", "value")
+
+
+@q(
+    "unique_values_per_type",
+    f"""
+    SELECT event_type, vbin, min({TS}) AS first_ts FROM (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS vbin, ts FROM events)
+    GROUP BY event_type, vbin
+    """,
+)
+def q_unique(spark, sf_dir):
+    """unique(): first occurrence of each distinct (binned) value."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "vbin", F.floor(F.col("value") / 10).cast("long")
+    )
+    u = sel_fn.unique(ev, "vbin", "ts", ["event_type"])
+    return u.select("event_type", "vbin", F.col("ts").alias("first_ts"))
+
+
+@q(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           (ROUND(quantile_cont(value, 0.5) + 0.0000001, 4) + 0) AS p50,
+           (ROUND(quantile_cont(value, 0.95) + 0.0000001, 4) + 0) AS p95,
+           (ROUND(max(value) - min(value) + 0.0000001, 4) + 0) AS spread
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile(spark, sf_dir):
+    """percentile(): exact, linear interpolation (tpercentile.c)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.percentile("value", F.lit(0.5))).alias("p50"),
+        _r4(F.percentile("value", F.lit(0.95))).alias("p95"),
+        _r4(agg_fn.spread("value")).alias("spread"),
+    )
+
+
+@q(
+    "histogram_linear_value",
+    """
+    SELECT event_type, bin_lower, bin_upper, bin_count FROM (
+      SELECT event_type,
+             floor(value / 25) * 25 AS bin_lower,
+             floor(value / 25) * 25 + 25 AS bin_upper,
+             COUNT(*) AS bin_count
+      FROM events WHERE value >= 0 AND value < 250
+      GROUP BY 1, 2, 3)
+    """,
+)
+def q_histogram(spark, sf_dir):
+    out = agg_fn.histogram_linear(
+        t(spark, sf_dir, "events"), "value", 0.0, 25.0, 10, ["event_type"]
+    )
+    return out.select("event_type", "bin_lower", "bin_upper", "bin_count")
+
+
+@q(
+    "stddev_variance_by_type",
+    """
+    SELECT event_type,
+           (ROUND(stddev_pop(value) + 0.0000001, 4) + 0) AS sd_pop,
+           (ROUND(stddev_samp(value) + 0.0000001, 4) + 0) AS sd_samp,
+           (ROUND(var_pop(value) + 0.0000001, 4) + 0) AS v_pop,
+           (ROUND(corr(value, CAST(user_id AS DOUBLE)) + 0.0000001, 4) + 0) AS corr_uid
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stddev(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.stddev_pop("value")).alias("sd_pop"),
+        _r4(F.stddev_samp("value")).alias("sd_samp"),
+        _r4(F.var_pop("value")).alias("v_pop"),
+        _r4(F.corr("value", F.col("user_id").cast("double"))).alias("corr_uid"),
+    )
+
+
+@q(
+    "mode_deterministic",
+    """
+    SELECT user_id, event_type AS mode_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def q_mode(spark, sf_dir):
+    """mode() with deterministic tie-break (by value) — the reference's
+    mode returns an arbitrary candidate on ties; we pin it for testability."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"))
+    )
+
+
+@q(
+    "diff_csum_mavg",
+    f"""
+    SELECT user_id, {TS} AS ts,
+           (ROUND(value - lag(value) OVER w + 0.0000001, 4) + 0) AS diff_v,
+           (ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) + 0.0000001, 4) + 0) AS csum_v,
+           CASE WHEN COUNT(value) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 10
+                THEN (ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) + 0.0000001, 4) + 0)
+           END AS mavg10
+    FROM events WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_indef(spark, sf_dir):
+    """diff/csum/mavg — the IndefRowsFunc family; one shared window spec
+    → Catalyst emits a single Window physical operator."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    return ev.select(
+        "user_id",
+        "ts",
+        _r4(indef_fn.diff("value", "ts", ["user_id"])).alias("diff_v"),
+        _r4(indef_fn.csum("value", "ts", ["user_id"])).alias("csum_v"),
+        _r4(indef_fn.mavg("value", 10, "ts", ["user_id"])).alias("mavg10"),
+    )
+
+
+@q(
+    "derivative_statecount",
+    f"""
+    WITH s AS (
+      SELECT user_id, {TS} AS ts, value,
+             (value - lag(value) OVER w)
+               / ((epoch_us({TS}) - lag(epoch_us({TS})) OVER w)) * 1000000 AS deriv,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS cond
+      FROM events WHERE event_type = 'error'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), flags AS (
+      SELECT user_id, ts, value, deriv, cond,
+             CASE WHEN lag(cond) OVER w2 IS NULL
+                       OR lag(cond) OVER w2 <> cond THEN 1 ELSE 0 END AS flip
+      FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    ), runs AS (
+      SELECT user_id, ts, value, deriv, cond,
+             CAST(SUM(flip) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+      FROM flags
+    )
+    SELECT user_id, ts, (ROUND(deriv + 0.0000001, 4) + 0) AS deriv,
+           CASE WHEN cond = 1
+                THEN row_number() OVER (PARTITION BY user_id, rid ORDER BY ts)
+                ELSE -1 END AS sc
+    FROM runs
+    """,
+)
+def q_deriv(spark, sf_dir):
+    """derivative(1s) + statecount(>, 100)."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return ev.select(
+        "user_id",
+        "ts",
+        _r4(indef_fn.derivative("value", "1s", "ts", ["user_id"])).alias("deriv"),
+        indef_fn.statecount("value", "gt", 100, "ts", ["user_id"])
+        .cast("long")
+        .alias("sc"),
+    )
+
+
+@q(
+    "count_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    """exact distinct (hyperloglog's approx variant is bench-only since
+    Spark's HLL++ and DuckDB's approx sketches differ by design)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "json_tag_extract",
+    """
+    SELECT event_type, (ROUND(AVG(CAST(json_extract_string(props, 'k')
+           AS DOUBLE)) + 0.0000001, 4) + 0) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json(spark, sf_dir):
+    """JSON tag -> operator (OP_TYPE_JSON_GET_VALUE)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.avg(F.get_json_object("props", "$.k").cast("double"))).alias("avg_k")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: query.spark_fn for name, query in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: query.oracle for name, query in REGISTRY.items() if query.oracle
+    }
