@@ -138,12 +138,15 @@ def assign_count_windows(
         return df.withColumn(WINDOW_ID, F.floor(rn / count) + 1)
     s = sliding
     # window ids j with j*s <= rn < j*s + n  →  j in [ceil((rn-n+1)/s), rn/s]
-    lo = F.greatest(F.ceil((rn - count + 1) / s), F.lit(0))
-    hi = F.floor(rn / s)
+    staged = df.withColumn("_rn", rn)
+    lo = F.greatest(
+        F.ceil((F.col("_rn") - count + 1) / s).cast("long"), F.lit(0).cast("long")
+    )
+    hi = F.floor(F.col("_rn") / s).cast("long")
     return (
-        df.withColumn("_rn", rn)
-        .withColumn(WINDOW_ID, F.explode(F.sequence(lo, hi)) + 1)
-        .drop("_rn")
+        staged.withColumn("_wid0", F.explode(F.sequence(lo, hi)))
+        .withColumn(WINDOW_ID, F.col("_wid0") + 1)
+        .drop("_rn", "_wid0")
     )
 
 

@@ -1,0 +1,140 @@
+"""as-of/window join variants + function semantics the oracle can't pin
+(strict/forward/tolerance, JLIMIT, twa edge cases, dedup-keep-last)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tdengine_spark.catalog import dedup_keep_last
+from tdengine_spark.functions.aggregate import twa
+from tdengine_spark.operators.asofjoin import asof_join, window_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:00:10"), 1.0),
+            ("a", ts("2024-01-01 00:00:20"), 2.0),
+        ],
+        "k string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:00:05"), 10.0),
+            ("a", ts("2024-01-01 00:00:10"), 20.0),  # ts-equal to left row 1
+            ("a", ts("2024-01-01 00:00:15"), 30.0),
+        ],
+        "k string, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_nonstrict(spark):
+    left, right = _sides(spark)
+    out = {r.lv: r.r_rv for r in asof_join(left, right, ["k"], "ts").collect()}
+    assert out == {1.0: 20.0, 2.0: 30.0}  # >= includes the ts-equal row
+
+
+def test_asof_backward_strict(spark):
+    left, right = _sides(spark)
+    out = {
+        r.lv: r.r_rv
+        for r in asof_join(left, right, ["k"], "ts", strict=True).collect()
+    }
+    assert out == {1.0: 10.0, 2.0: 30.0}  # > excludes the ts-equal row
+
+
+def test_asof_forward(spark):
+    left, right = _sides(spark)
+    out = {
+        r.lv: r.r_rv
+        for r in asof_join(left, right, ["k"], "ts", direction="forward").collect()
+    }
+    assert out == {1.0: 20.0, 2.0: None}  # <= : equal counts; nothing after 20s
+
+
+def test_asof_tolerance(spark):
+    left, right = _sides(spark)
+    # strict-backward matches are 10.0@05 for left@10 and 30.0@15 for
+    # left@20 — both exactly 5s away
+    within = {
+        r.lv: r.r_rv
+        for r in asof_join(
+            left, right, ["k"], "ts", strict=True, tolerance="5s"
+        ).collect()
+    }
+    assert within == {1.0: 10.0, 2.0: 30.0}
+    beyond = {
+        r.lv: r.r_rv
+        for r in asof_join(
+            left, right, ["k"], "ts", strict=True, tolerance="3s"
+        ).collect()
+    }
+    assert beyond == {1.0: None, 2.0: None}
+
+
+def test_window_join_jlimit(spark):
+    left, right = _sides(spark)
+    out = window_join(
+        left, right, ["k"], "-10s", "10s", ts_col="ts", jlimit=2
+    ).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r.lv, []).append(r.r_rv)
+    # JLIMIT 2 keeps the 2 earliest right rows in each window:
+    # left@10 window [00,20] → rights @05,@10 (of @05,@10,@15);
+    # left@20 window [10,30] → rights @10,@15
+    assert sorted(by_left[1.0]) == [10.0, 20.0]
+    assert sorted(by_left[2.0]) == [20.0, 30.0]
+
+
+def test_window_join_asymmetric_offsets(spark):
+    left, right = _sides(spark)
+    out = window_join(left, right, ["k"], "0s", "5s", ts_col="ts").collect()
+    matches = {(r.lv, r.r_rv) for r in out if r.r_rv is not None}
+    assert matches == {(1.0, 20.0), (1.0, 30.0)}  # [ts, ts+5s]
+    # left 2.0 has no match in [20,25] → left-outer NULL row survives
+    assert any(r.lv == 2.0 and r.r_rv is None for r in out)
+
+
+def test_twa_constant_series(spark):
+    df = spark.createDataFrame(
+        [("a", ts(f"2024-01-01 00:00:{s:02d}"), 7.5) for s in (0, 10, 25, 59)],
+        "k string, ts timestamp, v double",
+    )
+    out = twa(df, "ts", "v", ["k"]).first()
+    assert abs(out.twa - 7.5) < 1e-9  # twa(constant) == constant
+
+
+def test_twa_single_sample(spark):
+    df = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:00"), 3.0)], "k string, ts timestamp, v double"
+    )
+    assert twa(df, "ts", "v", ["k"]).first().twa == 3.0
+
+
+def test_twa_linear_ramp(spark):
+    # v goes 0→10 linearly over 10s: twa = 5
+    df = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:00"), 0.0), ("a", ts("2024-01-01 00:00:10"), 10.0)],
+        "k string, ts timestamp, v double",
+    )
+    assert abs(twa(df, "ts", "v", ["k"]).first().twa - 5.0) < 1e-9
+
+
+def test_dedup_keep_last(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:00:00"), 1.0, 1),
+            ("a", ts("2024-01-01 00:00:00"), 2.0, 2),  # same (k, ts), newer version
+            ("a", ts("2024-01-01 00:00:01"), 3.0, 1),
+        ],
+        "tbname string, ts timestamp, v double, _version int",
+    )
+    out = dedup_keep_last(df, ["tbname", "ts"], version_col="_version").collect()
+    got = {(r.ts, r.v) for r in out}
+    assert got == {(ts("2024-01-01 00:00:00"), 2.0), (ts("2024-01-01 00:00:01"), 3.0)}
