@@ -1,0 +1,256 @@
+"""Deduplication at training-data scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design:
+  - exact dedup = one hash-groupBy on a 64-bit fingerprint (map-side
+    partial collapse → shuffle carries one row per distinct doc);
+  - MinHash+LSH avoids the O(n²) pair space: signatures are computed
+    JVM-side (transform/aggregate over shingle hashes — no Python), bands
+    bucket the candidates, and only within-bucket pairs are verified;
+  - SimHash = 64 weighted bit-sums per doc, again pure expressions;
+  - the verify step (exact Jaccard) runs only on LSH candidates.
+
+Everything is expressed so Catalyst sees plain projections + equi-joins:
+no UDFs, no driver loops, no cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tdengine_spark.pipeline.text import fingerprint, shingles
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod p.
+# p = 2^31 - 1 (Mersenne prime) keeps a*h < 2^62 — no int64 overflow in
+# the JVM expression.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num)
+    ]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate removal keyed on the normalized-text fingerprint;
+    keeps the smallest id per group, adds the group's duplicate count."""
+    fp = fingerprint(text_col)
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over word-shingle xxhash64s.
+
+    Single-pass fold: the shingle-hash array is walked ONCE with
+    F.aggregate, updating all num_hashes mins per element via zip_with
+    against literal (a_i, b_i) parameter arrays. Naive formulations
+    (num_hashes separate array_min(transform(...)) expressions) inline
+    the shingle expression num_hashes times and blow up whole-stage
+    codegen compilation. No shuffle at all.
+    """
+    params = _hash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
+    sh = shingles(text_col, shingle_n)
+    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr, b_arr, lambda a, b: (h % _MERSENNE_P * a + b) % _MERSENNE_P
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: band the signature, bucket-join.
+
+    posexplode(bands) → groupBy (band_idx, band_hash) — a single shuffle
+    whose key cardinality ~ n_docs × bands; the self-join happens only
+    inside buckets (skew-safe: genuine mega-buckets mean genuine dup
+    clusters). Returns distinct (id_a < id_b) pairs.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>")
+                        .cast("string")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (the expensive step
+    runs on |candidates|, not n²). Returns pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        j.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard
+    verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(df, cands, text_col, id_col, threshold=threshold)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-bit weighted sums of token hashes.
+
+    tokens → xxhash64 → for each bit b, sum(sign(bit_b)) → sign → bit.
+    Pure expressions; the 64 per-bit sums are one aggregate over the
+    token array (F.aggregate), no explode, no shuffle.
+    """
+    def bit_mask(b: int) -> int:
+        # bit 63 of a signed long is the sign bit: 1<<63 must be the
+        # negative two's-complement value, not a Python bignum
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    sim = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        sim = sim + F.when(s > 0, F.lit(bit_mask(b)).cast("long")).otherwise(0)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, using the
+    block-permutation trick: split 64 bits into (k+1) blocks — any pair
+    within distance k agrees on ≥1 whole block → equi-join per block."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    exploded = sims.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
+        id_col, "simhash", "b.block_idx", "b.block_val"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

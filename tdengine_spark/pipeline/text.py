@@ -1,0 +1,149 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All pure Catalyst expressions (regex/hash built-ins, codegen'd) — no
+Python in the hot path, so these run at full scan speed over 100 TB of
+documents and the aggregates push down partials map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: words, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "la", "los", "es", "una", "que", "de", "por"],
+}
+
+
+def token_count(text: "Column | str", pattern: str = TOKEN_RE) -> Column:
+    """Number of tokens under a BPE-ish regex tokenizer."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def whitespace_token_count(text: "Column | str") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token stats, punctuation /
+    digit / uppercase ratios, stopword ratio, repetition (distinct-token
+    ratio). The standard pre-training quality-filter feature set."""
+    c = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), F.lit(0))
+    n_chars = F.length(c)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_tokens = F.size(toks)
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop = F.array([F.lit(w) for w in _LANG_MARKERS["en"]])
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "distinct_ratio": F.round(
+                F.size(F.array_distinct(toks)) / safe_toks, 4
+            ),
+            "avg_token_len": F.round(
+                F.aggregate(
+                    toks, F.lit(0).cast("double"), lambda a, x: a + F.length(x)
+                )
+                / safe_toks,
+                4,
+            ),
+            "punct_ratio": F.round(
+                F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), F.lit(0)))
+                / safe_chars,
+                4,
+            ),
+            "digit_ratio": F.round(
+                F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0)))
+                / safe_chars,
+                4,
+            ),
+            "upper_ratio": F.round(
+                F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), F.lit(0)))
+                / safe_chars,
+                4,
+            ),
+            "stopword_ratio": F.round(
+                F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+                / safe_toks,
+                4,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1] from the features — a simple
+    monotone blend (each signal clamped to its 'healthy' band)."""
+    feat = quality_features(df, text_col)
+    band = lambda c, lo, hi: F.when(
+        (c >= lo) & (c <= hi), 1.0
+    ).otherwise(0.0)
+    score = (
+        band(F.col("n_tokens"), 10, 100000)
+        + band(F.col("avg_token_len"), 2.0, 12.0)
+        + band(F.col("distinct_ratio"), 0.1, 1.0)
+        + band(F.col("punct_ratio"), 0.0, 0.2)
+        + band(F.col("digit_ratio"), 0.0, 0.3)
+    ) / 5.0
+    return feat.withColumn("quality_score", F.round(score, 4))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID over {en,de,fr,es} + 'und' fallback.
+    greatest-of-N scores, all in one projection."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-zà-ÿäöüß]+"), F.lit(0))
+    safe = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda x: F.array_contains(F.array([F.lit(w) for w in ws]), x))
+        )
+        / safe
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", F.round(best["score"], 4))
+
+
+def fingerprint(text: "Column | str", normalize: bool = True) -> Column:
+    """64-bit content fingerprint (xxhash64 of normalized text) — the
+    exact-dup key. Normalization: lowercase, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def shingles(text: "Column | str", n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), the MinHash input unit."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )

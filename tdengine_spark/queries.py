@@ -950,10 +950,17 @@ def q_json(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _register_extensions()
     return {name: query.spark_fn for name, query in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _register_extensions()
     return {
         name: query.oracle for name, query in REGISTRY.items() if query.oracle
     }
+
+
+def _register_extensions() -> None:
+    """Import the extension registries (they self-register via @q)."""
+    import tdengine_spark.queries_pipeline  # noqa: F401

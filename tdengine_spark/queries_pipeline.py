@@ -1,0 +1,206 @@
+"""Pipeline-operator queries (dedup / similarity / text analysis) for the
+correctness gate — imported by tdengine_spark.queries for registration.
+
+Oracle notes:
+  - exact dedup groups by *normalized text* in DuckDB vs its xxhash64
+    fingerprint in Spark — identical grouping absent 64-bit collisions;
+  - token/quality/langid oracles replicate the regex pipelines in DuckDB
+    (both engines' regexp_extract_all use the same character-class
+    syntax);
+  - cosine top-k: DuckDB list_cosine_similarity is the oracle; ranking
+    uses the unrounded score with id tiebreak on both sides;
+  - MinHash/SimHash are hash-algorithm-specific (xxhash64) → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tdengine_spark.pipeline import dedup as dd
+from tdengine_spark.pipeline import similarity as sim
+from tdengine_spark.pipeline import text as tx
+from tdengine_spark.queries import q, t
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ')"
+_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+@q(
+    "dedup_exact_documents",
+    f"""
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY {_NORM}
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized-text fingerprint (one hash groupBy)."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+@q(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                AS INT) AS n_tokens,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.whitespace_token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@q(
+    "quality_features",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             greatest(len(text), 1) AS safe_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           (ROUND(len(list_distinct(toks)) / greatest(len(toks), 1)
+                  + 0.0000001, 4) + 0) AS distinct_ratio,
+           (ROUND(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                  / CAST(greatest(len(toks), 1) AS DOUBLE) + 0.0000001, 4) + 0)
+                AS avg_token_len,
+           (ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
+                  / CAST(safe_chars AS DOUBLE) + 0.0000001, 4) + 0) AS punct_ratio,
+           (ROUND(len(regexp_extract_all(text, '[0-9]'))
+                  / CAST(safe_chars AS DOUBLE) + 0.0000001, 4) + 0) AS digit_ratio,
+           (ROUND(len(regexp_extract_all(text, '[A-Z]'))
+                  / CAST(safe_chars AS DOUBLE) + 0.0000001, 4) + 0) AS upper_ratio,
+           (ROUND(len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','is','in','that','it'], x)))
+                  / CAST(greatest(len(toks), 1) AS DOUBLE) + 0.0000001, 4) + 0)
+                AS stopword_ratio
+    FROM s
+    """,
+)
+def q_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = tx.quality_features(docs)
+    eps = lambda c: F.round(F.col(c) + F.lit(1e-7), 4) + F.lit(0.0)
+    return feat.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        eps("distinct_ratio").alias("distinct_ratio"),
+        eps("avg_token_len").alias("avg_token_len"),
+        eps("punct_ratio").alias("punct_ratio"),
+        eps("digit_ratio").alias("digit_ratio"),
+        eps("upper_ratio").alias("upper_ratio"),
+        eps("stopword_ratio").alias("stopword_ratio"),
+    )
+
+
+_LANG_SQL_SETS = {
+    "en": "['the','and','of','to','is','in','that','it']",
+    "de": "['der','die','das','und','ist','nicht','ein','zu']",
+    "fr": "['le','la','les','et','est','une','que','dans']",
+    "es": "['el','la','los','es','una','que','de','por']",
+}
+
+_SCORE_COLS = ",\n".join(
+    f"""           len(list_filter(toks, x -> list_contains({lst}, x)))
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_{lang}"""
+    for lang, lst in _LANG_SQL_SETS.items()
+)
+
+
+@q(
+    "language_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+') AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+{_SCORE_COLS}
+      FROM s
+    ), ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores
+      UNPIVOT (score FOR lang IN (s_en AS 'en', s_de AS 'de',
+                                  s_fr AS 'fr', s_es AS 'es'))
+    )
+    SELECT doc_id,
+           CASE WHEN score > 0.02 THEN lang ELSE 'und' END AS lang_pred,
+           (ROUND(score + 0.0000001, 4) + 0) AS lang_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_langid(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.language_id(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        (F.round(F.col("lang_score") + F.lit(1e-7), 4) + F.lit(0.0)).alias(
+            "lang_score"
+        ),
+    )
+
+
+@q(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS raw
+      FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           (ROUND(raw + 0.0000001, 4) + 0) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: broadcast queries × one corpus scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+@q("minhash_near_dup_pairs")  # rows-only: xxhash64-specific signatures
+def q_minhash(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥ 0.2."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_dedup(docs, threshold=0.2)
+
+
+@q("simhash_near_pairs")  # rows-only: xxhash64-specific
+def q_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs at hamming ≤ 6 (block-permutation join)."""
+    docs = t(spark, sf_dir, "documents")
+    sims = dd.simhash(docs)
+    return dd.simhash_near_pairs(sims, max_hamming=6)
+
+
+@q("lsh_ann_topk")  # rows-only: bucket boundary effects are seed-specific
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100 TB path for ANN)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.lsh_ann_topk(emb, queries, dim=64, k=5, nbits=8)

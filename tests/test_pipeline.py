@@ -1,0 +1,142 @@
+"""Pipeline operator semantics: dedup recall, simhash self-similarity,
+ANN sanity vs brute force, text metrics, multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from tdengine_spark.pipeline import dedup as dd
+from tdengine_spark.pipeline import similarity as sim
+from tdengine_spark.pipeline import text as tx
+from tdengine_spark.pipeline.multimodal import (
+    decode_images,
+    sample_frames,
+    synthetic_assets,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark query engines and scale"),
+        (4, "  The   QUICK brown fox jumps over the lazy dog again and again today "),
+    ]  # 4 = exact dup of 0 after normalization
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dd.exact_dedup(_docs(spark)).collect()
+    got = {r.doc_id: r.dup_count for r in out}
+    assert got == {0: 3, 2: 1, 3: 1}  # 0,1,4 collapse; keeps min id
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dd.minhash_dedup(_docs(spark), threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found and (0, 4) in found  # exact dups always survive
+    assert (0, 2) in found or (1, 2) in found  # near dup should bucket together
+    assert all(3 not in p for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(spark):
+    sims = dd.simhash(_docs(spark))
+    pairs = dd.simhash_near_pairs(sims, max_hamming=10).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 4) in found  # normalization-equal
+    assert all(3 not in k for k in found)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_ann_recall_on_clear_structure(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(0, (base / np.linalg.norm(base)).tolist())]
+    # scaled copy: identical direction → identical hyperplane signs →
+    # guaranteed same bucket, cosine exactly 1
+    rows.append((1, (2.0 * base).tolist()))
+    for i in range(2, 40):
+        v = rng.standard_normal(16)
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") == 0), dim=16, k=3, nbits=4
+    ).collect()
+    # the near-identical vector must land in the same bucket and rank #1
+    top = min(out, key=lambda r: r.rank)
+    assert top.neighbor_id == 1
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 123 foo_bar"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.nt, r.nw)
+        for r in df.select(
+            "doc_id",
+            tx.token_count("text").alias("nt"),
+            tx.whitespace_token_count("text").alias("nw"),
+        ).collect()
+    }
+    # Hello , world ! 123 foo _ bar → 8 regex tokens; 4 ws tokens
+    assert out[0] == (8, 4)
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is nice that it is"),
+            (1, "der hund ist nicht zu haus und das ist gut"),
+            (2, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = tx.quality_score(df)
+    assert "quality_score" in scored.columns
+    langs = {r.doc_id: r.lang_pred for r in tx.language_id(df).collect()}
+    assert langs[0] == "en"
+    assert langs[1] == "de"
+    assert langs[2] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "A  b\tC"), (1, "a b c"), (2, "abc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.fp for r in df.select(
+        "doc_id", tx.fingerprint("text").alias("fp")).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthetic_assets(spark, 30)
+    dec = decode_images(assets).collect()
+    assert len(dec) == len([1 for i in range(30) if i % 3 == 0])
+    assert all(r.width >= 1 and r.height >= 1 for r in dec)
+    assert all(len(r.feature) == 8 for r in dec)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-6 for r in dec)
+    frames = sample_frames(assets)
+    assert frames.count() > 0
+    assert frames.schema.simpleString() == (
+        "struct<asset_id:bigint,frame_idx:int,frame:binary>"
+    )
