@@ -1,0 +1,135 @@
+"""TimeSlice / interp — resample a series to exact instants.
+
+Reference: ``SELECT interp(col) ... RANGE(t1,t2) EVERY(d) FILL(mode)``
+(executor/src/timesliceoperator.c; grammar sql.y:3018-3026), with
+pseudo-columns ``_irowts`` (the instant) and ``_isfilled``.
+
+Spark-first design — the union + ordered-window kernel shared with the
+as-of join (operators/asofjoin.py):
+  1. generate the instant spine per group (``sequence`` + explode —
+     a pure expression, no driver loop);
+  2. union instants (side=1) with samples (side=0);
+  3. one window per key ordered by (ts, side) carries the previous
+     sample's (t, v) onto each instant; the reverse window carries the
+     next sample's. Samples sort before instants at equal ts, so an
+     exact-ts sample is seen by its instant (→ _isfilled = false).
+
+Cost: one shuffle on the group keys + two ordered window passes over
+|samples| + |instants| rows — the same asymptotics as the reference's
+single merge pass, and it parallelizes per key across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tdengine_spark.durations import Duration, parse_duration
+
+IROWTS = "_irowts"
+ISFILLED = "_isfilled"
+
+INTERP_MODES = ("prev", "next", "linear", "near", "null", "value")
+
+
+def interp(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    range_start,
+    range_end,
+    every: "str | int | Duration",
+    mode: str = "linear",
+    partition_by: "list[str] | None" = None,
+    fill_value: "float | None" = None,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Resample ``val_col`` to instants range_start, +every, ... ≤ range_end.
+
+    Returns (partition..., _irowts, <out_col>, _isfilled) ordered by
+    (partition, _irowts). NULL results outside the data range follow the
+    reference: PREV holds nothing before the first sample, NEXT nothing
+    after the last, LINEAR needs both sides, NEAR takes whichever exists.
+    """
+    mode = mode.lower()
+    if mode not in INTERP_MODES:
+        raise ValueError(f"unknown interp fill mode {mode!r}")
+    keys = list(partition_by or [])
+    out_col = out_col or val_col
+    every_d = parse_duration(every)
+
+    lo = F.lit(range_start).cast("timestamp")
+    hi = F.lit(range_end).cast("timestamp")
+    step = F.expr(f"interval {every_d.interval_string()}")
+
+    groups = df.select(*keys).distinct() if keys else df.select(F.lit(1).alias("_g")).limit(1)
+    spine = groups.select(
+        *(keys or []),
+        F.explode(F.sequence(lo, hi, step)).alias("_t"),
+    ).withColumn("_side", F.lit(1))
+
+    samples = df.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    u = samples.unionByName(spine.withColumn("_v", F.lit(None).cast("double")))
+
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t_us = F.unix_micros(F.col("_t"))
+    sample_t = F.when(F.col("_side") == 0, t_us)
+    sample_v = F.when(F.col("_side") == 0, F.col("_v"))
+
+    staged = (
+        u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(fwd))
+        .withColumn("_pv", F.last(sample_v, ignorenulls=True).over(fwd))
+        .withColumn("_nt", F.last(sample_t, ignorenulls=True).over(bwd))
+        .withColumn("_nv", F.last(sample_v, ignorenulls=True).over(bwd))
+        .where(F.col("_side") == 1)
+    )
+
+    pt, pv, nt, nv = (F.col(c) for c in ("_pt", "_pv", "_nt", "_nv"))
+    exact = pt == t_us
+    if mode == "prev":
+        val = pv
+    elif mode == "next":
+        val = nv
+    elif mode == "near":
+        val = (
+            F.when(exact, pv)
+            .when(pt.isNull(), nv)
+            .when(nt.isNull(), pv)
+            .when((t_us - pt) <= (nt - t_us), pv)
+            .otherwise(nv)
+        )
+    elif mode == "linear":
+        frac = (t_us - pt).cast("double") / (nt - pt).cast("double")
+        val = (
+            F.when(exact, pv)
+            .when(pt.isNull() | nt.isNull(), F.lit(None))
+            .otherwise(pv + (nv - pv) * frac)
+        )
+    elif mode == "null":
+        val = F.when(exact, pv)
+    else:  # value
+        val = F.when(exact, pv).otherwise(F.lit(fill_value))
+
+    return (
+        staged.select(
+            *keys,
+            F.col("_t").alias(IROWTS),
+            val.alias(out_col),
+            (~exact | exact.isNull()).alias(ISFILLED),
+        )
+        .orderBy(*keys, IROWTS)
+    )

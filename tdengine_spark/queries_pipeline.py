@@ -204,3 +204,84 @@ def q_lsh_ann(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return sim.lsh_ann_topk(emb, queries, dim=64, k=5, nbits=8)
+
+
+# ---------------------------------------------------------------------------
+# interp / TimeSlice (§2.6) — registered here to keep queries.py stable
+# ---------------------------------------------------------------------------
+
+from tdengine_spark.operators.interp import interp  # noqa: E402
+
+
+@q(
+    "interp_linear_daily",
+    """
+    WITH spine AS (
+      SELECT u.user_id, unnest(generate_series(TIMESTAMP '2024-01-05',
+             TIMESTAMP '2024-01-25', INTERVAL 1 DAY)) AS _irowts
+      FROM (SELECT DISTINCT user_id FROM events) u
+    ), ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), prevj AS (
+      SELECT s.user_id, s._irowts, e.ts AS pt, e.value AS pv
+      FROM spine s ASOF LEFT JOIN ev e
+        ON s.user_id = e.user_id AND s._irowts >= e.ts
+    ), nextj AS (
+      SELECT s.user_id, s._irowts, e.ts AS nt, e.value AS nv
+      FROM spine s ASOF LEFT JOIN ev e
+        ON s.user_id = e.user_id AND s._irowts <= e.ts
+    )
+    SELECT p.user_id, p._irowts,
+           (ROUND(CASE WHEN p.pt = p._irowts THEN p.pv
+                      WHEN p.pt IS NULL OR n.nt IS NULL THEN NULL
+                      ELSE p.pv + (n.nv - p.pv) *
+                           (CAST(epoch_us(p._irowts) - epoch_us(p.pt) AS DOUBLE)
+                            / CAST(epoch_us(n.nt) - epoch_us(p.pt) AS DOUBLE))
+                 END + 0.0000001, 4) + 0) AS value,
+           COALESCE(p.pt <> p._irowts, TRUE) AS _isfilled
+    FROM prevj p JOIN nextj n ON p.user_id = n.user_id AND p._irowts = n._irowts
+    """,
+)
+def q_interp_linear(spark, sf_dir):
+    """interp ... RANGE('2024-01-05','2024-01-25') EVERY(1d) FILL(LINEAR)."""
+    ev = t(spark, sf_dir, "events")
+    out = interp(
+        ev, "ts", "value", "2024-01-05", "2024-01-25", "1d",
+        mode="linear", partition_by=["user_id"],
+    )
+    return out.select(
+        "user_id", "_irowts",
+        (F.round(F.col("value") + F.lit(1e-7), 4) + F.lit(0.0)).alias("value"),
+        "_isfilled",
+    )
+
+
+@q(
+    "interp_prev_6h",
+    """
+    WITH spine AS (
+      SELECT u.event_type, unnest(generate_series(TIMESTAMP '2024-01-10',
+             TIMESTAMP '2024-01-12', INTERVAL 6 HOUR)) AS _irowts
+      FROM (SELECT DISTINCT event_type FROM events) u
+    ), ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    )
+    SELECT s.event_type, s._irowts,
+           (ROUND(e.value + 0.0000001, 4) + 0) AS value,
+           COALESCE(e.ts <> s._irowts, TRUE) AS _isfilled
+    FROM spine s ASOF LEFT JOIN ev e
+      ON s.event_type = e.event_type AND s._irowts >= e.ts
+    """,
+)
+def q_interp_prev(spark, sf_dir):
+    """interp ... EVERY(6h) FILL(PREV) partitioned by tag."""
+    ev = t(spark, sf_dir, "events")
+    out = interp(
+        ev, "ts", "value", "2024-01-10", "2024-01-12", "6h",
+        mode="prev", partition_by=["event_type"],
+    )
+    return out.select(
+        "event_type", "_irowts",
+        (F.round(F.col("value") + F.lit(1e-7), 4) + F.lit(0.0)).alias("value"),
+        "_isfilled",
+    )
