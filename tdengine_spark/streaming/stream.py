@@ -1,0 +1,204 @@
+"""CREATE STREAM analogs — each reference trigger type as a Structured
+Streaming wrapper.
+
+Reference: ``CREATE STREAM s trigger_type(...) FROM src PARTITION BY k
+[WATERMARK(d)] INTO out AS SELECT ...`` (grammar sql.y:1623-1800; engine
+source/libs/new-stream/). Mapping per SURVEY §2.10:
+
+  INTERVAL(w) SLIDING(s)  → groupBy(window(ts,w,s), keys) + watermark
+  SESSION(ts, gap)        → session_window(ts, gap)
+  COUNT_WINDOW(n)         → applyInPandasWithState (row-count state)
+  STATE_WINDOW(col)       → applyInPandasWithState (run-tracking state)
+  PERIOD(d)               → processingTime trigger
+  WATERMARK(d)            → withWatermark (late rows dropped at finalize)
+  FILL_HISTORY            → one batch backfill over the same dir, then
+                            the stream tails new files (file source
+                            reads existing files first by default)
+  INTO out_table          → writeStream.start(path) / foreachBatch
+
+Scale notes: windowed aggs with watermarks keep bounded state in the
+state store; per-key stateful ops (count/state windows) shuffle once on
+the key and hold O(open windows) state per key. Checkpointing is
+Spark-native (``checkpointLocation``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tdengine_spark.durations import parse_duration
+
+
+def read_stream(
+    spark,
+    path: str,
+    schema: "T.StructType | str",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream over a Parquet directory (the analog of the
+    reference's WAL-tailing StreamScan; new files = new data)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def interval_trigger(
+    src: DataFrame,
+    ts_col: str,
+    width: str,
+    sliding: "str | None" = None,
+    partition_by: "list[str] | None" = None,
+    watermark: str = "0 seconds",
+    aggs: "list | None" = None,
+) -> DataFrame:
+    """INTERVAL(w) [SLIDING(s)] trigger with WATERMARK: emits finalized
+    windows in append mode once the watermark passes _wend."""
+    keys = list(partition_by or [])
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = parse_duration(width)
+    s = parse_duration(sliding) if sliding else w
+    win = F.window(F.col(ts_col), w.interval_string(), s.interval_string())
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("_w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("_wstart"),
+            F.col("_w.end").alias("_wend"),
+            *keys,
+            "*",
+        )
+        .drop("_w")
+    )
+
+
+def session_trigger(
+    src: DataFrame,
+    ts_col: str,
+    gap: str,
+    partition_by: "list[str] | None" = None,
+    watermark: str = "0 seconds",
+    aggs: "list | None" = None,
+) -> DataFrame:
+    """SESSION(ts, gap) trigger → native session_window."""
+    keys = list(partition_by or [])
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    gap_str = parse_duration(gap).interval_string()
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap_str).alias("_w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("_wstart"),
+            F.col("_w.end").alias("_wend"),
+            *keys,
+            "*",
+        )
+        .drop("_w")
+    )
+
+
+def count_window_trigger(
+    src: DataFrame,
+    ts_col: str,
+    count: int,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """COUNT_WINDOW(n) trigger: emit one row per n rows per key.
+
+    applyInPandasWithState keeps (rows_so_far, sum, min_ts) per key and
+    emits a window each time the counter crosses n — the reference's
+    stream count-window semantics (streamTriggerTask.c count trigger).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("_wstart", T.TimestampType()),
+            T.StructField("_wend", T.TimestampType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("wstart", T.LongType()),  # epoch us
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cnt, total, wstart) = state.get if state.exists else (0, 0.0, None)
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1000)
+                if wstart is None:
+                    wstart = ts_us
+                cnt += 1
+                total += float(row[value_col])
+                if cnt >= count:
+                    out_rows.append(
+                        {
+                            "k": key[0],
+                            "_wstart": pd.Timestamp(wstart * 1000),
+                            "_wend": pd.Timestamp(ts_us * 1000),
+                            "n_rows": cnt,
+                            "sum_value": round(total, 4),
+                        }
+                    )
+                    cnt, total, wstart = 0, 0.0, None
+        state.update((cnt, total, wstart))
+        yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema])
+
+    return (
+        src.select(F.col(key_col).cast("string").alias("k"), ts_col, value_col)
+        .groupBy("k")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def period_trigger_options(period: str) -> dict:
+    """PERIOD(d) → wall-clock processing-time trigger kwargs for
+    ``writeStream.trigger(**...)``."""
+    d = parse_duration(period)
+    return {"processingTime": f"{int(d.seconds)} seconds"}
+
+
+def write_into(
+    result: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger: "dict | None" = None,
+    partition_cols: "list[str] | None" = None,
+):
+    """INTO out-table: continuous Parquet sink with checkpointing; the
+    partition columns play the reference's SUBTABLE role (one directory
+    per key)."""
+    w = (
+        result.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()

@@ -1,0 +1,127 @@
+"""Structured Streaming trigger analogs, driven end-to-end with the file
+source (events parquet replayed as arriving files) and availableNow."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdengine_spark.streaming.latest import LatestTable
+from tdengine_spark.streaming.stream import (
+    count_window_trigger,
+    interval_trigger,
+    read_stream,
+    session_trigger,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="tds_stream_")
+    # replay the events table as N arriving files (ts order preserved
+    # within files; the watermark handles cross-file disorder)
+    df = spark.read.parquet(SRC)
+    df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).repartition(
+        4
+    ).write.mode("overwrite").parquet(f"{d}/in")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_available_now(result, d, name):
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{d}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_interval_trigger_matches_batch(spark, stream_dir):
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=2)
+    result = interval_trigger(
+        src, "ts", "1h", partition_by=["event_type"],
+        watermark="1 hour",
+        aggs=[F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sv")],
+    )
+    _run_available_now(result, stream_dir, "iv")
+    got = spark.sql("SELECT * FROM iv")
+    batch = (
+        spark.read.parquet(f"{stream_dir}/in")
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
+    )
+    # append mode + availableNow: all windows finalize (watermark passes
+    # max ts at end-of-input except the tail window)
+    assert got.count() >= batch.count() - 5
+    j = got.join(
+        batch.select(
+            F.col("_w.start").alias("_wstart"), "event_type",
+            F.col("cnt").alias("cnt_b"), F.col("sv").alias("sv_b"),
+        ),
+        ["_wstart", "event_type"],
+    )
+    mism = j.where((F.col("cnt") != F.col("cnt_b")) | (F.col("sv") != F.col("sv_b")))
+    assert mism.count() == 0
+
+
+def test_session_trigger(spark, stream_dir):
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema)
+    result = session_trigger(
+        src, "ts", "30m", partition_by=["user_id"], watermark="2 hours",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    _run_available_now(result, stream_dir, "sess")
+    got = spark.sql("SELECT * FROM sess")
+    assert got.count() > 0
+    # every emitted session respects the gap: _wend - _wstart covers n rows
+    assert got.where(F.col("n") < 1).count() == 0
+
+
+def test_count_window_trigger(spark, stream_dir):
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=1)
+    result = count_window_trigger(src, "ts", 50, "user_id", "value")
+    _run_available_now(result, stream_dir, "cw")
+    got = spark.sql("SELECT * FROM cw")
+    n = got.count()
+    assert n > 0
+    # every emitted window has exactly 50 rows
+    assert got.where(F.col("n_rows") != 50).count() == 0
+    # total windows ≈ floor(rows_per_user/50) summed
+    import math
+    per_user = (
+        spark.read.parquet(f"{stream_dir}/in").groupBy("user_id").count().collect()
+    )
+    expected = sum(math.floor(r["count"] / 50) for r in per_user)
+    assert n == expected
+
+
+def test_latest_table(spark, stream_dir):
+    lt = LatestTable(f"{stream_dir}/latest", ["user_id"], "ts")
+    full = spark.read.parquet(f"{stream_dir}/in").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    # simulate two micro-batches split by time
+    cut = "2024-01-15"
+    lt.merge_batch(full.where(F.col("ts") < cut))
+    lt.merge_batch(full.where(F.col("ts") >= cut))
+    got = lt.read(spark)
+    from tdengine_spark.functions.selection import last_row
+
+    expect = last_row(full, "ts", ["user_id"])
+    assert got.count() == expect.count()
+    j = got.alias("g").join(expect.alias("e"), "user_id").where(
+        (F.col("g.ts") != F.col("e.ts")) | (F.col("g.value") != F.col("e.value"))
+    )
+    assert j.count() == 0
