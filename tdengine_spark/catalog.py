@@ -49,9 +49,35 @@ class SuperTable:
     tag_cols: tuple[str, ...] = ()
     version_col: str | None = None  # ingest version for keep-last dedup
 
-    def read(self, spark: SparkSession, dedup: bool = False) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        dedup: bool = False,
+        ts_range: "tuple | None" = None,
+    ) -> DataFrame:
+        """Read the table; ``ts_range=(lo, hi)`` (half-open, ISO strings or
+        datetimes, either side None) is applied as a *pushable* predicate:
+        for ns-long stored timestamps the comparison happens on the raw
+        int64 column BEFORE conversion, so it reaches the parquet reader
+        as PushedFilters and prunes row groups — the plan-time time-range
+        push the reference does in its TableScan (tsdbRead2.c BRIN)."""
         df = spark.read.parquet(self.path)
-        df = _normalize_ns_timestamps(df, self.path)
+        ns_cols = _ns_timestamp_cols(self.path)
+        if ts_range is not None and self.ts_col in df.columns:
+            lo, hi = ts_range
+            if self.ts_col in ns_cols:
+                import pandas as pd
+
+                if lo is not None:
+                    df = df.where(F.col(self.ts_col) >= pd.Timestamp(lo).value)
+                if hi is not None:
+                    df = df.where(F.col(self.ts_col) < pd.Timestamp(hi).value)
+            else:
+                if lo is not None:
+                    df = df.where(F.col(self.ts_col) >= F.lit(lo).cast("timestamp"))
+                if hi is not None:
+                    df = df.where(F.col(self.ts_col) < F.lit(hi).cast("timestamp"))
+        df = _normalize_ns_timestamps(df, self.path, ns_cols)
         if dedup and self.ts_col in df.columns:
             df = dedup_keep_last(
                 df,
@@ -86,11 +112,13 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
+def _normalize_ns_timestamps(
+    df: DataFrame, path: str, ns_cols: "list[str] | None" = None
+) -> DataFrame:
     """ns→us conversion (floor), matching DuckDB's TIMESTAMP_NS→TIMESTAMP
     cast so oracle comparisons line up. The reference stores ns-precision
     epochs as int64 too (SURVEY §1.2 TIMESTAMP row)."""
-    for c in _ns_timestamp_cols(path):
+    for c in ns_cols if ns_cols is not None else _ns_timestamp_cols(path):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer `div`, NOT `/`: float division of ns-scale int64
             # (~1.7e18) loses precision beyond 2^53 and shifts by ±1us

@@ -107,16 +107,14 @@ def bucket_sql(width_us: int, ts_expr: str = TS) -> str:
 )
 def q_scan(spark, sf_dir):
     """Pushed-down ts-range scan (reference TableScan, scanoperator.c:2713):
-    predicate + projection reach the parquet reader."""
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.where(
-            (F.col("event_type") == "purchase")
-            & (F.col("value") > 150)
-            & (F.col("ts") >= "2024-01-03")
-            & (F.col("ts") < "2024-01-20")
-        ).select("event_id", "ts", "value")
+    the ts range is applied on the raw ns-int64 column pre-conversion so
+    it reaches PushedFilters and prunes parquet row groups."""
+    ev = Database(root=sf_dir).table("events").read(
+        spark, ts_range=("2024-01-03", "2024-01-20")
     )
+    return ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("event_id", "ts", "value")
 
 
 @q(
