@@ -39,6 +39,7 @@ def main():
 
     import duckdb
 
+    import tdengine_spark.queries_extra  # noqa: F401  (self-registers)
     import tdengine_spark.queries_pipeline  # noqa: F401  (self-registers)
     from tdengine_spark.queries import REGISTRY
     from tdengine_spark.session import get_spark

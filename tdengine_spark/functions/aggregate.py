@@ -104,7 +104,7 @@ def histogram_log(
     """histogram(col, 'log_bin', ...): bins [start*base^i, start*base^(i+1))."""
     keys = list(partition_by or [])
     v = F.col(col).cast("double")
-    idx = F.floor(F.log(F.lit(float(base)), v / start))
+    idx = F.floor(F.log(float(base), v / start))
     binned = df.where((v >= start) & (v < start * (base ** count))).withColumn(
         "_bin", idx.cast("int")
     )

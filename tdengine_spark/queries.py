@@ -961,4 +961,5 @@ def oracle_sql() -> dict[str, str]:
 
 def _register_extensions() -> None:
     """Import the extension registries (they self-register via @q)."""
+    import tdengine_spark.queries_extra  # noqa: F401
     import tdengine_spark.queries_pipeline  # noqa: F401

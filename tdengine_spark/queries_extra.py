@@ -1,0 +1,391 @@
+"""Second wave of gate queries: SLIMIT, group_concat, leastsquares,
+calendar intervals, virtual tables, scalar time functions, remaining
+fill modes, sliding count windows, OVER-clause rank family, log
+histograms, approx aggregates. Registered via tdengine_spark.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tdengine_spark.functions import aggregate as agg_fn
+from tdengine_spark.operators import fill as fill_op
+from tdengine_spark.operators import timewindow as tw
+from tdengine_spark.operators.eventwindow import (
+    assign_count_windows,
+    assign_state_windows,
+    window_agg,
+)
+from tdengine_spark.queries import HOUR_US, TS, Database, bucket_sql, q, t
+
+
+def _r4e(c):
+    return F.round(c + F.lit(1e-7), 4) + F.lit(0.0)
+
+
+@q(
+    "slimit_first_groups",
+    f"""
+    WITH g AS (
+      SELECT user_id, {bucket_sql(HOUR_US * 24)} AS _wstart,
+             COUNT(*) AS n, (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, _wstart, n, avg_v FROM g
+    WHERE user_id IN (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5)
+    """,
+)
+def q_slimit(spark, sf_dir):
+    """SLIMIT 5: limit the number of *groups* (reference partition-aware
+    limit, sql.y:3111) — dense_rank over the group key ≤ n keeps whole
+    groups, not rows."""
+    ev = t(spark, sf_dir, "events")
+    day = tw.interval_window(
+        ev, "ts", "1d", partition_by=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), _r4e(F.avg("value")).alias("avg_v")],
+    ).drop("_wend")
+    w = Window.orderBy("user_id")
+    return (
+        day.withColumn("_gr", F.dense_rank().over(w))
+        .where(F.col("_gr") <= 5)
+        .select("user_id", "_wstart", "n", "avg_v")
+    )
+
+
+@q(
+    "group_concat_users",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')
+             AS users_csv
+    FROM (SELECT event_type, user_id FROM events WHERE user_id < 30)
+    GROUP BY event_type
+    """,
+)
+def q_group_concat(spark, sf_dir):
+    """group_concat (builtins.c:7559): deterministic via sorted distinct."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    return ev.groupBy("event_type").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.col("user_id").cast("string")))
+        ).alias("users_csv")
+    )
+
+
+@q(
+    "leastsquares_lineitem",
+    """
+    SELECT l_returnflag,
+           (ROUND(regr_slope(l_extendedprice, l_quantity) + 0.0000001, 4) + 0)
+               AS slope,
+           (ROUND(regr_intercept(l_extendedprice, l_quantity) + 0.0000001, 4) + 0)
+               AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_leastsquares(spark, sf_dir):
+    """leastsquares (builtins.c:3110) → regr_slope/regr_intercept."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r4e(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        _r4e(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+    )
+
+
+@q(
+    "calendar_interval_monthly",
+    """
+    SELECT date_trunc('month', o_orderdate) AS _wstart, o_orderstatus,
+           COUNT(*) AS n_orders,
+           (ROUND(SUM(o_totalprice) + 0.0000001, 4) + 0) AS sum_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_calendar_month(spark, sf_dir):
+    """INTERVAL(1n): calendar-month buckets (non-fixed width — the
+    reference's calendar-unit interval path)."""
+    o = t(spark, sf_dir, "orders")
+    return tw.interval_window(
+        o, "o_orderdate", "1n", partition_by=["o_orderstatus"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_orders"),
+            _r4e(F.sum("o_totalprice")).alias("sum_price"),
+        ],
+    ).drop("_wend")
+
+
+@q(
+    "virtual_table_align",
+    f"""
+    WITH p AS (
+      SELECT {bucket_sql(60_000_000)} AS ts, user_id,
+             (ROUND(AVG(value) + 0.0000001, 4) + 0) AS purchase_v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), c AS (
+      SELECT {bucket_sql(60_000_000)} AS ts, user_id,
+             (ROUND(AVG(value) + 0.0000001, 4) + 0) AS click_v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT COALESCE(p.ts, c.ts) AS ts, COALESCE(p.user_id, c.user_id) AS user_id,
+           p.purchase_v, c.click_v
+    FROM p FULL OUTER JOIN c ON p.ts = c.ts AND p.user_id = c.user_id
+    """,
+)
+def q_virtual_table(spark, sf_dir):
+    """Virtual table (virtualtablescanoperator.c): columns drawn from
+    different source tables aligned on ts — full-outer join + coalesce."""
+    ev = t(spark, sf_dir, "events")
+
+    def series(etype, alias):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(
+                tw.window_start("ts", "1m").alias("ts"), "user_id"
+            )
+            .agg(_r4e(F.avg("value")).alias(alias))
+        )
+
+    p = series("purchase", "purchase_v")
+    c = series("click", "click_v")
+    return (
+        p.alias("p")
+        .join(c.alias("c"), ["ts", "user_id"], "full_outer")
+        .select("ts", "user_id", "purchase_v", "click_v")
+    )
+
+
+@q(
+    "scalar_time_functions",
+    f"""
+    SELECT event_id,
+           make_timestamp(CAST(floor(epoch_us({TS}) / 900000000)
+               * 900000000 AS BIGINT)) AS tt15m,
+           CAST(isodow({TS}) - 1 AS INT) AS wd,
+           CAST(epoch_us({TS}) // 1000 AS BIGINT) AS epoch_ms,
+           CAST(week({TS}) AS INT) AS wk
+    FROM events WHERE user_id = 7
+    """,
+)
+def q_scalar_time(spark, sf_dir):
+    """timetruncate/weekday/to_unixtimestamp/weekofyear (§2.9 date/time)."""
+    from tdengine_spark.functions.scalar import timetruncate
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") == 7)
+    return ev.select(
+        "event_id",
+        timetruncate("ts", "15m").alias("tt15m"),
+        F.weekday("ts").alias("wd"),
+        F.expr("unix_micros(ts) div 1000").alias("epoch_ms"),
+        F.weekofyear("ts").alias("wk"),
+    )
+
+
+@q(
+    "interval_fill_value_near",
+    f"""
+    WITH a AS (
+      SELECT {bucket_sql(HOUR_US)} AS _wstart, event_type,
+             (ROUND(AVG(value) + 0.0000001, 4) + 0) AS v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS _wstart
+      FROM (SELECT event_type, min(_wstart) lo, max(_wstart) hi FROM a GROUP BY 1)
+    ), j AS (
+      SELECT s.event_type, s._wstart, a.v,
+             last_value(a.v IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN a.v IS NOT NULL THEN epoch_us(s._wstart) END
+                        IGNORE NULLS) OVER w AS pt,
+             first_value(a.v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN a.v IS NOT NULL THEN epoch_us(s._wstart) END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s._wstart = a._wstart
+      WINDOW w AS (PARTITION BY s.event_type ORDER BY s._wstart
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY s.event_type ORDER BY s._wstart
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, _wstart,
+           COALESCE(v, -1.0) AS v_value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN nt IS NULL THEN pv
+                WHEN pt IS NULL THEN nv
+                WHEN epoch_us(_wstart) - pt <= nt - epoch_us(_wstart) THEN pv
+                ELSE nv END AS v_near
+    FROM j
+    """,
+)
+def q_fill_value_near(spark, sf_dir):
+    """FILL(VALUE, -1) and FILL(NEAR) on the same interval agg."""
+    ev = t(spark, sf_dir, "events")
+    a = tw.interval_window(
+        ev, "ts", "1h", partition_by=["event_type"],
+        aggs=[_r4e(F.avg("value")).alias("v")],
+    ).drop("_wend")
+    fv = fill_op.fill(
+        a, "value", "1h", ["event_type"], ["v"], fill_values={"v": -1.0}
+    ).withColumnRenamed("v", "v_value")
+    fn = fill_op.fill(a, "near", "1h", ["event_type"], ["v"]).withColumnRenamed(
+        "v", "v_near"
+    )
+    return fv.join(fn, ["event_type", "_wstart"]).select(
+        "event_type", "_wstart", "v_value", "v_near"
+    )
+
+
+@q(
+    "count_windows_sliding",
+    f"""
+    WITH numbered AS (
+      SELECT user_id, {TS} AS ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+      FROM events WHERE user_id < 20
+    ), exploded AS (
+      SELECT user_id, ts, value,
+             unnest(generate_series(
+               greatest(CAST(ceil((rn - 30 + 1) / 15.0) AS BIGINT), 0),
+               CAST(floor(rn / 15.0) AS BIGINT))) + 1 AS _wid
+      FROM numbered
+    )
+    SELECT user_id, _wid, min(ts) AS _wstart, max(ts) AS _wend,
+           COUNT(*) AS n_rows,
+           (ROUND(SUM(value) + 0.0000001, 4) + 0) AS sum_v
+    FROM exploded GROUP BY user_id, _wid
+    """,
+)
+def q_count_sliding(spark, sf_dir):
+    """COUNT_WINDOW(30, 15): sliding row-count windows."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    assigned = assign_count_windows(ev, "ts", 30, 15, ["user_id"])
+    out = window_agg(
+        assigned, "ts", [_r4e(F.sum("value")).alias("sum_v")], ["user_id"]
+    )
+    return out.select(
+        "user_id", "_wid", "_wstart", "_wend",
+        F.col("_wrows").alias("n_rows"), "sum_v",
+    )
+
+
+@q(
+    "rank_family",
+    f"""
+    SELECT user_id, {TS} AS ts,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           (ROUND(percent_rank() OVER w + 0.0000001, 4) + 0) AS prnk,
+           (ROUND(cume_dist() OVER w + 0.0000001, 4) + 0) AS cd,
+           ntile(4) OVER w AS quartile,
+           first_value(value) OVER w2 AS fv,
+           nth_value(value, 2) OVER w2 AS nv2
+    FROM events WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value),
+           w2 AS (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rank_family(spark, sf_dir):
+    """OVER-clause rank/distribution family (builtins.c:8078-8162)."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("value")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        _r4e(F.percent_rank().over(w)).alias("prnk"),
+        _r4e(F.cume_dist().over(w)).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("value").over(w2).alias("fv"),
+        F.nth_value("value", 2).over(w2).alias("nv2"),
+    )
+
+
+@q(
+    "histogram_log_totalprice",
+    """
+    SELECT bin_idx,
+           (ROUND(1000.0 * POW(4.0, bin_idx) + 0.0000001, 4) + 0) AS bin_lower,
+           (ROUND(1000.0 * POW(4.0, bin_idx + 1) + 0.0000001, 4) + 0) AS bin_upper,
+           COUNT(*) AS bin_count
+    FROM (
+      SELECT CAST(floor(ln(o_totalprice / 1000.0) / ln(4.0)) AS INT) AS bin_idx
+      FROM orders WHERE o_totalprice >= 1000.0 AND o_totalprice < 1000.0 * POW(4.0, 6)
+    ) GROUP BY bin_idx
+    """,
+)
+def q_histogram_log(spark, sf_dir):
+    """histogram(col,'log_bin',...) — exponential buckets."""
+    o = t(spark, sf_dir, "orders")
+    out = agg_fn.histogram_log(o, "o_totalprice", 4.0, 1000.0, 6)
+    return out.select(
+        F.floor(F.log(4.0, F.col("bin_lower") / 1000.0) + F.lit(0.5) * 1e-9)
+        .cast("int")
+        .alias("bin_idx"),
+        _r4e(F.col("bin_lower")).alias("bin_lower"),
+        _r4e(F.col("bin_upper")).alias("bin_upper"),
+        "bin_count",
+    )
+
+
+@q("approx_aggregates")  # rows-only: HLL++/t-digest sketches are engine-specific
+def q_approx(spark, sf_dir):
+    """hyperloglog + apercentile (approx algorithms differ by design from
+    DuckDB's sketches → rows-only; values sanity-checked in tests)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        agg_fn.hyperloglog("user_id").alias("hll_users"),
+        F.round(agg_fn.apercentile("value", 90), 1).alias("p90_approx"),
+    )
+
+
+@q("sample_per_group")  # rows-only: rand() ordering is engine-specific
+def q_sample(spark, sf_dir):
+    """sample(k): k random rows per group, seeded for reproducibility."""
+    from tdengine_spark.functions.selection import sample
+
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return sample(ev, 10, ["event_type"])
+
+
+@q(
+    "state_windows_threshold",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, {TS} AS ts, value,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS st,
+             CASE WHEN lag(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER w IS NULL
+                       OR lag(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER w
+                          <> CASE WHEN value > 100 THEN 1 ELSE 0 END
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), runs AS (
+      SELECT user_id, ts, value, st,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _wid
+      FROM flagged
+    )
+    SELECT user_id, _wid, CAST(st AS BIGINT) AS state,
+           min(ts) AS _wstart, max(ts) AS _wend, COUNT(*) AS n_rows
+    FROM runs GROUP BY user_id, _wid, st
+    """,
+)
+def q_state_threshold(spark, sf_dir):
+    """STATE_WINDOW(expr) on a computed predicate (not a raw column)."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    assigned = assign_state_windows(
+        ev, "ts", (F.col("value") > 100).cast("long"), ["user_id"]
+    )
+    out = window_agg(
+        assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"],
+        keep_state=True,
+    )
+    return out.select(
+        "user_id", "_wid", F.col("_state").alias("state"),
+        "_wstart", "_wend", F.col("_wrows").alias("n_rows"),
+    )
