@@ -389,3 +389,137 @@ def q_state_threshold(spark, sf_dir):
         "user_id", "_wid", F.col("_state").alias("state"),
         "_wstart", "_wend", F.col("_wrows").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics ops (forecast / imputation / anomaly / dtw / tlcc)
+# ---------------------------------------------------------------------------
+
+from tdengine_spark.functions.analytics import (  # noqa: E402
+    anomaly_zscore,
+    dtw_distance,
+    forecast_linear,
+    impute_missing,
+    tlcc,
+)
+
+
+@q(
+    "forecast_linear_trend",
+    f"""
+    WITH fit AS (
+      SELECT event_type,
+             regr_slope(value, CAST(epoch_us({TS}) AS DOUBLE)) AS m,
+             regr_intercept(value, CAST(epoch_us({TS}) AS DOUBLE)) AS b,
+             max(epoch_us({TS})) AS t1
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           make_timestamp(CAST(t1 + s * 3600000000 AS BIGINT)) AS ts,
+           (ROUND(m * (t1 + s * 3600000000) + b + 0.0000001, 4) + 0)
+               AS forecast_value,
+           TRUE AS is_forecast
+    FROM fit, unnest(generate_series(1, 24)) AS u(s)
+    """,
+)
+def q_forecast(spark, sf_dir):
+    """forecast(): 24 hourly instants of per-tag OLS trend (builtins.c:6735
+    TDgpt analog, closed-form)."""
+    ev = t(spark, sf_dir, "events")
+    out = forecast_linear(ev, "ts", "value", 24, "1h", ["event_type"])
+    return out.select(
+        "event_type", "ts",
+        _r4e(F.col("forecast_value")).alias("forecast_value"), "is_forecast",
+    )
+
+
+@q(
+    "impute_masked_values",
+    f"""
+    WITH masked AS (
+      SELECT user_id, {TS} AS ts,
+             CASE WHEN value < 20 THEN NULL ELSE value END AS v
+      FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS pt,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM masked
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts,
+           (ROUND(COALESCE(v,
+                CASE WHEN pt IS NULL THEN nv
+                     WHEN nt IS NULL THEN pv
+                     ELSE pv + (nv - pv) *
+                          (CAST(epoch_us(ts) - pt AS DOUBLE)
+                           / CAST(nt - pt AS DOUBLE)) END)
+                 + 0.0000001, 4) + 0) AS v_imputed
+    FROM j
+    """,
+)
+def q_impute(spark, sf_dir):
+    """imputation(): linear fill of masked samples (imputationoperator.c
+    analog)."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    masked = ev.select(
+        "user_id", "ts",
+        F.when(F.col("value") < 20, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = impute_missing(masked, "ts", "v", ["user_id"], method="linear")
+    return out.select(
+        "user_id", "ts", _r4e(F.col("v_imputed")).alias("v_imputed")
+    )
+
+
+@q(
+    "anomaly_detection_zscore",
+    f"""
+    WITH s AS (
+      SELECT user_id, {TS} AS ts, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT user_id, ts,
+           (ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END
+                  + 0.0000001, 2) + 0) AS zscore,
+           CASE WHEN sd > 0 THEN abs((value - mu) / sd) > 2.5 ELSE FALSE END
+               AS is_anomaly
+    FROM s
+    """,
+)
+def q_anomaly(spark, sf_dir):
+    """anomalycheck(): ksigma z-score flagging (anomalywindowoperator.c
+    default algorithm)."""
+    ev = t(spark, sf_dir, "events")
+    out = anomaly_zscore(ev, "ts", "value", ["user_id"], k=2.5)
+    # z-scores divide by stddev, amplifying each engine's summation-order
+    # noise to ~1e-7 — 2-decimal rounding keeps the compare stable
+    return out.select(
+        "user_id", "ts",
+        (F.round(F.col("zscore") + F.lit(1e-7), 2) + F.lit(0.0)).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+@q("dtw_tlcc_series")  # rows-only: iterative DP, no SQL equivalent
+def q_dtw(spark, sf_dir):
+    """dtw + tlcc between per-type hourly series (builtins.c:7602-7646)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    d = dtw_distance(hourly, "h", "v", "event_type", [("click", "view"), ("click", "error")], window=50)
+    c = tlcc(hourly, "h", "v", "event_type", "click", "view", 5).withColumnRenamed("corr", "tlcc_corr")
+    return d.crossJoin(c)
