@@ -523,3 +523,41 @@ def q_dtw(spark, sf_dir):
     d = dtw_distance(hourly, "h", "v", "event_type", [("click", "view"), ("click", "error")], window=50)
     c = tlcc(hourly, "h", "v", "event_type", "click", "view", 5).withColumnRenamed("corr", "tlcc_corr")
     return d.crossJoin(c)
+
+
+@q(
+    "string_crypto_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           to_base64(ENCODE(substr(text, 1, 12))) AS b64,
+           length(text) AS len_chars,
+           upper(substr(text, 1, 8)) AS up8,
+           replace(substr(text, 1, 20), ' ', '_') AS underscored,
+           CAST(strpos(text, 'table') AS INT) AS pos_table,
+           reverse(substr(text, 1, 10)) AS rev10,
+           repeat(substr(text, 1, 2), 3) AS rep3,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded
+    FROM documents
+    """,
+)
+def q_string_crypto(spark, sf_dir):
+    """String + crypto scalar family (§2.9): md5/sha2/base64/replace/
+    position/repeat/lpad — all built-in, byte-identical to DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.length("text").alias("len_chars"),
+        F.upper(F.substring("text", 1, 8)).alias("up8"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias(
+            "underscored"
+        ),
+        F.instr("text", "table").alias("pos_table"),
+        F.reverse(F.substring("text", 1, 10)).alias("rev10"),
+        F.repeat(F.substring("text", 1, 2), 3).alias("rep3"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+    )
