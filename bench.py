@@ -37,6 +37,18 @@ HEADLINE = [
     "top3_per_type",
     "diff_csum_mavg",
     "percentiles_by_type",
+    "interp_linear_daily",
+    "count_windows_sliding",
+    "virtual_table_align",
+    "forecast_linear_trend",
+    "anomaly_detection_zscore",
+    "dedup_exact_documents",
+    "minhash_near_dup_pairs",
+    "simhash_near_pairs",
+    "cosine_topk_bruteforce",
+    "lsh_ann_topk",
+    "quality_features",
+    "language_id",
 ]
 
 
@@ -44,6 +56,8 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    import tdengine_spark.queries_extra  # noqa: F401  (self-registers)
+    import tdengine_spark.queries_pipeline  # noqa: F401  (self-registers)
     from tdengine_spark.queries import REGISTRY
     from tdengine_spark.session import get_spark
 

