@@ -202,3 +202,141 @@ def write_into(
     if trigger:
         w = w.trigger(**trigger)
     return w.start()
+
+
+def state_window_trigger(
+    src: DataFrame,
+    ts_col: str,
+    state_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """STATE_WINDOW(col) stream trigger: emit a window each time the
+    state value changes (reference stream state trigger,
+    streamTriggerTask.c). Keeps (state, wstart, last_ts, cnt, sum) per
+    key; a state flip closes and emits the previous window."""
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("_wstart", T.TimestampType()),
+            T.StructField("_wend", T.TimestampType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cur", T.StringType()),
+            T.StructField("wstart", T.LongType()),
+            T.StructField("wend", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        cur, wstart, wend, cnt, total = (
+            state.get if state.exists else (None, None, None, 0, 0.0)
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1000)
+                st = str(row[state_col])
+                if cur is None:
+                    cur, wstart, wend, cnt, total = st, ts_us, ts_us, 0, 0.0
+                elif st != cur:
+                    out.append(
+                        {
+                            "k": key[0],
+                            "state": cur,
+                            "_wstart": pd.Timestamp(wstart * 1000),
+                            "_wend": pd.Timestamp(wend * 1000),
+                            "n_rows": cnt,
+                            "sum_value": round(total, 4),
+                        }
+                    )
+                    cur, wstart, wend, cnt, total = st, ts_us, ts_us, 0, 0.0
+                cnt += 1
+                total += float(row[value_col])
+                wend = ts_us
+        state.update((cur, wstart, wend, cnt, total))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
+
+    return (
+        src.select(
+            F.col(key_col).cast("string").alias("k"),
+            ts_col,
+            F.col(state_col).cast("string").alias(state_col)
+            if state_col != "k"
+            else F.col(state_col),
+            value_col,
+        )
+        .groupBy("k")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def event_window_trigger(
+    src: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    start_threshold: float,
+    end_threshold: float,
+) -> DataFrame:
+    """EVENT_WINDOW START WITH value > start_t END WITH value < end_t
+    stream trigger: window opens at a start-condition row, closes
+    (inclusive) at the first end-condition row."""
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("_wstart", T.TimestampType()),
+            T.StructField("_wend", T.TimestampType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("open", T.BooleanType()),
+            T.StructField("wstart", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        is_open, wstart, cnt = state.get if state.exists else (False, None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1000)
+                v = float(row[value_col])
+                if not is_open and v > start_threshold:
+                    is_open, wstart, cnt = True, ts_us, 0
+                if is_open:
+                    cnt += 1
+                    if v < end_threshold:
+                        out.append(
+                            {
+                                "k": key[0],
+                                "_wstart": pd.Timestamp(wstart * 1000),
+                                "_wend": pd.Timestamp(ts_us * 1000),
+                                "n_rows": cnt,
+                            }
+                        )
+                        is_open, wstart, cnt = False, None, 0
+        state.update((is_open, wstart, cnt))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
+
+    return (
+        src.select(F.col(key_col).cast("string").alias("k"), ts_col, value_col)
+        .groupBy("k")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -32,6 +32,35 @@ def stream_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+
+@pytest.fixture()
+def ordered_stream_dir(spark):
+    """Replay events as 4 files in strict ts order (the reference's WAL
+    tail is ts-ordered per vnode; cross-batch disorder is a watermark/
+    IGNORE_DISORDER concern, not a state-kernel one)."""
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="tds_ostream_")
+    os.makedirs(f"{d}/in")
+    pdf = (
+        spark.read.parquet(SRC)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # pandas defaults to ns-precision parquet timestamps, which the
+    # session reads back as raw longs (nanosAsLong) — write us instead
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        chunk.to_parquet(f"{d}/in/data_{i}.parquet", index=False)
+        _time.sleep(0.05)  # distinct mtimes → deterministic pickup order
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _run_available_now(result, d, name):
     q = (
         result.writeStream.outputMode("append")
@@ -125,3 +154,51 @@ def test_latest_table(spark, stream_dir):
         (F.col("g.ts") != F.col("e.ts")) | (F.col("g.value") != F.col("e.value"))
     )
     assert j.count() == 0
+
+
+def test_state_window_trigger_matches_batch(spark, ordered_stream_dir):
+    from tdengine_spark.streaming.stream import state_window_trigger
+    from tdengine_spark.operators.eventwindow import assign_state_windows, window_agg
+
+    stream_dir = ordered_stream_dir
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=1)
+    result = state_window_trigger(src, "ts", "event_type", "user_id", "value")
+    _run_available_now(result, stream_dir, "sw")
+    got = spark.sql("SELECT * FROM sw")
+    # batch equivalent: all CLOSED state windows (stream holds the last
+    # open window per key in state)
+    batch = window_agg(
+        assign_state_windows(
+            spark.read.parquet(f"{stream_dir}/in"), "ts", "event_type", ["user_id"]
+        ),
+        "ts",
+        [F.count(F.lit(1)).alias("n2")],
+        ["user_id"],
+        keep_state=True,
+    )
+    n_users = spark.read.parquet(f"{stream_dir}/in").select("user_id").distinct().count()
+    assert got.count() == batch.count() - n_users  # one open window per key
+    j = got.join(
+        batch.select(
+            F.col("user_id").cast("string").alias("k"),
+            F.col("_state").alias("state"), "_wstart", "_wend",
+            F.col("_wrows").alias("n_b"),
+        ),
+        ["k", "state", "_wstart", "_wend"],
+    )
+    assert j.count() == got.count()
+    assert j.where(F.col("n_rows") != F.col("n_b")).count() == 0
+
+
+def test_event_window_trigger(spark, ordered_stream_dir):
+    from tdengine_spark.streaming.stream import event_window_trigger
+
+    stream_dir = ordered_stream_dir
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=1)
+    result = event_window_trigger(src, "ts", "user_id", "value", 180.0, 20.0)
+    _run_available_now(result, stream_dir, "ew")
+    got = spark.sql("SELECT * FROM ew")
+    assert got.count() > 0
+    assert got.where(F.col("_wend") < F.col("_wstart")).count() == 0
