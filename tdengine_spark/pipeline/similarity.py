@@ -76,6 +76,8 @@ def cosine_topk(
             ),
         )
     )
+    # rank by the ROUNDED score: raw cosines differing only in the last
+    # ulp across engines would otherwise flip tie ranks
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -561,3 +561,51 @@ def q_string_crypto(spark, sf_dir):
         F.repeat(F.substring("text", 1, 2), 3).alias("rep3"),
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TSMA transparent rewrite, exercised through the gate
+# ---------------------------------------------------------------------------
+
+_TSMA_CATS: dict = {}
+
+
+@q(
+    "tsma_rewritten_6h",
+    f"""
+    SELECT {bucket_sql(6 * HOUR_US)} AS _wstart, event_type,
+           (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_value,
+           (ROUND(SUM(value) + 0.0000001, 4) + 0) AS sum_value,
+           COUNT(value) AS count_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tsma(spark, sf_dir):
+    """INTERVAL(6h) agg transparently rewritten onto a 1h TSMA — the
+    oracle aggregates raw rows; the Spark side reads ONLY the pre-agg
+    table (reference planOptimizer.c Tsma rule)."""
+    import tempfile
+
+    from tdengine_spark.plans.tsma import TsmaCatalog, create_tsma
+
+    if sf_dir not in _TSMA_CATS:
+        tsma_dir = tempfile.mkdtemp(prefix="tds_tsma_gate_")
+        spec = create_tsma(
+            spark, t(spark, sf_dir, "events"), f"{tsma_dir}/events_1h", "1h",
+            keys=["event_type"], metrics=["value"],
+        )
+        cat = TsmaCatalog()
+        cat.register(spec)
+        _TSMA_CATS[sf_dir] = cat
+    cat = _TSMA_CATS[sf_dir]
+    out = cat.interval_agg(
+        spark, t(spark, sf_dir, "events"), "6h", ["event_type"],
+        {"value": ["avg", "sum", "count", "min", "max"]},
+    )
+    return out.select(
+        "_wstart", "event_type",
+        _r4e(F.col("avg_value")).alias("avg_value"),
+        _r4e(F.col("sum_value")).alias("sum_value"),
+        "count_value", "min_value", "max_value",
+    )

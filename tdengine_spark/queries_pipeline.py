@@ -171,7 +171,8 @@ def q_langid(spark, sf_dir):
     SELECT query_id, neighbor_id,
            (ROUND(raw + 0.0000001, 4) + 0) AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY raw DESC, neighbor_id) AS BIGINT) AS rank
+                                   ORDER BY (ROUND(raw + 0.0000001, 4) + 0) DESC,
+                                            neighbor_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 5
     """,
