@@ -198,6 +198,67 @@ def dtw_distance(
     )
 
 
+def dtw_path(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    window: "int | None" = None,
+) -> DataFrame:
+    """dtw_path(a, b) (builtins.c:7624): the optimal warping path as
+    (step, i, j) rows plus the distance."""
+    sel = df.select(
+        F.col(key_col).cast("string").alias("_k"), ts_col,
+        F.col(val_col).cast("double").alias("_v"),
+    ).where(F.col("_k").isin([str(key_a), str(key_b)]))
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = {k: s.sort_values(ts_col)["_v"].to_numpy() for k, s in pdf.groupby("_k")}
+        a, b = g.get(str(key_a)), g.get(str(key_b))
+        rows = []
+        if a is not None and b is not None:
+            dist, path = _dtw_with_path(a, b, window)
+            for step, (i, j) in enumerate(path):
+                rows.append((step, i, j, round(dist, 4)))
+        return pd.DataFrame(rows, columns=["step", "i", "j", "dtw"])
+
+    return (
+        sel.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda _, pdf: compute(pdf), "step int, i int, j int, dtw double"
+        )
+    )
+
+
+def _dtw_with_path(a, b, window=None):
+    n, m = len(a), len(b)
+    w = max(window, abs(n - m)) if window else max(n, m)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - w), min(m, i + w)
+        for j in range(lo, hi + 1):
+            cost = abs(a[i - 1] - b[j - 1])
+            D[i, j] = cost + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    # backtrack
+    path = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        k = int(np.argmin([D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]]))
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    path.reverse()
+    return float(D[n, m]), path
+
+
 def _dtw(a: np.ndarray, b: np.ndarray, window: "int | None" = None) -> float:
     n, m = len(a), len(b)
     w = max(window, abs(n - m)) if window else max(n, m)

@@ -609,3 +609,40 @@ def q_tsma(spark, sf_dir):
         _r4e(F.col("sum_value")).alias("sum_value"),
         "count_value", "min_value", "max_value",
     )
+
+
+@q(
+    "stateduration_high_value",
+    f"""
+    WITH s AS (
+      SELECT user_id, {TS} AS ts,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS cond
+      FROM events WHERE event_type = 'purchase'
+    ), flags AS (
+      SELECT user_id, ts, cond,
+             CASE WHEN lag(cond) OVER w IS NULL OR lag(cond) OVER w <> cond
+                  THEN 1 ELSE 0 END AS flip
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), runs AS (
+      SELECT user_id, ts, cond,
+             CAST(SUM(flip) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+      FROM flags
+    )
+    SELECT user_id, ts,
+           CASE WHEN cond = 1 THEN
+                CAST(floor((epoch_us(ts) - min(epoch_us(ts))
+                     OVER (PARTITION BY user_id, rid)) / 1000000) AS BIGINT)
+           ELSE -1 END AS sd_sec
+    FROM runs
+    """,
+)
+def q_stateduration(spark, sf_dir):
+    """stateduration(value, gt, 100, 1s) (builtins.c:4296)."""
+    from tdengine_spark.functions.indef import stateduration
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return ev.select(
+        "user_id", "ts",
+        stateduration("value", "gt", 100, "1s", "ts", ["user_id"]).alias("sd_sec"),
+    )

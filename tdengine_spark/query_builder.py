@@ -91,12 +91,25 @@ class Scan:
         )
 
     # -- terminal ------------------------------------------------------
-    def df(self) -> DataFrame:
+    def df(self, query_pseudocols: bool = False) -> DataFrame:
         base = self._db.table(self._table).read(
             self._spark, dedup=self._dedup, ts_range=self._range
         )
         for f in self._filters:
             base = base.where(f)
+        if query_pseudocols:
+            # _qstart/_qend/_qduration (reference builtins.c:5211-5239):
+            # the query's time range as row-constant pseudo-columns
+            lo, hi = self._range or (None, None)
+            qs = F.lit(lo).cast("timestamp")
+            qe = F.lit(hi).cast("timestamp")
+            base = (
+                base.withColumn("_qstart", qs)
+                .withColumn("_qend", qe)
+                .withColumn(
+                    "_qduration", F.unix_micros(qe) - F.unix_micros(qs)
+                )
+            )
         return base
 
     def agg(self, *aggs: Column) -> DataFrame:

@@ -163,3 +163,44 @@ def test_dtw_and_tlcc(spark):
     assert d[("s1", "s3")] > 0.0
     cc = {r.lag: r.corr for r in tlcc(df, "t", "v", "k", "s1", "s2", 3).collect()}
     assert cc[0] == 1.0  # identical series correlate perfectly at lag 0
+
+
+def test_dtw_path(spark):
+    rows = [("a", f"2024-01-01 00:00:{i:02d}", float(i)) for i in range(5)]
+    rows += [("b", f"2024-01-01 00:00:{i:02d}", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, t string, v double").select(
+        "k", F.col("t").cast("timestamp").alias("t"), "v"
+    )
+    from tdengine_spark.functions.analytics import dtw_path
+
+    out = dtw_path(df, "t", "v", "k", "a", "b").orderBy("step").collect()
+    # identical series: diagonal path, distance 0
+    assert [(r.i, r.j) for r in out] == [(i, i) for i in range(5)]
+    assert all(r.dtw == 0.0 for r in out)
+
+
+def test_notify_hook(spark):
+    from tdengine_spark.streaming.notify import notify_on_close
+
+    captured = []
+    hook = notify_on_close(lambda events: captured.extend(events))
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "wid int, k string")
+    hook(batch, batch_id=7)
+    assert len(captured) == 2
+    assert captured[0]["event"] == "WINDOW_CLOSE"
+    assert captured[0]["batch_id"] == 7
+    assert {e["k"] for e in captured} == {"a", "b"}
+
+
+def test_query_pseudocols(spark):
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.query_builder import Scan
+
+    df = (
+        Scan(Database(root=SF), "events", spark)
+        .range("2024-01-05", "2024-01-06")
+        .df(query_pseudocols=True)
+    )
+    row = df.select("_qstart", "_qend", "_qduration").first()
+    assert str(row._qstart) == "2024-01-05 00:00:00"
+    assert row._qduration == 86400 * 1_000_000
