@@ -202,3 +202,50 @@ def test_event_window_trigger(spark, ordered_stream_dir):
     got = spark.sql("SELECT * FROM ew")
     assert got.count() > 0
     assert got.where(F.col("_wend") < F.col("_wstart")).count() == 0
+
+
+def test_recalc_on_late_rows(spark, stream_dir):
+    """Late rows update the affected bucket instead of being dropped."""
+    import tempfile
+
+    from tdengine_spark.streaming.recalc import RecalcAggTable
+
+    d = tempfile.mkdtemp(prefix="tds_recalc_")
+    rt = RecalcAggTable(
+        f"{d}/raw", f"{d}/agg", "1h", "ts", keys=["event_type"], metrics=["value"]
+    )
+    full = (
+        spark.read.parquet(f"{stream_dir}/in")
+        .select("ts", "event_type", "value")
+        .orderBy("ts")
+    )
+    # batch 1: everything except one hour in the middle of the range
+    hole_lo, hole_hi = "2024-01-10 05:00:00", "2024-01-10 06:00:00"
+    b1 = full.where((F.col("ts") < hole_lo) | (F.col("ts") >= hole_hi))
+    r1 = rt.process_batch(b1)
+    assert r1["late"] == 0
+    # batch 2: the late hour arrives after the watermark passed it
+    b2 = full.where((F.col("ts") >= hole_lo) & (F.col("ts") < hole_hi))
+    r2 = rt.process_batch(b2)
+    assert r2["late"] == r2["touched"] > 0  # all touched buckets are late
+    # final aggregate equals a clean batch aggregate over ALL rows
+    got = rt.read(spark)
+    from tdengine_spark.operators.timewindow import window_start
+
+    expect = (
+        full.groupBy(window_start("ts", "1h").alias("_wstart"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    assert got.count() == expect.count()
+    j = got.alias("g").join(expect.alias("e"), ["_wstart", "event_type"]).where(
+        (F.col("g.n_rows") != F.col("e.n_rows"))
+        | (F.col("g.sum_value") != F.col("e.sum_value"))
+    )
+    assert j.count() == 0
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
