@@ -1,0 +1,309 @@
+"""TDengine-SQL dialect → DataFrame translator.
+
+Covers the dialect constructs standard Spark SQL lacks (grammar
+reference: parser/inc/sql.y):
+
+    SELECT ... FROM tbl
+      [WHERE ...]                       -- incl. `->` JSON get, MATCH/NMATCH
+      [PARTITION BY c1, c2]
+      [INTERVAL(w[, offset]) [SLIDING(s)]]
+      [SESSION(ts_col, gap)]
+      [STATE_WINDOW(col)]
+      [EVENT_WINDOW START WITH expr END WITH expr]
+      [COUNT_WINDOW(n[, sliding])]
+      [FILL(mode[, value])]
+      [GROUP BY ...] [HAVING ...]
+      [ORDER BY ...] [SLIMIT n] [LIMIT n]
+
+Anything Spark SQL already speaks (plain SELECT/GROUP BY/joins) is
+handed to ``spark.sql`` directly after operator rewrites — Catalyst is
+the parser for the standard subset; this layer only owns the dialect
+clauses, mirroring how the reference's planner special-cases its window
+clauses around an ordinary SQL core.
+
+Aggregate-name rewrites applied in the select list:
+    spread(x)        → max(x) - min(x)
+    elapsed(ts[,u])  → (max(unix_micros(ts))-min(...)) / unit
+    last_row(x)      → max_by(x, <ts>)
+    first(x)/last(x) → min_by/max_by over non-null ts (ignore-null firsts)
+    apercentile(x,p) → percentile_approx(x, p/100)
+    hyperloglog(x)   → approx_count_distinct(x)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdengine_spark.catalog import Database
+from tdengine_spark.operators import timewindow as tw
+from tdengine_spark.operators.eventwindow import (
+    WINDOW_ID,
+    assign_count_windows,
+    assign_event_windows,
+    assign_session_windows,
+    assign_state_windows,
+)
+from tdengine_spark.operators.fill import fill as _fill
+
+_CLAUSE_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)
+    \s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    (?:\s+WHERE\s+(?P<where>.*?))?
+    (?:\s+PARTITION\s+BY\s+(?P<partition>.*?))?
+    (?:\s+(?P<window>
+        INTERVAL\s*\(.*?\)(?:\s+SLIDING\s*\(.*?\))?
+      | SESSION\s*\(.*?\)
+      | STATE_WINDOW\s*\(.*?\)
+      | EVENT_WINDOW\s+START\s+WITH\s+.*?\s+END\s+WITH\s+[^\s]+(?:\s*[<>=!]+\s*[^\s]+)?
+      | COUNT_WINDOW\s*\(.*?\)
+    ))?
+    (?:\s+FILL\s*\((?P<fill>.*?)\))?
+    (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
+    (?:\s+HAVING\s+(?P<having>.*?))?
+    (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
+    (?:\s+SLIMIT\s+(?P<slimit>\d+))?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _rewrite_ops(expr: str) -> str:
+    """Dialect operators → Spark SQL: `col->'k'`, MATCH, NMATCH."""
+    expr = re.sub(
+        r"([A-Za-z_][\w]*)\s*->\s*'([^']+)'",
+        r"get_json_object(\1, '$.\2')",
+        expr,
+    )
+    expr = re.sub(
+        r"([A-Za-z_][\w]*)\s+NMATCH\s+('[^']*')",
+        r"\1 NOT RLIKE \2",
+        expr,
+        flags=re.IGNORECASE,
+    )
+    expr = re.sub(
+        r"([A-Za-z_][\w]*)\s+MATCH\s+('[^']*')",
+        r"\1 RLIKE \2",
+        expr,
+        flags=re.IGNORECASE,
+    )
+    return expr
+
+
+def _rewrite_aggs(select: str, ts_col: str) -> str:
+    """Dialect aggregate names → Spark equivalents (text level)."""
+    s = select
+    s = re.sub(
+        r"\bspread\s*\(\s*([^)]+?)\s*\)", r"(max(\1) - min(\1))", s, flags=re.I
+    )
+    s = re.sub(
+        r"\belapsed\s*\(\s*([A-Za-z_][\w]*)\s*\)",
+        r"((max(unix_micros(\1)) - min(unix_micros(\1))) / 1000.0)",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\blast_row\s*\(\s*([^)]+?)\s*\)",
+        rf"max_by(\1, {ts_col})",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\blast\s*\(\s*([^)]+?)\s*\)",
+        rf"max_by(\1, CASE WHEN \1 IS NOT NULL THEN {ts_col} END)",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\bfirst\s*\(\s*([^)]+?)\s*\)",
+        rf"min_by(\1, CASE WHEN \1 IS NOT NULL THEN {ts_col} END)",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\bapercentile\s*\(\s*([^,]+?)\s*,\s*([0-9.]+)\s*\)",
+        lambda m: f"percentile_approx({m.group(1)}, {float(m.group(2)) / 100.0})",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\bhyperloglog\s*\(\s*([^)]+?)\s*\)",
+        r"approx_count_distinct(\1)",
+        s,
+        flags=re.I,
+    )
+    return s
+
+
+def translate(
+    spark: SparkSession,
+    db: Database,
+    sql: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Translate one dialect SELECT into a DataFrame plan."""
+    m = _CLAUSE_RE.match(sql)
+    if not m:
+        # no dialect clause structure recognized — let Spark SQL parse it
+        return spark.sql(_rewrite_ops(sql))
+    g = m.groupdict()
+    table = g["table"]
+    import os
+
+    if not os.path.exists(f"{db.root}/{table}.parquet"):
+        # registered view / std-SQL table → Catalyst parses the whole query
+        return spark.sql(_rewrite_ops(sql))
+    base = db.read(spark, table)
+    if g["where"]:
+        base = base.where(F.expr(_rewrite_ops(g["where"])))
+    keys = (
+        [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+    )
+
+    select = _rewrite_aggs(_rewrite_ops(g["select"]), ts_col)
+    items = _split_select(select)
+
+    window = (g["window"] or "").strip()
+    if window:
+        out = _windowed(base, window, items, keys, g["fill"], ts_col)
+    elif keys or g["group"]:
+        gkeys = keys + (
+            [c.strip() for c in g["group"].split(",")] if g["group"] else []
+        )
+        aggs = [F.expr(it) for it in items if not _is_plain_col(it, gkeys)]
+        out = base.groupBy(*gkeys).agg(*aggs)
+    else:
+        if any(_has_agg(it) for it in items):
+            out = base.agg(*[F.expr(it) for it in items])
+        else:
+            out = base.selectExpr(*items)
+
+    if g["having"]:
+        out = out.where(F.expr(_rewrite_ops(g["having"])))
+    if g["slimit"] and keys:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*keys)
+        out = (
+            out.withColumn("_gr", F.dense_rank().over(w))
+            .where(F.col("_gr") <= int(g["slimit"]))
+            .drop("_gr")
+        )
+    if g["order"]:
+        out = out.orderBy(
+            *[
+                F.col(c.strip().split()[0]).desc()
+                if c.strip().lower().endswith(" desc")
+                else F.col(c.strip().split()[0])
+                for c in g["order"].split(",")
+            ]
+        )
+    if g["limit"]:
+        out = out.limit(int(g["limit"]))
+    return out
+
+
+def _windowed(base, window, items, keys, fill_spec, ts_col):
+    wl = window.lower()
+    agg_items = [it for it in items if it.strip() not in ("_wstart", "_wend")]
+    aggs = [F.expr(it) for it in agg_items]
+    keep = ["_wstart"] + keys + _aliases(agg_items)
+
+    if wl.startswith("interval"):
+        mm = re.match(
+            r"interval\s*\(\s*([^,)]+)(?:,\s*([^)]+))?\)"
+            r"(?:\s+sliding\s*\(\s*([^)]+)\s*\))?",
+            wl,
+        )
+        width, offset, sliding = (
+            mm.group(1).strip(),
+            (mm.group(2) or "").strip() or None,
+            (mm.group(3) or "").strip() or None,
+        )
+        out = tw.interval_window(
+            base, ts_col, width, sliding=sliding, offset=offset,
+            partition_by=keys, aggs=aggs,
+        )
+        if fill_spec:
+            parts = [p.strip() for p in fill_spec.split(",")]
+            mode = parts[0].lower()
+            vals = None
+            if mode == "value" and len(parts) > 1:
+                vals = {a: float(parts[1]) for a in _aliases(agg_items)}
+            out = _fill(
+                out.drop("_wend"), mode, width, keys,
+                _aliases(agg_items), fill_values=vals,
+            )
+            return out.select(*[c for c in keep if c in out.columns])
+        return out.select(*[c for c in keep if c in out.columns or c == "_wend"])
+
+    from tdengine_spark.operators.eventwindow import window_agg
+
+    if wl.startswith("session"):
+        mm = re.match(r"session\s*\(\s*([^,]+),\s*([^)]+)\)", wl)
+        assigned = assign_session_windows(base, mm.group(1).strip(), mm.group(2).strip(), keys)
+    elif wl.startswith("state_window"):
+        mm = re.match(r"state_window\s*\(\s*([^)]+)\)", wl)
+        assigned = assign_state_windows(base, ts_col, mm.group(1).strip(), keys)
+    elif wl.startswith("event_window"):
+        mm = re.match(
+            r"event_window\s+start\s+with\s+(.*?)\s+end\s+with\s+(.*)$", wl
+        )
+        assigned = assign_event_windows(
+            base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys
+        )
+    elif wl.startswith("count_window"):
+        mm = re.match(r"count_window\s*\(\s*(\d+)(?:,\s*(\d+))?\)", wl)
+        assigned = assign_count_windows(
+            base, ts_col, int(mm.group(1)),
+            int(mm.group(2)) if mm.group(2) else None, keys,
+        )
+    else:
+        raise ValueError(f"unsupported window clause: {window}")
+    return window_agg(assigned, ts_col, aggs, keys)
+
+
+def _split_select(select: str) -> list[str]:
+    items, depth, cur = [], 0, []
+    for ch in select:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur).strip())
+    return [i for i in items if i]
+
+
+_AGG_RE = re.compile(
+    r"\b(count|sum|avg|min|max|stddev|stddev_pop|stddev_samp|var_pop|var_samp|"
+    r"percentile|percentile_approx|approx_count_distinct|max_by|min_by|corr|"
+    r"mode|collect_list|collect_set)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _has_agg(item: str) -> bool:
+    return bool(_AGG_RE.search(item))
+
+
+def _is_plain_col(item: str, keys: list[str]) -> bool:
+    return item.strip() in keys
+
+
+def _aliases(items: list[str]) -> list[str]:
+    out = []
+    for it in items:
+        mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
+        out.append(mm.group(1) if mm else it)
+    return out

@@ -125,9 +125,13 @@ def interval_window(
 
 def _agg_names(aggs: list[Column]) -> list[str]:
     """Output column names of aggregate expressions (requires .alias())."""
+    import re
+
     names = []
     for c in aggs:
-        # Column's name is the last alias; toString gives `name AS alias`
+        # Column's name is the last alias; toString gives `expr AS alias`
+        # (F.expr-built columns keep the user's lowercase `as`)
         jc = c._jc.toString()
-        names.append(jc.split(" AS ")[-1].strip("`") if " AS " in jc else jc)
+        m = re.search(r"\s+AS\s+`?([A-Za-z_][\w]*)`?\s*$", jc, re.IGNORECASE)
+        names.append(m.group(1) if m else jc)
     return names

@@ -1,0 +1,138 @@
+"""TDengine-SQL dialect translator: the queries a reference user would
+paste in, checked against DataFrame equivalents on real testdata."""
+
+from pyspark.sql import functions as F
+
+from tdengine_spark.catalog import Database
+from tdengine_spark.dialect import translate
+
+SF = "/root/testdata/sf0.001"
+
+
+def _db():
+    return Database(root=SF)
+
+
+def test_interval_partition_by(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT _wstart, count(*) as cnt, round(avg(value), 4) as avg_v "
+        "FROM events PARTITION BY event_type INTERVAL(1h)",
+    )
+    expect = (
+        Database(root=SF).read(spark, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .count()
+    )
+    assert out.count() == expect.count()
+    assert set(out.columns) >= {"_wstart", "event_type", "cnt", "avg_v"}
+
+
+def test_interval_fill_prev_sql(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT _wstart, round(avg(value),4) as v FROM events "
+        "PARTITION BY event_type INTERVAL(1h) FILL(prev)",
+    )
+    # filled spine: contiguous buckets per type
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.unix_micros(F.max("_wstart")) - F.unix_micros(F.min("_wstart")))
+         / 3600_000_000 + 1).alias("span"),
+    )
+    assert per_type.where(F.col("n") != F.col("span")).count() == 0
+
+
+def test_session_window_sql(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n FROM events PARTITION BY user_id SESSION(ts, 30m)",
+    )
+    from tdengine_spark.operators.eventwindow import (
+        assign_session_windows,
+        window_agg,
+    )
+
+    expect = window_agg(
+        assign_session_windows(
+            Database(root=SF).read(spark, "events"), "ts", "30m", ["user_id"]
+        ),
+        "ts",
+        [F.count(F.lit(1)).alias("n")],
+        ["user_id"],
+    )
+    assert out.count() == expect.count()
+
+
+def test_where_json_and_match(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT event_id, value FROM events "
+        "WHERE props->'k' = '12' AND event_type MATCH '^(purch|click)'",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    base = Database(root=SF).read(spark, "events")
+    expect = base.where(
+        (F.get_json_object("props", "$.k") == "12")
+        & F.col("event_type").rlike("^(purch|click)")
+    ).count()
+    assert len(rows) == expect
+
+
+def test_group_by_tag_with_dialect_aggs(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT round(spread(value), 4) as sp, count(*) as n, "
+        "round(elapsed(ts), 4) as el FROM events GROUP BY event_type",
+    )
+    rows = {r.asDict().get("event_type", i): r for i, r in enumerate(out.collect())}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.sp > 0 and r.el > 0 and r.n > 0
+
+
+def test_last_first_rewrites(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT last(value) as lv, first(value) as fv, last_row(event_id) as le "
+        "FROM events GROUP BY user_id",
+    )
+    base = Database(root=SF).read(spark, "events")
+    expect = base.groupBy("user_id").agg(
+        F.max_by("value", "ts").alias("lv"),
+        F.min_by("value", "ts").alias("fv"),
+        F.max_by("event_id", "ts").alias("le"),
+    )
+    j = out.join(expect.withColumnRenamed("lv", "lv2").withColumnRenamed(
+        "fv", "fv2").withColumnRenamed("le", "le2"), "user_id")
+    assert j.where(
+        (F.col("lv") != F.col("lv2")) | (F.col("fv") != F.col("fv2"))
+        | (F.col("le") != F.col("le2"))
+    ).count() == 0
+
+
+def test_order_slimit_limit(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n FROM events PARTITION BY user_id "
+        "SESSION(ts, 1h) SLIMIT 3 LIMIT 10",
+    )
+    rows = out.collect()
+    assert len(rows) <= 10
+    assert out.select("user_id").distinct().count() <= 3
+
+
+def test_plain_sql_passthrough(spark):
+    Database(root=SF).read(spark, "events").createOrReplaceTempView("ev_v")
+    out = translate(
+        spark, _db(), "SELECT event_type, count(*) AS n FROM ev_v GROUP BY 1 -- std"
+    )
+    assert out.count() == 5
