@@ -61,6 +61,11 @@ class SuperTable:
         int64 column BEFORE conversion, so it reaches the parquet reader
         as PushedFilters and prunes row groups — the plan-time time-range
         push the reference does in its TableScan (tsdbRead2.c BRIN)."""
+        # runtime-set (idempotent): the caller's session may not come from
+        # our factory — ns-precision parquet fails to read without the
+        # legacy conf, and non-UTC sessions render timestamps shifted
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(self.path)
         ns_cols = _ns_timestamp_cols(self.path)
         if ts_range is not None and self.ts_col in df.columns:
