@@ -95,48 +95,71 @@ def _rewrite_ops(expr: str) -> str:
     return expr
 
 
+def _rewrite_call(s: str, name: str, render) -> str:
+    """Replace each ``name(args…)`` call in ``s`` with ``render(args)``.
+
+    Balanced-paren aware (``spread(round(v, 2))`` captures the whole
+    nested call) and skips occurrences inside single-quoted literals —
+    the failure modes of the naive ``[^)]+?`` regexes this replaces.
+    """
+    pat = re.compile(r"\b" + name + r"\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            break
+        if s.count("'", 0, m.start()) % 2 == 1:  # inside a string literal
+            out.append(s[i : m.end()])
+            i = m.end()
+            continue
+        depth, j, in_str = 1, m.end(), False
+        while j < len(s) and depth:
+            ch = s[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            j += 1
+        if depth:  # unbalanced — leave the tail untouched
+            out.append(s[i:])
+            break
+        args = [a.strip() for a in _split_select(s[m.end() : j - 1])]
+        out.append(s[i : m.start()])
+        out.append(render(args))
+        i = j
+    return "".join(out)
+
+
 def _rewrite_aggs(select: str, ts_col: str) -> str:
     """Dialect aggregate names → Spark equivalents (text level)."""
     s = select
-    s = re.sub(
-        r"\bspread\s*\(\s*([^)]+?)\s*\)", r"(max(\1) - min(\1))", s, flags=re.I
-    )
-    s = re.sub(
-        r"\belapsed\s*\(\s*([A-Za-z_][\w]*)\s*\)",
-        r"((max(unix_micros(\1)) - min(unix_micros(\1))) / 1000.0)",
+    s = _rewrite_call(s, "spread", lambda a: f"(max({a[0]}) - min({a[0]}))")
+    s = _rewrite_call(
         s,
-        flags=re.I,
+        "elapsed",
+        lambda a: f"((max(unix_micros({a[0]})) - min(unix_micros({a[0]}))) / 1000.0)",
     )
-    s = re.sub(
-        r"\blast_row\s*\(\s*([^)]+?)\s*\)",
-        rf"max_by(\1, {ts_col})",
+    s = _rewrite_call(s, "last_row", lambda a: f"max_by({a[0]}, {ts_col})")
+    s = _rewrite_call(
         s,
-        flags=re.I,
+        "last",
+        lambda a: f"max_by({a[0]}, CASE WHEN {a[0]} IS NOT NULL THEN {ts_col} END)",
     )
-    s = re.sub(
-        r"\blast\s*\(\s*([^)]+?)\s*\)",
-        rf"max_by(\1, CASE WHEN \1 IS NOT NULL THEN {ts_col} END)",
+    s = _rewrite_call(
         s,
-        flags=re.I,
+        "first",
+        lambda a: f"min_by({a[0]}, CASE WHEN {a[0]} IS NOT NULL THEN {ts_col} END)",
     )
-    s = re.sub(
-        r"\bfirst\s*\(\s*([^)]+?)\s*\)",
-        rf"min_by(\1, CASE WHEN \1 IS NOT NULL THEN {ts_col} END)",
+    s = _rewrite_call(
         s,
-        flags=re.I,
+        "apercentile",
+        lambda a: f"percentile_approx({a[0]}, {float(a[1]) / 100.0})",
     )
-    s = re.sub(
-        r"\bapercentile\s*\(\s*([^,]+?)\s*,\s*([0-9.]+)\s*\)",
-        lambda m: f"percentile_approx({m.group(1)}, {float(m.group(2)) / 100.0})",
-        s,
-        flags=re.I,
-    )
-    s = re.sub(
-        r"\bhyperloglog\s*\(\s*([^)]+?)\s*\)",
-        r"approx_count_distinct(\1)",
-        s,
-        flags=re.I,
-    )
+    s = _rewrite_call(s, "hyperloglog", lambda a: f"approx_count_distinct({a[0]})")
     return s
 
 

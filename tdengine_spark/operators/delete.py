@@ -15,7 +15,8 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
 
 
 def delete_where(
@@ -32,6 +33,10 @@ def delete_where(
     """
     df = spark.read.parquet(path)
     n_before = df.count()
+    # DELETE removes rows where the predicate is TRUE; rows where it
+    # evaluates to NULL (e.g. a NULL compared column) must be KEPT —
+    # where(~condition) alone would silently drop them.
+    keep = ~F.coalesce(condition, F.lit(False))
     if partition_col is not None:
         hit = (
             df.where(condition)
@@ -44,14 +49,17 @@ def delete_where(
             return 0
         for part in hit:
             part_path = os.path.join(path, f"{partition_col}={part}")
-            pdf = spark.read.parquet(part_path)
-            kept = pdf.where(~condition)
+            # basePath keeps the partition column visible so the
+            # predicate may reference it; drop it again before writing
+            # (partition dirs don't store their own column).
+            pdf = spark.read.option("basePath", path).parquet(part_path)
+            kept = pdf.where(keep).drop(partition_col)
             tmp = part_path + "__rewrite"
             kept.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(part_path)
             os.rename(tmp, part_path)
         return n_before - spark.read.parquet(path).count()
-    kept = df.where(~condition)
+    kept = df.where(keep)
     tmp = path + "__rewrite"
     kept.write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()

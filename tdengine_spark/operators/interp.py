@@ -87,8 +87,12 @@ def interp(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     t_us = F.unix_micros(F.col("_t"))
-    sample_t = F.when(F.col("_side") == 0, t_us)
-    sample_v = F.when(F.col("_side") == 0, F.col("_v"))
+    # both trackers must be gated on value presence: a NULL-valued sample
+    # would otherwise advance _pt but not _pv, giving linear/near a
+    # mismatched (t, v) pair and an exact-ts NULL a stale "exact" hit
+    is_sample = (F.col("_side") == 0) & F.col("_v").isNotNull()
+    sample_t = F.when(is_sample, t_us)
+    sample_v = F.when(is_sample, F.col("_v"))
 
     staged = (
         u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(fwd))

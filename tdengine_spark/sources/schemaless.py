@@ -37,18 +37,27 @@ def parse_influx_lines(
         head.contains(","), F.regexp_replace(head, r"^[^,]+,", "")
     ).otherwise(F.lit(""))
 
-    def kv_map(col):
+    def kv_map(col, is_fields=False):
         pairs = F.filter(F.split(col, ","), lambda p: p.contains("="))
+
+        def clean(v):
+            if is_fields:
+                # drop the protocol's integer suffix ONLY on int-shaped
+                # values (42i → 42) — a bare `i$` rule would truncate
+                # string values ending in 'i' (host=raspi → 'rasp')
+                v = F.regexp_replace(v, r"^(-?\d+)[iu]$", "$1")
+                v = F.regexp_replace(v, r'^"|"$', "")
+            return v
+
         return F.map_from_arrays(
             F.transform(pairs, lambda p: F.split(p, "=")[0]),
-            F.transform(pairs, lambda p: F.regexp_replace(
-                F.split(p, "=")[1], r'^"|"$|i$', "")),
+            F.transform(pairs, lambda p: clean(F.split(p, "=")[1])),
         )
 
     staged = lines.select(
         measurement.alias("measurement"),
         kv_map(tags_str).alias("tags"),
-        kv_map(fields_str).alias("fields"),
+        kv_map(fields_str, is_fields=True).alias("fields"),
         F.when(ts_str == "", F.lit(None)).otherwise(ts_str.cast("long")).alias(
             "_ts_raw"
         ),

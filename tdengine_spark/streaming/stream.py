@@ -71,12 +71,9 @@ def interval_trigger(
         src.withWatermark(ts_col, watermark)
         .groupBy(win.alias("_w"), *keys)
         .agg(*aggs)
-        .select(
-            F.col("_w.start").alias("_wstart"),
-            F.col("_w.end").alias("_wend"),
-            *keys,
-            "*",
-        )
+        # "*" already expands the group keys — re-listing them would
+        # produce duplicate column names that break file sinks
+        .select(F.col("_w.start").alias("_wstart"), F.col("_w.end").alias("_wend"), "*")
         .drop("_w")
     )
 
@@ -97,12 +94,8 @@ def session_trigger(
         src.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap_str).alias("_w"), *keys)
         .agg(*aggs)
-        .select(
-            F.col("_w.start").alias("_wstart"),
-            F.col("_w.end").alias("_wend"),
-            *keys,
-            "*",
-        )
+        # "*" already expands the group keys (see interval_trigger)
+        .select(F.col("_w.start").alias("_wstart"), F.col("_w.end").alias("_wend"), "*")
         .drop("_w")
     )
 
@@ -140,27 +133,45 @@ def count_window_trigger(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (cnt, total, wstart) = state.get if state.exists else (0, 0.0, None)
         out_rows: list[dict[str, Any]] = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts_us = int(row[ts_col].value // 1000)
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            v = pdf[value_col].to_numpy(dtype=float)
+            n = len(v)
+            # boundary i closes a window when the carried counter + i + 1
+            # hits a multiple of `count` — one cumsum, no row loop
+            bounds = np.nonzero((np.arange(1, n + 1) + cnt) % count == 0)[0]
+            if len(bounds):
+                csum = np.cumsum(v) + total
+                sums = csum[bounds] - np.concatenate(([0.0], csum[bounds[:-1]]))
+                starts = np.empty(len(bounds), dtype=np.int64)
+                starts[0] = wstart if wstart is not None else ts_us[0]
+                starts[1:] = ts_us[bounds[:-1] + 1]
+                out_rows.extend(
+                    {
+                        "k": key[0],
+                        "_wstart": pd.Timestamp(int(ws) * 1000),
+                        "_wend": pd.Timestamp(int(ts_us[b]) * 1000),
+                        "n_rows": count,
+                        "sum_value": round(float(s), 4),
+                    }
+                    for ws, b, s in zip(starts, bounds, sums)
+                )
+                rem = bounds[-1] + 1
+                cnt = n - rem
+                total = float(v[rem:].sum())
+                wstart = int(ts_us[rem]) if cnt else None
+            else:
                 if wstart is None:
-                    wstart = ts_us
-                cnt += 1
-                total += float(row[value_col])
-                if cnt >= count:
-                    out_rows.append(
-                        {
-                            "k": key[0],
-                            "_wstart": pd.Timestamp(wstart * 1000),
-                            "_wend": pd.Timestamp(ts_us * 1000),
-                            "n_rows": cnt,
-                            "sum_value": round(total, 4),
-                        }
-                    )
-                    cnt, total, wstart = 0, 0.0, None
+                    wstart = int(ts_us[0])
+                cnt += n
+                total += float(v.sum())
         state.update((cnt, total, wstart))
         yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema])
 
@@ -236,18 +247,37 @@ def state_window_trigger(
     )
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         cur, wstart, wend, cnt, total = (
             state.get if state.exists else (None, None, None, 0, 0.0)
         )
         out = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts_us = int(row[ts_col].value // 1000)
-                st = str(row[state_col])
-                if cur is None:
-                    cur, wstart, wend, cnt, total = st, ts_us, ts_us, 0, 0.0
-                elif st != cur:
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            v = pdf[value_col].to_numpy(dtype=float)
+            st = pdf[state_col].astype(str).to_numpy()
+            n = len(v)
+            # run starts: state differs from the previous row (numpy
+            # compare — the only python loop left is over runs, whose
+            # number is bounded by state flips, not rows)
+            is_start = np.empty(n, dtype=bool)
+            is_start[0] = cur is None or st[0] != cur
+            is_start[1:] = st[1:] != st[:-1]
+            run_starts = np.nonzero(is_start)[0]
+            run_ends = np.append(run_starts[1:] - 1, n - 1)
+            csum = np.cumsum(v)
+            # batch head continuing the carried run (same state value)
+            first = int(run_starts[0]) if len(run_starts) else n
+            if first > 0:
+                cnt += first
+                total += float(csum[first - 1])
+                wend = int(ts_us[first - 1])
+            for s_i, e_i in zip(run_starts, run_ends):
+                if cur is not None:  # a flip closes the carried window
                     out.append(
                         {
                             "k": key[0],
@@ -258,10 +288,11 @@ def state_window_trigger(
                             "sum_value": round(total, 4),
                         }
                     )
-                    cur, wstart, wend, cnt, total = st, ts_us, ts_us, 0, 0.0
-                cnt += 1
-                total += float(row[value_col])
-                wend = ts_us
+                cur = str(st[s_i])
+                wstart = int(ts_us[s_i])
+                wend = int(ts_us[e_i])
+                cnt = int(e_i - s_i + 1)
+                total = float(csum[e_i] - (csum[s_i - 1] if s_i else 0.0))
         state.update((cur, wstart, wend, cnt, total))
         yield pd.DataFrame(out, columns=[f.name for f in out_schema])
 
@@ -309,27 +340,53 @@ def event_window_trigger(
     )
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         is_open, wstart, cnt = state.get if state.exists else (False, None, 0)
         out = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts_us = int(row[ts_col].value // 1000)
-                v = float(row[value_col])
-                if not is_open and v > start_threshold:
-                    is_open, wstart, cnt = True, ts_us, 0
-                if is_open:
-                    cnt += 1
-                    if v < end_threshold:
-                        out.append(
-                            {
-                                "k": key[0],
-                                "_wstart": pd.Timestamp(wstart * 1000),
-                                "_wend": pd.Timestamp(ts_us * 1000),
-                                "n_rows": cnt,
-                            }
-                        )
-                        is_open, wstart, cnt = False, None, 0
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            v = pdf[value_col].to_numpy(dtype=float)
+            n = len(v)
+            starts = np.nonzero(v > start_threshold)[0]
+            ends = np.nonzero(v < end_threshold)[0]
+
+            def emit(ws, e_i, rows):
+                out.append(
+                    {
+                        "k": key[0],
+                        "_wstart": pd.Timestamp(int(ws) * 1000),
+                        "_wend": pd.Timestamp(int(ts_us[e_i]) * 1000),
+                        "n_rows": int(rows),
+                    }
+                )
+
+            pos = 0
+            if is_open:  # carried window: close at first end-row, if any
+                if len(ends):
+                    e_i = int(ends[0])
+                    emit(wstart, e_i, cnt + e_i + 1)
+                    is_open, wstart, cnt = False, None, 0
+                    pos = e_i + 1
+                else:
+                    cnt += n
+                    pos = n
+            # loop is over emitted windows (searchsorted jumps), not rows
+            while pos < n:
+                k_i = np.searchsorted(starts, pos)
+                if k_i >= len(starts):
+                    break
+                s_i = int(starts[k_i])
+                j = np.searchsorted(ends, s_i)
+                if j >= len(ends):
+                    is_open, wstart, cnt = True, int(ts_us[s_i]), n - s_i
+                    break
+                e_i = int(ends[j])
+                emit(ts_us[s_i], e_i, e_i - s_i + 1)
+                pos = e_i + 1
         state.update((is_open, wstart, cnt))
         yield pd.DataFrame(out, columns=[f.name for f in out_schema])
 

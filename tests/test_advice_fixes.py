@@ -1,0 +1,114 @@
+"""Regression tests for the round-1 review findings (ADVICE.md):
+
+1. delete_where must keep rows whose predicate evaluates to NULL, and
+   the partition path must let the predicate reference the partition
+   column.
+2. interval_trigger/session_trigger output must not contain duplicate
+   column names (breaks file sinks with COLUMN_ALREADY_EXISTS).
+3. schemaless line-protocol parsing must not truncate string values
+   ending in 'i'.
+4. interp must not pair a sample's timestamp with an older sample's
+   value when the sample's value is NULL.
+5. dialect agg rewrites must handle nested calls and string literals.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    from tdengine_spark.operators.delete import delete_where
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [Row(id=1, v=10.0), Row(id=2, v=None), Row(id=3, v=200.0)]
+    ).write.parquet(path)
+    n = delete_where(spark, path, F.col("v") > 100)
+    assert n == 1
+    left = {r.id for r in spark.read.parquet(path).collect()}
+    # id=2 has v NULL → predicate NULL → must be KEPT
+    assert left == {1, 2}
+
+
+def test_delete_where_partitioned_predicate_on_partition_col(spark, tmp_path):
+    from tdengine_spark.operators.delete import delete_where
+
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [Row(day="a", v=1.0), Row(day="a", v=2.0), Row(day="b", v=3.0)]
+    ).write.partitionBy("day").parquet(path)
+    # predicate references the partition column itself
+    n = delete_where(
+        spark, path, (F.col("day") == "a") & (F.col("v") > 1.5), "day"
+    )
+    assert n == 1
+    rows = {(r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1.0), ("b", 3.0)}
+
+
+def test_stream_trigger_outputs_have_unique_columns(spark):
+    from tdengine_spark.streaming.stream import interval_trigger, session_trigger
+
+    src = spark.readStream.format("rate").load().selectExpr(
+        "timestamp as ts", "cast(value % 3 as string) as k", "cast(value as double) as v"
+    )
+    out1 = interval_trigger(src, "ts", "1m", partition_by=["k"],
+                            aggs=[F.sum("v").alias("sum_v")])
+    out2 = session_trigger(src, "ts", "30s", partition_by=["k"])
+    for out in (out1, out2):
+        assert len(out.columns) == len(set(out.columns)), out.columns
+        assert "k" in out.columns
+
+
+def test_schemaless_value_ending_in_i(spark):
+    from tdengine_spark.sources.schemaless import parse_influx_lines
+
+    lines = spark.createDataFrame(
+        [
+            Row(value='cpu,host=raspi,region=helsinki usage=0.5,cores=4i,name="pi" 1700000000000000000'),
+        ]
+    )
+    out = parse_influx_lines(lines).collect()[0]
+    assert out.tags["host"] == "raspi"
+    assert out.tags["region"] == "helsinki"
+    assert out.fields["cores"] == "4"  # int suffix stripped
+    assert out.fields["name"] == "pi"  # quotes stripped, 'i' kept
+    assert out.fields["usage"] == "0.5"
+
+
+def test_interp_null_valued_sample(spark):
+    from tdengine_spark.operators.interp import interp
+
+    df = spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 00:00:00", v=10.0),
+            Row(ts="2024-01-01 02:00:00", v=None),  # NULL sample at 02:00
+            Row(ts="2024-01-01 04:00:00", v=50.0),
+        ]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r._irowts.strftime("%H"): (r.v, r._isfilled)
+        for r in interp(
+            df, "ts", "v", "2024-01-01 00:00:00", "2024-01-01 04:00:00", "2h",
+            mode="linear",
+        ).collect()
+    }
+    # exact-ts NULL sample must NOT return the stale 00:00 value as exact:
+    # 02:00 interpolates between the non-null neighbours 00:00 and 04:00
+    assert out["02"] == (30.0, True)
+    assert out["00"] == (10.0, False)
+    assert out["04"] == (50.0, False)
+
+
+def test_dialect_rewrite_nested_and_literals():
+    from tdengine_spark.dialect import _rewrite_aggs
+
+    s = _rewrite_aggs("spread(round(v, 2)) as sp", "ts")
+    assert s == "(max(round(v, 2)) - min(round(v, 2))) as sp"
+    # calls inside string literals are untouched
+    s2 = _rewrite_aggs("'spread(x)' as lit, spread(v) as sp", "ts")
+    assert s2 == "'spread(x)' as lit, (max(v) - min(v)) as sp"
+    s3 = _rewrite_aggs("apercentile(v, 95) as p", "ts")
+    assert s3 == "percentile_approx(v, 0.95) as p"
