@@ -45,6 +45,9 @@ def main():
         "last_row_per_user",
         "cosine_topk_bruteforce",
         "dedup_exact_documents",
+        "slimit_first_groups",
+        "over_clause_analytics",
+        "diff_csum_mavg",
     ]
     violations = []
     print(f"{'query':32s} {'exch':>4s} {'sort':>4s} {'bhj':>3s} {'smj':>3s} {'bnlj':>4s} notes")
@@ -60,6 +63,12 @@ def main():
             # brute-force ANN is a deliberate broadcast cross join
             violations.append(f"{name}: nested-loop/cartesian join")
             notes.append("NESTED-LOOP!")
+        # an un-partitioned Window funnels every row into one partition:
+        # windowspecdefinition's first arg being an order-spec (ASC/DESC)
+        # means there are no partition columns
+        if re.search(r"windowspecdefinition\([^,()]+ (ASC|DESC)", p):
+            violations.append(f"{name}: un-partitioned (global) Window")
+            notes.append("GLOBAL-WINDOW!")
         if name == "scan_filter_project":
             m = re.search(r"PushedFilters: \[([^\]]*)", p)
             pushed = m.group(1) if m else ""

@@ -209,14 +209,9 @@ def translate(
     if g["having"]:
         out = out.where(F.expr(_rewrite_ops(g["having"])))
     if g["slimit"] and keys:
-        from pyspark.sql.window import Window
+        from tdengine_spark.operators.slimit import slimit as _slimit
 
-        w = Window.orderBy(*keys)
-        out = (
-            out.withColumn("_gr", F.dense_rank().over(w))
-            .where(F.col("_gr") <= int(g["slimit"]))
-            .drop("_gr")
-        )
+        out = _slimit(out, keys, int(g["slimit"]))
     if g["order"]:
         out = out.orderBy(
             *[

@@ -38,19 +38,16 @@ def _r4e(c):
 )
 def q_slimit(spark, sf_dir):
     """SLIMIT 5: limit the number of *groups* (reference partition-aware
-    limit, sql.y:3111) — dense_rank over the group key ≤ n keeps whole
-    groups, not rows."""
+    limit, sql.y:3111) — distinct keys → limit → broadcast semi-join, so
+    no global un-partitioned window ever sees the fact table."""
+    from tdengine_spark.operators.slimit import slimit
+
     ev = t(spark, sf_dir, "events")
     day = tw.interval_window(
         ev, "ts", "1d", partition_by=["user_id"],
         aggs=[F.count(F.lit(1)).alias("n"), _r4e(F.avg("value")).alias("avg_v")],
     ).drop("_wend")
-    w = Window.orderBy("user_id")
-    return (
-        day.withColumn("_gr", F.dense_rank().over(w))
-        .where(F.col("_gr") <= 5)
-        .select("user_id", "_wstart", "n", "avg_v")
-    )
+    return slimit(day, ["user_id"], 5).select("user_id", "_wstart", "n", "avg_v")
 
 
 @q(
