@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas  # noqa: F401  (annotation target for the warmup udf)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -69,8 +71,20 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # warmup: prime JVM/codegen + parquet footer caches
+    # warmup: prime JVM/codegen + parquet footer caches, and spin up the
+    # Python/Arrow worker pool so UDF-backed queries measure steady-state
+    # compute rather than one-time worker fork+import cost
     run("agg_pricing_summary")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _noop_udf(s: "pandas.Series") -> "pandas.Series":
+        return s
+
+    spark.range(0, 1024, 1, 32).select(_noop_udf("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times = {}
     for name in HEADLINE:

