@@ -39,6 +39,7 @@ def asof_join(
     strict: bool = False,
     tolerance: "str | int | Duration | None" = None,
     right_prefix: str = "r_",
+    jlimit: int = 1,
 ) -> DataFrame:
     """LEFT ASOF JOIN: for each left row, the single right row with the
     largest right.ts <= left.ts (direction='backward', operator >=) or the
@@ -46,11 +47,20 @@ def asof_join(
     ``strict`` excludes ts equality (> / <). ``tolerance`` bounds the match
     distance (reference: as-of condition ANDed with a range).
 
+    ``jlimit=k`` returns the k closest eligible right rows per left row
+    (reference grammar ``JLIMIT n``, sql.y:2797-2798), with ``_jrank``
+    1..k (1 = closest); unmatched left rows keep one row of NULLs.
+
     Right columns come back prefixed with ``right_prefix`` (right ts as
     ``{prefix}{right_ts_col}``). Unmatched left rows keep NULLs (LEFT
-    outer semantics, JLIMIT=1).
+    outer semantics).
     """
     on = on or []
+    if jlimit > 1:
+        return _asof_join_k(
+            left, right, on, ts_col, right_ts_col or ts_col, direction,
+            strict, tolerance, right_prefix, jlimit,
+        )
     right_ts_col = right_ts_col or ts_col
     rcols = [c for c in right.columns if c not in on]
 
@@ -116,6 +126,119 @@ def asof_join(
         *[F.col(c) for c in on if c not in lcols],
         *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols],
     )
+
+
+def _asof_join_k(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_ts_col: str,
+    direction: str,
+    strict: bool,
+    tolerance: "str | int | Duration | None",
+    right_prefix: str,
+    k: int,
+) -> DataFrame:
+    """JLIMIT k>1 kernel: number the right side per key in ts order, find
+    each left row's closest match *index* with the union+window pass
+    (same cost as k=1), then explode the k candidate indices and fetch
+    their payloads with one equi-join. Everything stays equi-join /
+    window — no theta join, no per-row k-scan.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rcols = [c for c in right.columns if c not in on]
+    # deterministic numbering: ts plus all payload columns as tiebreak
+    order = [F.col(right_ts_col).asc()] + [
+        F.col(c).asc() for c in rcols if c != right_ts_col
+    ]
+    rnum = right.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(*on).orderBy(*order))
+    )
+
+    l_tag = left.select(
+        *on,
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("int").alias("_rn"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+    )
+    r_tag = rnum.select(
+        *on,
+        F.col(right_ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col("_rn").cast("int").alias("_rn"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x"))
+            .schema["x"].dataType.simpleString()
+        ).alias("_lpay"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    backward = direction == "backward"
+    t_order = F.col("_t").asc() if backward else F.col("_t").desc()
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    # within ts-equal right rows, keep the numbering order so last() is
+    # the extreme (max rn backward / min rn forward) eligible row
+    rn_order = F.col("_rn").asc_nulls_last() if backward else F.col("_rn").desc_nulls_last()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(t_order, side_order, rn_order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    staged = u.withColumn("_mrn", F.last("_rn", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+
+    lcols = left.columns
+    l_out = [F.col(f"_lpay.{c}").alias(c) for c in lcols]
+    null_out = [
+        F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
+        for c in rcols
+    ]
+    unmatched = staged.where(F.col("_mrn").isNull()).select(
+        *l_out, *null_out, F.lit(None).cast("int").alias("_jrank")
+    )
+
+    if backward:
+        fetch = F.explode(
+            F.sequence(F.greatest(F.col("_mrn") - (k - 1), F.lit(1)), F.col("_mrn"))
+        )
+        jrank = F.col("_mrn") - F.col("_rn") + 1
+    else:
+        fetch = F.explode(F.sequence(F.col("_mrn"), F.col("_mrn") + (k - 1)))
+        jrank = F.col("_rn") - F.col("_mrn") + 1
+    cand = (
+        staged.where(F.col("_mrn").isNotNull())
+        .withColumn("_fetch", fetch)
+        .withColumn("_rn", F.col("_fetch").cast("int"))
+        .select(*on, "_t", "_lpay", "_mrn", "_rn")
+    )
+    fetched = cand.join(rnum, on=[*on, "_rn"], how="inner")
+    if tolerance is not None:
+        tol_us = parse_duration(tolerance).microseconds
+        dist = F.abs(
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(right_ts_col))
+        )
+        fetched = fetched.where(dist <= tol_us)
+    matched = fetched.select(
+        *l_out,
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
+        jrank.cast("int").alias("_jrank"),
+    )
+    if tolerance is not None:
+        # tolerance may have emptied some left rows' matches — restore
+        # LEFT semantics for those from the (small) staged frame
+        lost = (
+            staged.where(F.col("_mrn").isNotNull())
+            .select(*l_out)
+            .join(matched.select(*[F.col(c) for c in lcols]), on=lcols, how="left_anti")
+            .select(*[F.col(c) for c in lcols], *null_out,
+                    F.lit(None).cast("int").alias("_jrank"))
+        )
+        unmatched = unmatched.unionByName(lost)
+    return matched.unionByName(unmatched)
 
 
 def window_join(

@@ -388,6 +388,53 @@ def q_state_threshold(spark, sf_dir):
     )
 
 
+@q(
+    "asof_join_jlimit3",
+    f"""
+    WITH l AS (
+      SELECT event_id, user_id, {TS} AS ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, {TS} AS ts, value, event_id
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+             r.ts AS r_ts, r.value AS r_value, r.event_id AS r_event_id,
+             CASE WHEN r.ts IS NULL THEN NULL ELSE CAST(
+               row_number() OVER (PARTITION BY l.event_id
+                                  ORDER BY r.ts DESC, r.value DESC,
+                                           r.event_id DESC) AS INT) END AS _jrank
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    )
+    SELECT event_id, user_id, ts,
+           (ROUND(purchase_value + 0.0000001, 4) + 0) AS purchase_value,
+           r_ts, (ROUND(r_value + 0.0000001, 4) + 0) AS r_value,
+           r_event_id, _jrank
+    FROM j WHERE _jrank <= 3 OR _jrank IS NULL
+    """,
+)
+def q_asof_jlimit3(spark, sf_dir):
+    """ASOF LEFT JOIN ... JLIMIT 3 (sql.y:2797-2798): the 3 most recent
+    clicks before each purchase per user. The oracle emulates JLIMIT with
+    a ranked theta join; the Spark side stays equi-join + window."""
+    from tdengine_spark.operators.asofjoin import asof_join as _asof
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = _asof(left, right, ["user_id"], "ts", jlimit=3)
+    return out.select(
+        "event_id", "user_id", "ts",
+        _r4e(F.col("purchase_value")).alias("purchase_value"),
+        "r_ts", _r4e(F.col("r_value")).alias("r_value"),
+        "r_event_id", "_jrank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # analytics ops (forecast / imputation / anomaly / dtw / tlcc)
 # ---------------------------------------------------------------------------

@@ -138,3 +138,56 @@ def test_dedup_keep_last(spark):
     out = dedup_keep_last(df, ["tbname", "ts"], version_col="_version").collect()
     got = {(r.ts, r.v) for r in out}
     assert got == {(ts("2024-01-01 00:00:00"), 2.0), (ts("2024-01-01 00:00:01"), 3.0)}
+
+
+def test_asof_jlimit_backward(spark):
+    left, right = _sides(spark)
+    rows = asof_join(left, right, ["k"], "ts", jlimit=2).collect()
+    got = {(r.lv, r._jrank): r.r_rv for r in rows}
+    # lv=1.0 (ts 00:10): closest = 20.0 (ts-equal), then 10.0
+    # lv=2.0 (ts 00:20): closest = 30.0, then 20.0
+    assert got == {
+        (1.0, 1): 20.0, (1.0, 2): 10.0,
+        (2.0, 1): 30.0, (2.0, 2): 20.0,
+    }
+
+
+def test_asof_jlimit_fewer_matches_and_unmatched(spark):
+    left, right = _sides(spark)
+    # k=5 > available matches: lv=1.0 has only 2 eligible rows
+    rows = asof_join(left, right, ["k"], "ts", jlimit=5).collect()
+    per_left = {}
+    for r in rows:
+        per_left.setdefault(r.lv, []).append(r.r_rv)
+    assert sorted(per_left[1.0]) == [10.0, 20.0]
+    assert sorted(per_left[2.0]) == [10.0, 20.0, 30.0]
+    # unmatched left row -> single NULL row with NULL _jrank
+    lonely = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:01"), 9.0)], "k string, ts timestamp, lv double"
+    )
+    out = asof_join(lonely, right, ["k"], "ts", jlimit=3).collect()
+    assert len(out) == 1 and out[0].r_rv is None and out[0]._jrank is None
+
+
+def test_asof_jlimit_forward_strict(spark):
+    left, right = _sides(spark)
+    rows = asof_join(
+        left, right, ["k"], "ts", direction="forward", strict=True, jlimit=2
+    ).collect()
+    got = {(r.lv, r._jrank): r.r_rv for r in rows if r.r_rv is not None}
+    # lv=1.0 (ts 00:10) strict forward: 30.0 only (20.0 is ts-equal)
+    assert got == {(1.0, 1): 30.0}
+    nulls = [r.lv for r in rows if r.r_rv is None]
+    assert nulls == [2.0]  # no right row after 00:20
+
+
+def test_asof_jlimit_tolerance(spark):
+    left, right = _sides(spark)
+    rows = asof_join(left, right, ["k"], "ts", jlimit=2, tolerance="5s").collect()
+    per_left = {}
+    for r in rows:
+        per_left.setdefault(r.lv, []).append((r._jrank, r.r_rv))
+    # lv=1.0: 20.0 (0s) and 10.0 (5s) both within 5s
+    assert sorted(per_left[1.0]) == [(1, 20.0), (2, 10.0)]
+    # lv=2.0: 30.0 (5s) within, 20.0 (10s) dropped
+    assert per_left[2.0] == [(1, 30.0)]
