@@ -83,6 +83,9 @@ def main():
         if name == "asof_join_purchase_click" and exch > 2:
             violations.append(f"{name}: as-of join shuffles {exch}x")
             notes.append("EXTRA-SHUFFLE!")
+        if name == "window_join_5m" and exch > 3:
+            violations.append(f"{name}: window join shuffles {exch}x")
+            notes.append("EXTRA-SHUFFLE!")
         print(f"{name:32s} {exch:4d} {sort:4d} {bhj:3d} {smj:3d} {bnlj:4d} {' '.join(notes)}")
 
     if violations:

@@ -272,34 +272,36 @@ def window_join(
     l_us = F.unix_micros(F.col(ts_col))
     r_us = F.unix_micros(F.col(right_ts_col))
 
-    lb = left.withColumn("_lb", F.floor((l_us + lo_us) / width))
+    lb = left.withColumn("_lb", F.floor((l_us + lo_us) / width)).alias("l")
     rcols = [c for c in right.columns if c not in on]
     rb = (
         right.withColumn("_b0", F.floor(r_us / width))
         .withColumn("_cand", F.explode(F.sequence(F.col("_b0") - 1, F.col("_b0") + 1)))
         .select(*on, F.col("_cand").alias("_lb"), *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols])
+        .alias("r")
     )
-    pr_us = F.unix_micros(F.col(f"{right_prefix}{right_ts_col}"))
-    cond_cols = [*on, "_lb"]
-    joined = lb.join(rb, on=cond_cols, how="inner").where(
-        (pr_us >= F.unix_micros(F.col(ts_col)) + lo_us)
-        & (pr_us <= F.unix_micros(F.col(ts_col)) + hi_us)
+    # LEFT semantics come from the join itself: the exact-range predicate
+    # rides along as a join condition on the bucket equi-join, so
+    # unmatched left rows null-extend in the same single join — no
+    # second scan of `left`, no distinct + anti-join reattachment (the
+    # old path re-computed the whole left lineage and shuffled 3 extra
+    # times). Each right row can satisfy a given left row's bucket in at
+    # most one of its 3 candidate buckets, so no duplicates arise.
+    pr_us = F.unix_micros(F.col(f"r.{right_prefix}{right_ts_col}"))
+    pl_us = F.unix_micros(F.col(f"l.{ts_col}"))
+    cond = F.col("l._lb") == F.col("r._lb")
+    for c in on:
+        cond &= F.col(f"l.{c}") == F.col(f"r.{c}")
+    cond &= (pr_us >= pl_us + lo_us) & (pr_us <= pl_us + hi_us)
+    joined = lb.join(rb, cond, how="left" if how == "left" else "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{right_prefix}{c}") for c in rcols],
     )
     if jlimit:
         w = Window.partitionBy(*on, ts_col).orderBy(F.col(f"{right_prefix}{right_ts_col}"))
         joined = joined.withColumn("_jrn", F.row_number().over(w)).where(
             F.col("_jrn") <= jlimit
         ).drop("_jrn")
-    joined = joined.drop("_lb")
-    if how == "left":
-        # reattach unmatched left rows
-        matched_keys = joined.select(*on, ts_col).distinct()
-        unmatched = left.join(matched_keys, on=[*on, ts_col], how="left_anti")
-        for c in rcols:
-            unmatched = unmatched.withColumn(
-                f"{right_prefix}{c}", F.lit(None).cast(right.schema[c].dataType)
-            )
-        joined = joined.unionByName(unmatched)
     return joined
 
 
