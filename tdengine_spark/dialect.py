@@ -163,6 +163,49 @@ def _rewrite_aggs(select: str, ts_col: str) -> str:
     return s
 
 
+_INTERP_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+.*?\binterp\s*\(\s*(?P<col>[A-Za-z_][\w]*)\s*\)
+    .*?\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    (?:\s+WHERE\s+(?P<where>.*?))?
+    (?:\s+PARTITION\s+BY\s+(?P<partition>.*?))?
+    \s+RANGE\s*\(\s*'(?P<lo>[^']+)'\s*,\s*'(?P<hi>[^']+)'\s*\)
+    \s+EVERY\s*\(\s*(?P<every>[^)]+)\s*\)
+    (?:\s+FILL\s*\((?P<fill>[^)]*)\))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_ASOF_JOIN_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)
+    \s+FROM\s+(?P<ltab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<lal>[A-Za-z_]\w*)
+    \s+(?P<side>LEFT|RIGHT)?\s*ASOF\s+JOIN\s+
+    (?P<rtab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ral>[A-Za-z_]\w*)
+    \s+ON\s+(?P<cond>.*?)
+    (?:\s+JLIMIT\s+(?P<jlimit>\d+))?
+    (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_WINDOW_JOIN_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)
+    \s+FROM\s+(?P<ltab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<lal>[A-Za-z_]\w*)
+    \s+WINDOW\s+JOIN\s+
+    (?P<rtab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ral>[A-Za-z_]\w*)
+    \s+ON\s+(?P<cond>.*?)
+    \s+WINDOW_OFFSET\s*\(\s*(?P<lo>-?\w+)\s*,\s*(?P<hi>-?\w+)\s*\)
+    (?:\s+JLIMIT\s+(?P<jlimit>\d+))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
 def translate(
     spark: SparkSession,
     db: Database,
@@ -170,6 +213,20 @@ def translate(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Translate one dialect SELECT into a DataFrame plan."""
+    m = _INTERP_RE.match(sql)
+    if m:
+        return _translate_interp(spark, db, m, ts_col)
+    m = _ASOF_JOIN_RE.match(sql)
+    if m and "window_offset" not in sql.lower():
+        return _translate_asof_join(spark, db, m, ts_col)
+    m = _WINDOW_JOIN_RE.match(sql)
+    if m:
+        return _translate_window_join(spark, db, m, ts_col)
+    if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
+        # standard multi-table SQL: register the referenced tables as
+        # views and let Catalyst parse the whole query
+        _register_views(spark, db, sql)
+        return spark.sql(_rewrite_ops(sql))
     m = _CLAUSE_RE.match(sql)
     if not m:
         # no dialect clause structure recognized — let Spark SQL parse it
