@@ -206,6 +206,138 @@ _WINDOW_JOIN_RE = re.compile(
 )
 
 
+def _table_names(sql: str) -> list[str]:
+    """Table identifiers appearing after FROM / JOIN keywords."""
+    return re.findall(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, flags=re.IGNORECASE
+    )
+
+
+def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
+    """Register every referenced parquet table as a temp view so Catalyst
+    can parse the standard-SQL query against ``db``'s data."""
+    import os
+
+    for t in dict.fromkeys(_table_names(sql)):
+        if os.path.exists(f"{db.root}/{t}.parquet"):
+            db.read(spark, t).createOrReplaceTempView(t)
+
+
+def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
+    """``SELECT interp(col) FROM t [WHERE..] [PARTITION BY..] RANGE(a,b)
+    EVERY(d) FILL(mode[, v])`` → operators.interp.interp (grammar
+    sql.y:3018-3026)."""
+    from tdengine_spark.operators.interp import interp
+
+    g = m.groupdict()
+    base = db.read(spark, g["table"])
+    if g["where"]:
+        base = base.where(F.expr(_rewrite_ops(g["where"])))
+    keys = [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+    fill = (g["fill"] or "linear").strip()
+    parts = [p.strip() for p in fill.split(",")]
+    mode, fval = parts[0].lower(), float(parts[1]) if len(parts) > 1 else None
+    alias = re.search(
+        r"\binterp\s*\(\s*\w+\s*\)\s+as\s+([A-Za-z_]\w*)", m.string, re.IGNORECASE
+    )
+    return interp(
+        base, ts_col, g["col"], g["lo"], g["hi"], g["every"].strip(),
+        mode=mode, partition_by=keys, fill_value=fval,
+        out_col=alias.group(1) if alias else g["col"],
+    )
+
+
+def _split_conjuncts(cond: str) -> list[str]:
+    return [c.strip() for c in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE)]
+
+
+_CMP_RE = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(>=|<=|=|>|<)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$"
+)
+
+
+def _join_cond_parse(cond: str, lal: str, ral: str, ts_col: str):
+    """Split an ASOF/WINDOW JOIN ON condition into (equi_keys, ts_op).
+
+    ``ts_op`` is the comparison as seen from the left side (None when the
+    condition has no ts comparison — WINDOW JOIN). Equi conjuncts must
+    reference the same column name on both sides (the reference requires
+    tag/tbname equality, sql.y primary-key join constraint)."""
+    flip = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+    keys, ts_op = [], None
+    for c in _split_conjuncts(cond):
+        mm = _CMP_RE.match(c)
+        if not mm:
+            raise ValueError(f"unsupported join conjunct: {c!r}")
+        a_al, a_col, op, b_al, b_col = mm.groups()
+        if a_al == ral:  # normalize to left-side-first
+            a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
+            op = flip[op]
+        if a_al != lal or b_al != ral:
+            raise ValueError(f"join conjunct aliases unknown: {c!r}")
+        if a_col == ts_col and b_col == ts_col and op != "=":
+            ts_op = op
+        else:
+            if a_col != b_col:
+                raise ValueError(
+                    f"equi-join columns must share a name: {c!r}"
+                )
+            keys.append(a_col)
+    return keys, ts_op
+
+
+def _project_join(out: DataFrame, select: str, lal: str, ral: str,
+                  prefix: str = "r_") -> DataFrame:
+    """Rewrite ``l.x``/``r.x`` alias references in the select list onto the
+    joined frame's flat columns (left unprefixed, right ``r_``-prefixed)."""
+    select = select.strip()
+    if select == "*":
+        return out
+    s = re.sub(rf"\b{re.escape(ral)}\.(\w+)", rf"{prefix}\1", select)
+    s = re.sub(rf"\b{re.escape(lal)}\.(\w+)", r"\1", s)
+    return out.selectExpr(*_split_select(s))
+
+
+def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
+    """``l ASOF JOIN r ON cond [JLIMIT k]`` → operators.asofjoin.asof_join
+    (grammar sql.y:2766-2798). The ts operator picks direction/strictness:
+    ``l.ts >= r.ts`` backward, ``l.ts <= r.ts`` forward; strict for >/<."""
+    from tdengine_spark.operators.asofjoin import asof_join
+
+    g = m.groupdict()
+    left = db.read(spark, g["ltab"])
+    right = db.read(spark, g["rtab"])
+    keys, ts_op = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
+    if ts_op is None:
+        ts_op = ">="  # reference default: match at-or-before
+    direction = "backward" if ts_op in (">=", ">") else "forward"
+    out = asof_join(
+        left, right, keys, ts_col=ts_col, direction=direction,
+        strict=ts_op in (">", "<"),
+        jlimit=int(g["jlimit"]) if g["jlimit"] else 1,
+    )
+    out = _project_join(out, g["select"], g["lal"], g["ral"])
+    if g["order"]:
+        out = out.orderBy(*[c.strip() for c in g["order"].split(",")])
+    return out
+
+
+def _translate_window_join(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
+    """``l WINDOW JOIN r ON cond WINDOW_OFFSET(lo, hi) [JLIMIT k]`` →
+    operators.asofjoin.window_join (sql.y WINDOW_OFFSET clause)."""
+    from tdengine_spark.operators.asofjoin import window_join
+
+    g = m.groupdict()
+    left = db.read(spark, g["ltab"])
+    right = db.read(spark, g["rtab"])
+    keys, _ = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
+    out = window_join(
+        left, right, keys, g["lo"], g["hi"], ts_col=ts_col,
+        jlimit=int(g["jlimit"]) if g["jlimit"] else None,
+    )
+    return _project_join(out, g["select"], g["lal"], g["ral"])
+
+
 def translate(
     spark: SparkSession,
     db: Database,

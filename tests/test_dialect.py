@@ -136,3 +136,87 @@ def test_plain_sql_passthrough(spark):
         spark, _db(), "SELECT event_type, count(*) AS n FROM ev_v GROUP BY 1 -- std"
     )
     assert out.count() == 5
+
+
+# --- dispatch paths that previously raised NameError (round-3 fix) ------
+
+
+def test_asof_join_sql(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, l.value, r.ts as r_ts, r.value as r_value "
+        "FROM events l ASOF JOIN events r "
+        "ON l.ts > r.ts AND l.user_id = r.user_id JLIMIT 1",
+    )
+    from tdengine_spark.operators.asofjoin import asof_join
+
+    base = Database(root=SF).read(spark, "events")
+    expect = asof_join(
+        base, base, ["user_id"], ts_col="ts", direction="backward", strict=True
+    ).select("ts", "value", "r_ts", "r_value")
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+
+
+def test_asof_join_sql_forward_jlimit(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, r.ts as r_ts FROM events l ASOF JOIN events r "
+        "ON l.ts <= r.ts AND l.user_id = r.user_id JLIMIT 2",
+    )
+    n_left = Database(root=SF).read(spark, "events").count()
+    # every left row appears; matched rows fan out to <= 2
+    assert n_left <= out.count() <= 2 * n_left
+    assert set(out.columns) == {"ts", "r_ts"}
+
+
+def test_window_join_sql(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, l.value, r.ts as rts, r.value as rv "
+        "FROM events l WINDOW JOIN events r ON l.user_id = r.user_id "
+        "WINDOW_OFFSET(-5m, 5m)",
+    )
+    from tdengine_spark.operators.asofjoin import window_join
+
+    base = Database(root=SF).read(spark, "events")
+    expect = window_join(base, base, ["user_id"], "-5m", "5m", ts_col="ts")
+    assert out.count() == expect.count()
+
+
+def test_interp_sql(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT interp(value) as v FROM events PARTITION BY event_type "
+        "RANGE('2024-01-01', '2024-01-02') EVERY(6h) FILL(linear)",
+    )
+    from tdengine_spark.operators.interp import interp
+
+    base = Database(root=SF).read(spark, "events")
+    expect = interp(
+        base, "ts", "value", "2024-01-01", "2024-01-02", "6h",
+        mode="linear", partition_by=["event_type"], out_col="v",
+    )
+    assert out.count() == expect.count() == 5 * 5  # 5 types x 5 instants
+    got = {(r.event_type, str(r._irowts)): r.v for r in out.collect()}
+    want = {(r.event_type, str(r._irowts)): r.v for r in expect.collect()}
+    assert got == want
+
+
+def test_standard_join_view_registration(spark):
+    # drops to Catalyst after registering parquet tables as views
+    for v in ("orders", "customer"):
+        spark.catalog.dropTempView(v) if v in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+    out = translate(
+        spark,
+        _db(),
+        "SELECT c.c_name, count(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_name",
+    )
+    assert out.count() > 0
