@@ -1,42 +1,68 @@
 """Similarity search over embedding columns (array<float>).
 
 Two tiers:
-  - brute-force cosine top-k: exact baseline. Queries are broadcast
-    (they're small by construction); the corpus streams through one
-    projection + per-query top-k — at 100 TB this is a single scan, no
-    shuffle of the corpus.
+  - brute-force cosine top-k: exact baseline. Queries are collected and
+    ride the UDF closure as one numpy matrix (they are small by
+    construction); the corpus streams through ``mapInPandas`` — each
+    Arrow batch is ONE numpy matmul against the query matrix, followed
+    by a per-batch partial top-k, so the shuffle carries only
+    ``nq × k`` candidate rows per batch, never the b×nq score matrix.
+    At 100 TB this is a single corpus scan with map-side top-k combine.
   - LSH-bucketed ANN (random hyperplanes): sign-bit bucket key per
-    vector; queries probe their own bucket (+ optional multi-probe by
-    flipping low-order bits). Turns the scan into a bucket-pruned join.
+    vector (one matmul per Arrow batch against the hyperplane matrix);
+    queries probe their own bucket plus, with ``probe_radius >= 1``,
+    every bucket within that Hamming distance (multi-probe — recall
+    recovered without extra hash tables; probing fans out the tiny
+    query side only). Turns the scan into a bucket-pruned equi-join.
 
-Dot products are F.zip_with + F.aggregate — JVM-side, codegen'd. No
-Python UDFs anywhere.
+Hot-path math is Arrow-batched numpy (pandas_udf / mapInPandas), NOT
+array higher-order functions: Spark evaluates ``F.aggregate`` /
+``F.zip_with`` interpreted (no whole-stage codegen), which this repo
+profiled at ~an order of magnitude slower per vector — see
+pipeline/dedup.py for the same rewrite.
+
+Parity note: the reference engine has no vector type; this module is a
+beyond-reference component for LLM training-data pipelines.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _mat(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list column into a (batch, dim) float64 matrix."""
+    return np.array(series.tolist(), dtype=np.float64)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+def _round4_eps(x: np.ndarray) -> np.ndarray:
+    """HALF_UP round to 4 decimals with the repo's +1e-7 epsilon shift —
+    numpy emulation of ``F.round(c + 1e-7, 4) + 0.0`` so Spark-side and
+    oracle-side values keep hash-matching (see queries_pipeline oracle)."""
+    xs = x + 1e-7
+    return np.sign(xs) * np.floor(np.abs(xs) * 1e4 + 0.5) / 1e4 + 0.0
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns (Arrow batch → one einsum)."""
+
+    @pandas_udf("double")
+    def _pc(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        A, B = _mat(sa), _mat(sb)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-30))
+
+    return _pc(a, b)
+
+
+#: kept name from the first version of this module
+cosine = pair_cosine
 
 
 def cosine_topk(
@@ -49,40 +75,55 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` is broadcast; the corpus is scanned once. Per-query top-k
-    via row_number over (query, similarity desc) — Spark's WindowGroupLimit
-    pushes the k-filter into the sort, so no full materialization.
-    Self-matches (same id) are excluded when ids share a namespace.
+    Per corpus Arrow batch: one ``(batch, dim) @ (dim, nq)`` matmul, then
+    a per-query partial top-k (same comparator as the global rank:
+    rounded score desc, neighbor id asc — a valid combine, since every
+    global top-k row is top-k within its batch). The global window then
+    ranks only ``batches × nq × k`` candidates. Self-matches (same id)
+    are excluded when ids share a namespace.
     """
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                cosine(
-                    F.col("_qv").cast("array<double>"),
-                    F.col("_cv").cast("array<double>"),
-                )
-                + F.lit(1e-7),
-                4,
-            ),
-        )
-    )
-    # rank by the ROUNDED score: raw cosines differing only in the last
-    # ulp across engines would otherwise flip tie ranks
+    q_rows = queries.select(F.col(qid).alias("q"), F.col(vec_col).alias("v")).collect()
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
+    qids = np.array([r.q for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r.v, dtype=np.float64) for r in q_rows])
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)).T
+
+    def topk_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = _mat(pdf[vec_col])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            sims = _round4_eps(Cn @ Qn)  # (batch, nq)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                valid = ids != qids[j]
+                # top-k by (score desc, neighbor_id asc): lexsort is
+                # stable, last key dominates
+                order = np.lexsort((ids[valid], -col[valid]))[:k]
+                sel = np.flatnonzero(valid)[order]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_n.append(ids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(topk_batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -94,12 +135,34 @@ def random_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> list[list[f
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key from random hyperplane projections."""
-    key = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-        key = key + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return key
+    """Sign-bit bucket key from random hyperplane projections — one
+    ``(batch, dim) @ (dim, nbits)`` matmul per Arrow batch."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, nbits)
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(sv: pd.Series) -> pd.Series:
+        bits = _mat(sv) @ P > 0
+        return pd.Series(bits @ weights)
+
+    return _bucket(vec)
+
+
+def _probe_buckets(bucket: Column, nbits: int, probe_radius: int) -> Column:
+    """Array of bucket keys within Hamming distance ``probe_radius`` of
+    ``bucket`` (pure bit-flip expressions — fans out the query side only)."""
+    cands = [bucket]
+    if probe_radius >= 1:
+        cands += [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+    if probe_radius >= 2:
+        cands += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(nbits)
+            for j in range(i + 1, nbits)
+        ]
+    if probe_radius >= 3:
+        raise ValueError("probe_radius > 2 unsupported (use more hash tables)")
+    return F.array(*cands)
 
 
 def lsh_ann_topk(
@@ -111,13 +174,17 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket equi-join, then exact
-    cosine rank within the probed bucket.
+    cosine rank within the probed bucket(s).
 
     Scale path: the corpus is bucketed once (can be materialized as a
-    bucketed Parquet table); each query touches one bucket ≈ corpus/2^nbits
-    of the data. Equi-join keeps Catalyst on shuffled-hash/SMJ plans.
+    bucketed Parquet table); each query touches ``1 + nbits + C(nbits,2)``
+    buckets at most (probe_radius ≤ 2) ≈ a vanishing corpus fraction.
+    The multi-probe explode happens on the (tiny, broadcast) query side;
+    the corpus side stays a single-scan equi-join — Catalyst keeps the
+    shuffled-hash/SMJ path, no cross join.
     """
     planes = random_hyperplanes(dim, nbits, seed)
     vcast = F.col(vec_col).cast("array<double>")
@@ -129,14 +196,17 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vcast.alias("_qv"),
-        lsh_bucket(vcast, planes).alias("_bucket"),
+        F.explode(
+            _probe_buckets(lsh_bucket(vcast, planes), nbits, probe_radius)
+        ).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("_qv"), F.col("_cv")) + F.lit(1e-7), 4),
+            F.round(pair_cosine(F.col("_qv"), F.col("_cv")) + F.lit(1e-7), 4)
+            + F.lit(0.0),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
