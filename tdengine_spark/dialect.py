@@ -234,7 +234,9 @@ def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> Data
     if g["where"]:
         base = base.where(F.expr(_rewrite_ops(g["where"])))
     keys = [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
-    fill = (g["fill"] or "linear").strip()
+    # reference default is FILL_MODE_NONE (parTranslater.c
+    # createDefaultFillNode): only exact-ts instants, no interpolation
+    fill = (g["fill"] or "none").strip()
     parts = [p.strip() for p in fill.split(",")]
     mode, fval = parts[0].lower(), float(parts[1]) if len(parts) > 1 else None
     alias = re.search(
@@ -298,10 +300,26 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
     return out.selectExpr(*_split_select(s))
 
 
+def _order_cols(order: str) -> list:
+    """DESC-aware ORDER BY item list (shared by every translate path)."""
+    out = []
+    for c in order.split(","):
+        c = c.strip()
+        if c.lower().endswith(" desc"):
+            out.append(F.col(c.split()[0]).desc())
+        else:
+            out.append(F.col(c.split()[0]))
+    return out
+
+
 def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
-    """``l ASOF JOIN r ON cond [JLIMIT k]`` → operators.asofjoin.asof_join
-    (grammar sql.y:2766-2798). The ts operator picks direction/strictness:
-    ``l.ts >= r.ts`` backward, ``l.ts <= r.ts`` forward; strict for >/<."""
+    """``l [LEFT|RIGHT] ASOF JOIN r ON cond [JLIMIT k]`` →
+    operators.asofjoin.asof_join (grammar sql.y:2766-2798). The ts
+    operator picks direction/strictness as seen from the DRIVING side:
+    ``l.ts >= r.ts`` backward, ``l.ts <= r.ts`` forward; strict for >/<.
+    RIGHT ASOF JOIN (sql.y JOIN_TYPE_RIGHT) drives from the right table:
+    implemented by swapping the tables, flipping the ts operator, and
+    re-mapping the select-list alias prefixes."""
     from tdengine_spark.operators.asofjoin import asof_join
 
     g = m.groupdict()
@@ -310,15 +328,21 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
     keys, ts_op = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
     if ts_op is None:
         ts_op = ">="  # reference default: match at-or-before
+    drv, other, drv_al, other_al = left, right, g["lal"], g["ral"]
+    if (g["side"] or "").upper() == "RIGHT":
+        # drive from the right table; the parsed ts_op is left-side-first,
+        # so the driver sees the flipped comparison
+        drv, other, drv_al, other_al = right, left, g["ral"], g["lal"]
+        ts_op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[ts_op]
     direction = "backward" if ts_op in (">=", ">") else "forward"
     out = asof_join(
-        left, right, keys, ts_col=ts_col, direction=direction,
+        drv, other, keys, ts_col=ts_col, direction=direction,
         strict=ts_op in (">", "<"),
         jlimit=int(g["jlimit"]) if g["jlimit"] else 1,
     )
-    out = _project_join(out, g["select"], g["lal"], g["ral"])
+    out = _project_join(out, g["select"], drv_al, other_al)
     if g["order"]:
-        out = out.orderBy(*[c.strip() for c in g["order"].split(",")])
+        out = out.orderBy(*_order_cols(g["order"]))
     return out
 
 
@@ -402,14 +426,7 @@ def translate(
 
         out = _slimit(out, keys, int(g["slimit"]))
     if g["order"]:
-        out = out.orderBy(
-            *[
-                F.col(c.strip().split()[0]).desc()
-                if c.strip().lower().endswith(" desc")
-                else F.col(c.strip().split()[0])
-                for c in g["order"].split(",")
-            ]
-        )
+        out = out.orderBy(*_order_cols(g["order"]))
     if g["limit"]:
         out = out.limit(int(g["limit"]))
     return out

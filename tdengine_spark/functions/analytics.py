@@ -65,6 +65,127 @@ def forecast_linear(
     )
 
 
+def forecast_holt(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    horizon_rows: int,
+    every: str,
+    partition_by: "list[str] | None" = None,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    conf: float = 0.95,
+) -> DataFrame:
+    """forecast(col, 'algo=holtwinters'): Holt's linear (double
+    exponential smoothing) per key — the model-based counterpart to
+    ``forecast_linear`` (reference forecast params rows/conf per
+    include/common/tanalytics.h:32-46; builtins.c:6735).
+
+    Init l0=x0, b0=x1−x0; recursion l_t=αx_t+(1−α)(l+b),
+    b_t=β(l_t−l)+(1−β)b. Forecast ŷ_{T+h}=l_T+h·b_T with a
+    ±z(conf)·σ̂·√h interval from one-step in-sample residuals.
+
+    Iterative recursion → grouped applyInPandas (one task per key; keys
+    are independent, scales horizontally). Output: (keys..., ts,
+    forecast_value, forecast_low, forecast_high, is_forecast).
+    """
+    keys = list(partition_by or [])
+    step_us = parse_duration(every).microseconds
+    z = _norm_ppf(0.5 + conf / 2.0)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in keys
+    )
+    out_schema = (
+        (key_fields + ", " if key_fields else "")
+        + f"{ts_col} timestamp, forecast_value double, "
+        + "forecast_low double, forecast_high double, is_forecast boolean"
+    )
+
+    sel = df.select(*keys, ts_col, F.col(val_col).cast("double").alias("_v"))
+
+    def fit_group(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col)
+        x = g["_v"].to_numpy(dtype=np.float64)
+        x = x[~np.isnan(x)]
+        t1 = g[ts_col].max()
+        if len(x) == 0:
+            return pd.DataFrame(
+                columns=[*keys, ts_col, "forecast_value", "forecast_low",
+                         "forecast_high", "is_forecast"]
+            )
+        if len(x) == 1:
+            level, trend, sigma = float(x[0]), 0.0, 0.0
+        else:
+            level, trend = float(x[0]), float(x[1] - x[0])
+            errs = []
+            for v in x[1:]:
+                pred = level + trend
+                errs.append(v - pred)
+                new_level = alpha * v + (1 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1 - beta) * trend
+                level = new_level
+            sigma = float(np.std(np.asarray(errs), ddof=0))
+        hs = np.arange(1, horizon_rows + 1, dtype=np.float64)
+        yhat = level + hs * trend
+        half = z * sigma * np.sqrt(hs)
+        future_ts = pd.Timestamp(t1) + pd.to_timedelta(
+            hs * step_us, unit="us"
+        )
+        out = pd.DataFrame(
+            {
+                ts_col: future_ts,
+                "forecast_value": np.round(yhat, 4),
+                "forecast_low": np.round(yhat - half, 4),
+                "forecast_high": np.round(yhat + half, 4),
+                "is_forecast": True,
+            }
+        )
+        for kcol, kval in zip(keys, key_vals):
+            out.insert(0, kcol, kval)
+        return out[[*keys, ts_col, "forecast_value", "forecast_low",
+                    "forecast_high", "is_forecast"]]
+
+    grouped = sel.groupBy(*keys) if keys else sel.groupBy(F.lit(1).alias("_g"))
+    if keys:
+        return grouped.applyInPandas(fit_group, out_schema)
+    return grouped.applyInPandas(
+        lambda kv, pdf: fit_group((), pdf), out_schema
+    )
+
+
+def _norm_ppf(p: float) -> float:
+    """Standard-normal quantile (Acklam's rational approximation —
+    |err| < 1.15e-9; avoids a scipy dependency)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0,1)")
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = float(np.sqrt(-2 * np.log(p)))
+        num = ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]
+        den = (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        return num / den
+    if p > phigh:
+        q = float(np.sqrt(-2 * np.log(1 - p)))
+        num = ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]
+        den = (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        return -num / den
+    q = p - 0.5
+    r = q * q
+    num = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    return num / den
+
+
 def impute_missing(
     df: DataFrame,
     ts_col: str,
@@ -112,6 +233,82 @@ def impute_missing(
     return df.withColumn(out_col, F.round(F.coalesce(v, filled), 4))
 
 
+#: detector algorithms accepted by anomaly_detect / anomaly_window —
+#: the reference's ANOMALY_WINDOW(col, 'algo=...') parameter
+#: (anomalywindowoperator.c:138; tanalytics.h algo list)
+ANOMALY_ALGOS = ("ksigma", "mad", "iqr")
+
+#: MAD → σ-equivalent scale for a normal distribution
+_MAD_SCALE = 1.4826
+
+
+def anomaly_detect(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    partition_by: "list[str] | None" = None,
+    algo: str = "ksigma",
+    k: float = 3.0,
+) -> DataFrame:
+    """anomalycheck(col, algo): flag per-key outliers. Adds ``score`` +
+    ``is_anomaly`` (and keeps ``zscore`` as an alias column for ksigma).
+
+    - ``ksigma`` (reference default): |v − mean| > k·stddev_pop.
+    - ``mad``: |v − median| > k·(1.4826·MAD) — robust to the outliers
+      themselves inflating the spread.
+    - ``iqr``: v outside [q1 − k·IQR, q3 + k·IQR] (use k=1.5 for the
+      Tukey fences); score = (v − median)/IQR.
+
+    All three are unbounded-window aggregates over the partition keys —
+    one shuffle, no Python; the two-level MAD median is two window
+    passes over the same sort order (Catalyst reuses the exchange).
+    """
+    keys = list(partition_by or [])
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    v = F.col(val_col).cast("double")
+    if algo == "ksigma":
+        mu = F.avg(v).over(w)
+        sd = F.stddev_pop(v).over(w)
+        score = F.when(sd > 0, (v - mu) / sd).otherwise(F.lit(0.0))
+        # score left unrounded: rounding here then again in a caller is a
+        # double-round that shifts values near decimal boundaries
+        return (
+            df.withColumn("score", score)
+            .withColumn("zscore", F.col("score"))
+            .withColumn("is_anomaly", F.abs(F.col("score")) > k)
+        )
+    if algo == "mad":
+        med = F.expr(f"percentile({val_col}, 0.5)").over(w)
+        out = df.withColumn("_med", med)
+        dev = F.abs(v - F.col("_med"))
+        mad = F.expr("percentile(abs(cast({v} as double) - _med), 0.5)".format(v=val_col)).over(w)
+        out = out.withColumn("_mad", mad)
+        score = F.when(
+            F.col("_mad") > 0, (v - F.col("_med")) / (_MAD_SCALE * F.col("_mad"))
+        ).otherwise(F.lit(0.0))
+        return (
+            out.withColumn("score", score)
+            .withColumn("is_anomaly", F.abs(F.col("score")) > k)
+            .drop("_med", "_mad")
+        )
+    if algo == "iqr":
+        q1 = F.expr(f"percentile({val_col}, 0.25)").over(w)
+        q3 = F.expr(f"percentile({val_col}, 0.75)").over(w)
+        med = F.expr(f"percentile({val_col}, 0.5)").over(w)
+        out = (
+            df.withColumn("_q1", q1).withColumn("_q3", q3).withColumn("_med", med)
+        )
+        iqr = F.col("_q3") - F.col("_q1")
+        score = F.when(iqr > 0, (v - F.col("_med")) / iqr).otherwise(F.lit(0.0))
+        flag = (v < F.col("_q1") - k * iqr) | (v > F.col("_q3") + k * iqr)
+        return (
+            out.withColumn("score", score)
+            .withColumn("is_anomaly", flag)
+            .drop("_q1", "_q3", "_med")
+        )
+    raise ValueError(f"unknown anomaly algo {algo!r}; supported: {ANOMALY_ALGOS}")
+
+
 def anomaly_zscore(
     df: DataFrame,
     ts_col: str,
@@ -119,17 +316,8 @@ def anomaly_zscore(
     partition_by: "list[str] | None" = None,
     k: float = 3.0,
 ) -> DataFrame:
-    """anomalycheck(col): flag |v - mean| > k·stddev per key (the
-    reference's default ksigma algorithm). Adds is_anomaly + zscore."""
-    keys = list(partition_by or [])
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    v = F.col(val_col).cast("double")
-    mu = F.avg(v).over(w)
-    sd = F.stddev_pop(v).over(w)
-    z = F.when(sd > 0, (v - mu) / sd).otherwise(F.lit(0.0))
-    # zscore is left unrounded: rounding here then again in a caller is a
-    # double-round that shifts values near decimal boundaries
-    return df.withColumn("zscore", z).withColumn("is_anomaly", F.abs(z) > k)
+    """Back-compat wrapper: anomaly_detect(algo='ksigma')."""
+    return anomaly_detect(df, ts_col, val_col, partition_by, "ksigma", k)
 
 
 def anomaly_window(
@@ -138,14 +326,15 @@ def anomaly_window(
     val_col: str,
     partition_by: "list[str] | None" = None,
     k: float = 3.0,
+    algo: str = "ksigma",
 ):
-    """ANOMALY_WINDOW(col): windows delimited by detected anomalies —
-    anomaly rows become window boundaries (state-window kernel over the
-    running anomaly count)."""
+    """ANOMALY_WINDOW(col, 'algo=...'): windows delimited by detected
+    anomalies — anomaly rows become window boundaries (state-window
+    kernel over the running anomaly count)."""
     from tdengine_spark.operators.eventwindow import assign_state_windows
 
     keys = list(partition_by or [])
-    flagged = anomaly_zscore(df, ts_col, val_col, keys, k)
+    flagged = anomaly_detect(df, ts_col, val_col, keys, algo, k)
     run = (
         Window.partitionBy(*keys)
         .orderBy(ts_col)

@@ -157,12 +157,18 @@ def _asof_join_k(
         "_rn", F.row_number().over(Window.partitionBy(*on).orderBy(*order))
     )
 
-    l_tag = left.select(
+    # surrogate per-left-row id: the tolerance restore below must
+    # re-identify exactly the left ROWS (not left values) that lost all
+    # their matches — value-based anti-joins break on NULL columns
+    # (NULL never equals itself) and collapse duplicate left rows
+    lcols = left.columns
+    l_tag = left.withColumn("_lid", F.monotonically_increasing_id()).select(
         *on,
         F.col(ts_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("int").alias("_rn"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
+        F.col("_lid"),
     )
     r_tag = rnum.select(
         *on,
@@ -170,9 +176,10 @@ def _asof_join_k(
         F.lit(0).alias("_side"),
         F.col("_rn").cast("int").alias("_rn"),
         F.lit(None).cast(
-            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x"))
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("x"))
             .schema["x"].dataType.simpleString()
         ).alias("_lpay"),
+        F.lit(None).cast("long").alias("_lid"),
     )
     u = l_tag.unionByName(r_tag)
 
@@ -191,7 +198,6 @@ def _asof_join_k(
         F.col("_side") == 1
     )
 
-    lcols = left.columns
     l_out = [F.col(f"_lpay.{c}").alias(c) for c in lcols]
     null_out = [
         F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
@@ -213,7 +219,7 @@ def _asof_join_k(
         staged.where(F.col("_mrn").isNotNull())
         .withColumn("_fetch", fetch)
         .withColumn("_rn", F.col("_fetch").cast("int"))
-        .select(*on, "_t", "_lpay", "_mrn", "_rn")
+        .select(*on, "_t", "_lpay", "_lid", "_mrn", "_rn")
     )
     fetched = cand.join(rnum, on=[*on, "_rn"], how="inner")
     if tolerance is not None:
@@ -229,13 +235,12 @@ def _asof_join_k(
     )
     if tolerance is not None:
         # tolerance may have emptied some left rows' matches — restore
-        # LEFT semantics for those from the (small) staged frame
+        # LEFT semantics for those rows, re-identified by surrogate id
+        # (NULL-safe, duplicate-safe)
         lost = (
             staged.where(F.col("_mrn").isNotNull())
-            .select(*l_out)
-            .join(matched.select(*[F.col(c) for c in lcols]), on=lcols, how="left_anti")
-            .select(*[F.col(c) for c in lcols], *null_out,
-                    F.lit(None).cast("int").alias("_jrank"))
+            .join(fetched.select("_lid").distinct(), on="_lid", how="left_anti")
+            .select(*l_out, *null_out, F.lit(None).cast("int").alias("_jrank"))
         )
         unmatched = unmatched.unionByName(lost)
     return matched.unionByName(unmatched)
@@ -272,6 +277,12 @@ def window_join(
     l_us = F.unix_micros(F.col(ts_col))
     r_us = F.unix_micros(F.col(right_ts_col))
 
+    if jlimit:
+        # JLIMIT ranks the matches of each left ROW — a (keys, ts) window
+        # would make two left rows sharing (key, ts) but differing in
+        # payload split one rank sequence; a surrogate id keeps each left
+        # row's k-budget its own
+        left = left.withColumn("_lid", F.monotonically_increasing_id())
     lb = left.withColumn("_lb", F.floor((l_us + lo_us) / width)).alias("l")
     rcols = [c for c in right.columns if c not in on]
     rb = (
@@ -298,10 +309,19 @@ def window_join(
         *[F.col(f"r.{right_prefix}{c}") for c in rcols],
     )
     if jlimit:
-        w = Window.partitionBy(*on, ts_col).orderBy(F.col(f"{right_prefix}{right_ts_col}"))
-        joined = joined.withColumn("_jrn", F.row_number().over(w)).where(
-            F.col("_jrn") <= jlimit
-        ).drop("_jrn")
+        # deterministic rank: right ts first, remaining right payload as
+        # tiebreak among ts-equal matches
+        order = [F.col(f"{right_prefix}{right_ts_col}").asc()] + [
+            F.col(f"{right_prefix}{c}").asc()
+            for c in rcols
+            if c != right_ts_col
+        ]
+        w = Window.partitionBy("_lid").orderBy(*order)
+        joined = (
+            joined.withColumn("_jrn", F.row_number().over(w))
+            .where(F.col("_jrn") <= jlimit)
+            .drop("_jrn", "_lid")
+        )
     return joined
 
 

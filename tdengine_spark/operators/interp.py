@@ -29,7 +29,7 @@ from tdengine_spark.durations import Duration, parse_duration
 IROWTS = "_irowts"
 ISFILLED = "_isfilled"
 
-INTERP_MODES = ("prev", "next", "linear", "near", "null", "value")
+INTERP_MODES = ("prev", "next", "linear", "near", "null", "value", "none")
 
 
 def interp(
@@ -123,10 +123,15 @@ def interp(
             .when(pt.isNull() | nt.isNull(), F.lit(None))
             .otherwise(pv + (nv - pv) * frac)
         )
-    elif mode == "null":
+    elif mode in ("null", "none"):
         val = F.when(exact, pv)
     else:  # value
         val = F.when(exact, pv).otherwise(F.lit(fill_value))
+
+    if mode == "none":
+        # reference FILL_MODE_NONE (parTranslater.c createDefaultFillNode):
+        # emit ONLY instants that coincide with a sample — no filling
+        staged = staged.where(exact)
 
     return (
         staged.select(

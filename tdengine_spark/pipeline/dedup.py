@@ -39,6 +39,29 @@ def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_hashes(text_col: str, shingle_n: int) -> Column:
+    """array<long> of xxhash64(shingle) mod p, in [0, p).
+
+    ONE hash family for every minhash method: the hashing runs JVM-side
+    (codegen'd xxhash64 — no Python), so ``method="arrow"`` and
+    ``method="expr"`` signatures are identical by construction and
+    persisted signatures stay valid across a method switch. pmod (not
+    abs-then-%) so the Long.MIN_VALUE edge can't go negative.
+    NULL text folds to "" so the array is never NULL (and always ≥1
+    element) — both methods see the same input."""
+    sh = shingles(F.coalesce(F.col(text_col), F.lit("")), shingle_n)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+
+def _token_hashes(text_col: str) -> Column:
+    """array<long> of raw xxhash64(token) — the shared SimHash input.
+    Tokenization: lower/trim, collapse whitespace, split (NULL/empty
+    text → one "" token, so the array is never NULL/empty)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.regexp_replace(F.lower(F.trim(txt)), r"\s+", " "), " ")
+    return F.transform(toks, lambda w: F.xxhash64(w))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -67,35 +90,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word-shingle hashes.
 
-    ``method="arrow"`` (default): Arrow-batched pandas_udf; the whole
-    batch's shingle hashes go through ONE numpy broadcast
-    ``(h · a + b) mod p`` with ``minimum.reduceat`` per doc — the
-    |shingles|×num_hashes inner product runs in C. Spark's higher-order
-    functions (transform/aggregate/zip_with) are evaluated *interpreted*
-    (no whole-stage codegen), so at 64 hashes the JVM expression fold
-    costs ~2× the Arrow round-trip; profiled at sf0.1 on local[32].
+    Shingle hashing ALWAYS runs JVM-side (``_shingle_hashes``: codegen'd
+    xxhash64 mod p) so both methods share one hash family — signatures
+    from either method are interchangeable, and a persisted signature
+    table survives a method switch.
+
+    ``method="arrow"`` (default): the (h·a+b) mod p min-reduction runs
+    in numpy — the whole Arrow batch's hashes become ONE
+    |shingles|×num_hashes broadcast with ``minimum.reduceat`` per doc.
+    Spark's higher-order functions evaluate *interpreted* (no
+    whole-stage codegen), so at 64 hashes the JVM fold costs ~2× the
+    Arrow round-trip; profiled at sf0.1 on local[32].
 
     ``method="expr"``: the pure-expression fold (no Python workers, no
     Arrow) — keep for environments where Python UDFs are barred.
     """
+    hashed = _shingle_hashes(text_col, shingle_n)
     if method == "arrow":
-        return _minhash_signatures_arrow(
-            df, text_col, id_col, num_hashes, shingle_n, seed
-        )
+        return _minhash_signatures_arrow(df, hashed, id_col, num_hashes, seed)
     params = _hash_params(num_hashes, seed)
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
-    sh = shingles(text_col, shingle_n)
-    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
     init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    # h < p < 2^31 and a < p ⇒ h·a + b < 2^62: no int64 overflow
     sig = F.aggregate(
         hashed,
         init,
         lambda acc, h: F.zip_with(
             acc,
-            F.zip_with(
-                a_arr, b_arr, lambda a, b: (h % _MERSENNE_P * a + b) % _MERSENNE_P
-            ),
+            F.zip_with(a_arr, b_arr, lambda a, b: (h * a + b) % _MERSENNE_P),
             lambda x, y: F.least(x, y),
         ),
     )
@@ -104,52 +127,41 @@ def minhash_signatures(
 
 def _minhash_signatures_arrow(
     df: DataFrame,
-    text_col: str,
+    hashed: Column,
     id_col: str,
     num_hashes: int,
-    shingle_n: int,
     seed: int,
 ) -> DataFrame:
-    """Arrow path: vectorized signature computation per record batch."""
+    """Arrow min-reduction over JVM-computed shingle hashes (array<long>
+    in [0, p)). No hashing and no per-row Python here — the UDF body is
+    a single numpy broadcast + segmented minima per record batch."""
     import numpy as np
     from pyspark.sql import types as T
 
     params = _hash_params(num_hashes, seed)
     a_vec = np.array([a for a, _ in params], dtype=np.uint64)
     b_vec = np.array([b for _, b in params], dtype=np.uint64)
-    p = _MERSENNE_P
+    p = np.uint64(_MERSENNE_P)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
-
-        def h64(s: str) -> int:
-            return int.from_bytes(
-                blake2b(s.encode(), digest_size=8).digest(), "big"
-            )
-
-        if not len(texts):
+    def sig_udf(hash_arrays: pd.Series) -> pd.Series:
+        if not len(hash_arrays):
             return pd.Series([], dtype=object)
-        hashes: list[int] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            ws = txt.lower().split() if txt else []
-            n = max(len(ws) - shingle_n + 1, 1)
-            counts[i] = n
-            hashes.extend(
-                h64(" ".join(ws[j : j + shingle_n])) for j in range(n)
-            )
-        # stay in uint64: h mod p < 2^31 and a < p, so h·a + b < 2^62
-        # never wraps, and unsigned % is a single vectorized pass
-        h = np.array(hashes, dtype=np.uint64) % np.uint64(p)
-        # one |shingles|×num_hashes broadcast for the whole batch, then
-        # per-doc segment minima — all C, no per-row python
-        mat = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % np.uint64(p)
+        # shingles() guarantees ≥1 element per doc, so every reduceat
+        # segment is non-empty
+        counts = np.fromiter(
+            (len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays)
+        )
+        h = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays]
+        ).astype(np.uint64)
+        # h < p and a < p ⇒ h·a + b < 2^62: no uint64 wrap
+        mat = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % p
         offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
         mins = np.minimum.reduceat(mat, offsets, axis=0).astype(np.int64)
         return pd.Series(list(mins))
 
-    return df.select(F.col(id_col), sig_udf(text_col).alias("signature"))
+    return df.select(F.col(id_col), sig_udf(hashed).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -257,10 +269,14 @@ def simhash(
 
     tokens → 64-bit hash → for each bit b, sum(sign(bit_b)) → sign → bit.
 
-    ``method="arrow"`` (default): Arrow-batched pandas_udf — the whole
-    batch's token hashes become one |tokens|×64 sign matrix with
-    ``add.reduceat`` per doc (C-speed; shares the python worker pool
-    with the MinHash path).
+    Token hashing ALWAYS runs JVM-side (``_token_hashes``: codegen'd
+    xxhash64) — both methods share one hash family, so simhashes from
+    either method are bit-identical and interchangeable.
+
+    ``method="arrow"`` (default): the sign-matrix reduction runs in
+    numpy — the batch's token hashes become one |tokens|×64 sign matrix
+    with ``add.reduceat`` per doc (C-speed; shares the python worker
+    pool with the MinHash path).
 
     ``method="expr"``: pure-expression fold — ONE F.aggregate walks the
     token-hash array updating all 64 bit-sums per element via zip_with.
@@ -271,16 +287,15 @@ def simhash(
     doesn't serialize the computation on one core.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashes = _token_hashes(text_col)
     if method == "arrow":
-        return _simhash_arrow(df, text_col, id_col, bits)
+        return _simhash_arrow(df, hashes, id_col, bits)
     def bit_mask(b: int) -> int:
         # bit 63 of a signed long is the sign bit: 1<<63 must be the
         # negative two's-complement value, not a Python bignum
         return (1 << b) if b < 63 else -(1 << 63)
 
     masks = F.array(*[F.lit(bit_mask(b)).cast("long") for b in range(bits)])
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
     bit_sums = F.aggregate(
         hashes,
@@ -304,31 +319,26 @@ def simhash(
 
 
 def _simhash_arrow(
-    df: DataFrame, text_col: str, id_col: str, bits: int
+    df: DataFrame, hashes: Column, id_col: str, bits: int
 ) -> DataFrame:
-    """Arrow path: batch token hashes → sign matrix → reduceat per doc."""
+    """Arrow sign-matrix reduction over JVM-computed token hashes
+    (array<long>, raw xxhash64 bit patterns). No hashing and no per-row
+    Python here — numpy bit-unpack + segmented sums per record batch."""
     import numpy as np
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
-    def sim_udf(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
-
-        if not len(texts):
+    def sim_udf(hash_arrays: pd.Series) -> pd.Series:
+        if not len(hash_arrays):
             return pd.Series([], dtype="int64")
-        toks: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            ws = (txt.lower().strip().split() if txt else [""]) or [""]
-            counts[i] = len(ws)
-            toks.extend(ws)
-        h = np.array(
-            [
-                int.from_bytes(blake2b(w.encode(), digest_size=8).digest(), "big")
-                for w in toks
-            ],
-            dtype=np.uint64,
+        # split("", " ") yields [""] → every doc has ≥1 token hash
+        counts = np.fromiter(
+            (len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays)
         )
+        # .view reinterprets the signed xxhash64 two's-complement bits
+        h = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays]
+        ).view(np.uint64)
         shifts = np.arange(bits, dtype=np.uint64)
         signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2) - 1
         offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -338,7 +348,7 @@ def _simhash_arrow(
         )
         return pd.Series(packed.view(np.int64))
 
-    return df.select(F.col(id_col), sim_udf(text_col).alias("simhash"))
+    return df.select(F.col(id_col), sim_udf(hashes).alias("simhash"))
 
 
 def simhash_near_pairs(

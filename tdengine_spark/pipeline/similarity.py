@@ -48,15 +48,22 @@ def _round4_eps(x: np.ndarray) -> np.ndarray:
     return np.sign(xs) * np.floor(np.abs(xs) * 1e4 + 0.5) / 1e4 + 0.0
 
 
-def pair_cosine(a: Column, b: Column) -> Column:
-    """Row-wise cosine of two array columns (Arrow batch → one einsum)."""
+def pair_cosine(a: Column, b: Column, round4: bool = False) -> Column:
+    """Row-wise cosine of two array columns (Arrow batch → one einsum).
+
+    ``round4=True`` applies the module's single rounding kernel
+    (``_round4_eps``) inside the UDF so every scoring path in this
+    module — brute-force and LSH — produces bit-identical values for
+    the same vector pair (F.round's BigDecimal HALF_UP on the shortest
+    decimal repr can differ by 1 ulp near .xxxx5 boundaries)."""
 
     @pandas_udf("double")
     def _pc(sa: pd.Series, sb: pd.Series) -> pd.Series:
         A, B = _mat(sa), _mat(sb)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / np.maximum(den, 1e-30))
+        out = num / np.maximum(den, 1e-30)
+        return pd.Series(_round4_eps(out) if round4 else out)
 
     return _pc(a, b)
 
@@ -84,10 +91,13 @@ def cosine_topk(
     """
     qid = query_id_col or id_col
     q_rows = queries.select(F.col(qid).alias("q"), F.col(vec_col).alias("v")).collect()
-    out_schema = "query_id long, neighbor_id long, cosine double"
+    # id dtypes follow the input schemas — string/decimal ids work too
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
     if not q_rows:
         return corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
-    qids = np.array([r.q for r in q_rows], dtype=np.int64)
+    qids = np.array([r.q for r in q_rows])
     Q = np.array([np.asarray(r.v, dtype=np.float64) for r in q_rows])
     Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)).T
 
@@ -95,7 +105,7 @@ def cosine_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             C = _mat(pdf[vec_col])
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
             sims = _round4_eps(Cn @ Qn)  # (batch, nq)
@@ -205,8 +215,9 @@ def lsh_ann_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(pair_cosine(F.col("_qv"), F.col("_cv")) + F.lit(1e-7), 4)
-            + F.lit(0.0),
+            # same numpy rounding kernel as cosine_topk: identical pairs
+            # score bit-identically across both tiers
+            pair_cosine(F.col("_qv"), F.col("_cv"), round4=True),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -954,44 +954,46 @@ def q_json(spark, sf_dir):
 # CORRECTNESS row yet come first, then this round's new queries, then the
 # flagship previously-green queries; near-duplicate variants go last.
 _PRIORITY: list[str] = [
-    # --- unverified in round 1 (registered after position 50) ---
-    "interp_linear_daily",
-    "interp_prev_6h",
-    "tsma_rewritten_6h",
-    "stateduration_high_value",
-    "anomaly_detection_zscore",
-    "string_crypto_functions",
-    "dtw_tlcc_series",
-    "dedup_exact_documents",
-    "token_counts",
-    "quality_features",
-    "language_id",
-    "cosine_topk_bruteforce",
+    # --- stale: last verified in round 1, two refactor rounds ago ---
+    "count_distinct_users",
+    "json_tag_extract",
+    "group_concat_users",
+    "leastsquares_lineitem",
+    "calendar_interval_monthly",
+    "virtual_table_align",
+    "scalar_time_functions",
+    "interval_fill_value_near",
+    "count_windows_sliding",
+    "rank_family",
+    "histogram_log_totalprice",
+    "approx_aggregates",
+    "sample_per_group",
+    "state_windows_threshold",
+    "forecast_linear_trend",
+    "impute_masked_values",
+    # --- new in round 4 ---
+    "ann_multiprobe_topk",
+    "anomaly_windows_mad",
+    "anomaly_windows_iqr",
+    "forecast_holtwinters",
+    "information_schema_columns",
+    "interp_fill_none",
+    "right_asof_join",
+    # --- materially changed in round 4 (hash unification, surrogate-id
+    # JLIMIT fixes, rounding-path unification) ---
     "minhash_near_dup_pairs",
     "simhash_near_pairs",
     "lsh_ann_topk",
-    # --- new this round (inserted here as they are added) ---
+    "cosine_topk_bruteforce",
     "asof_join_jlimit3",
-    "slimit_first_groups",  # re-check after the plan rewrite
-    "window_join_5m",       # re-check after the left-outer path rewrite
-    "information_schema_columns",
-    "interval_fill_near_single",
-    "ann_multiprobe_topk",
-    "anomaly_windows_mad",
-    "pivot_interval_by_type",
-    "nested_subquery_having",
-    "case_when_bucketing",
-    "delete_where_remaining",
-    "percentile_disc_family",
-    "string_functions_extended",
-    "math_functions_family",
-    "cast_conversion_family",
-    "concat_ws_substring_family",
-    "union_distinct_types",
-    "in_filter_scalar_subquery",
-    "interval_offset_90m",
-    "minmax_rows_selection",
+    "window_join_5m",
+    "asof_join_purchase_click",
+    "interp_linear_daily",
+    "interp_prev_6h",
 ]
+# every name above must exist in REGISTRY — tests/test_query_builder.py
+# asserts it, so a planned-but-unregistered query fails CI instead of
+# silently dropping out of the driver's 50-entry verification window
 
 
 def _ordered_names() -> list[str]:

@@ -191,3 +191,63 @@ def test_asof_jlimit_tolerance(spark):
     assert sorted(per_left[1.0]) == [(1, 20.0), (2, 10.0)]
     # lv=2.0: 30.0 (5s) within, 20.0 (10s) dropped
     assert per_left[2.0] == [(1, 30.0)]
+
+
+def test_asof_jlimit_tolerance_null_left_columns(spark):
+    """Tolerance restore must be NULL-safe: a matched left row carrying a
+    NULL payload column must NOT also emit a spurious NULL-extended row
+    (the old all-columns anti-join never matched NULL = NULL)."""
+    left = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:10"), None),
+         ("a", ts("2024-01-01 00:02:00"), 2.0)],
+        "k string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:08"), 10.0)],
+        "k string, ts timestamp, rv double",
+    )
+    rows = asof_join(left, right, ["k"], "ts", jlimit=2, tolerance="5s").collect()
+    # NULL-lv row matches within tolerance → exactly ONE row, rv=10
+    null_lv = [r for r in rows if r.lv is None]
+    assert len(null_lv) == 1 and null_lv[0].r_rv == 10.0
+    # 2.0 row: match at 112s distance fails tolerance → one NULL-extended row
+    far = [r for r in rows if r.lv == 2.0]
+    assert len(far) == 1 and far[0].r_rv is None and far[0]._jrank is None
+
+
+def test_asof_jlimit_tolerance_duplicate_left_rows(spark):
+    """Identical duplicate left rows each keep their own restored row."""
+    dup = [("a", ts("2024-01-01 00:02:00"), 5.0)] * 2
+    left = spark.createDataFrame(dup, "k string, ts timestamp, lv double")
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:00"), 10.0)],
+        "k string, ts timestamp, rv double",
+    )
+    rows = asof_join(left, right, ["k"], "ts", jlimit=3, tolerance="5s").collect()
+    # both duplicates lose their only match to tolerance → 2 NULL rows
+    assert len(rows) == 2
+    assert all(r.r_rv is None and r._jrank is None for r in rows)
+
+
+def test_window_join_jlimit_duplicate_left_ts(spark):
+    """JLIMIT budgets per left ROW: two left rows sharing (key, ts) but
+    different payloads each get their own k matches."""
+    left = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:10"), 1.0),
+         ("a", ts("2024-01-01 00:00:10"), 2.0)],
+        "k string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:08"), 10.0),
+         ("a", ts("2024-01-01 00:00:09"), 20.0),
+         ("a", ts("2024-01-01 00:00:11"), 30.0)],
+        "k string, ts timestamp, rv double",
+    )
+    rows = window_join(
+        left, right, ["k"], "-10s", "10s", ts_col="ts", jlimit=2
+    ).collect()
+    per_left = {}
+    for r in rows:
+        per_left.setdefault(r.lv, []).append(r.r_rv)
+    assert sorted(per_left[1.0]) == [10.0, 20.0]
+    assert sorted(per_left[2.0]) == [10.0, 20.0]

@@ -52,6 +52,34 @@ def test_simhash_hamming(spark):
     assert all(3 not in k for k in found)
 
 
+def test_minhash_arrow_equals_expr(spark):
+    """One hash family: arrow and expr signatures are pair-for-pair
+    identical, so persisted signatures survive a method switch."""
+    docs = _docs(spark)
+    arrow = {r.doc_id: list(r.signature)
+             for r in dd.minhash_signatures(docs, method="arrow").collect()}
+    expr = {r.doc_id: list(r.signature)
+            for r in dd.minhash_signatures(docs, method="expr").collect()}
+    assert arrow == expr
+    assert len(arrow) == 5 and all(len(s) == 64 for s in arrow.values())
+
+
+def test_simhash_arrow_equals_expr(spark):
+    docs = _docs(spark)
+    arrow = {r.doc_id: r.simhash
+             for r in dd.simhash(docs, method="arrow").collect()}
+    expr = {r.doc_id: r.simhash
+            for r in dd.simhash(docs, method="expr").collect()}
+    assert arrow == expr
+    # empty/whitespace-only text goes through the same [""] token path
+    edge = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.simhash for r in dd.simhash(edge, method="arrow").collect()}
+    e = {r.doc_id: r.simhash for r in dd.simhash(edge, method="expr").collect()}
+    assert a == e
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

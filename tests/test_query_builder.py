@@ -83,3 +83,13 @@ def test_interp_builder(spark):
         .interp("value", "2024-01-10", "2024-01-11", "6h", mode="near")
     )
     assert out.count() == 15 * 5  # 15 users × 5 instants
+
+
+def test_priority_names_all_registered():
+    """A _PRIORITY name missing from REGISTRY silently drops out of the
+    driver's verification window — fail loudly here instead."""
+    from tdengine_spark.queries import REGISTRY, _PRIORITY, _register_extensions
+
+    _register_extensions()
+    dangling = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not dangling, f"unregistered _PRIORITY names: {dangling}"
