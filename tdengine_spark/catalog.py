@@ -181,14 +181,74 @@ def load_tables(
     return out
 
 
-def information_schema(spark: SparkSession, dbs: dict[str, Database]) -> DataFrame:
-    """``information_schema.ins_tables`` analog (reference
-    source/libs/executor/src/sysscanoperator.c): synthesize a catalog
-    DataFrame from registered databases."""
-    rows = []
-    for db_name, db in dbs.items():
-        for t in db.tables.values():
-            rows.append((db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols)))
-    return spark.createDataFrame(
-        rows, "db_name string, table_name string, ts_col string, tbname_col string, tags string"
+def information_schema(
+    spark: SparkSession, dbs: dict[str, Database], view: str = "ins_tables"
+) -> DataFrame:
+    """``information_schema`` analogs (reference
+    source/libs/executor/src/sysscanoperator.c; view list
+    include/common/systable.h:26-70): synthesize catalog DataFrames from
+    registered databases.
+
+    Views: ``ins_tables`` (one row per table), ``ins_stables`` (per
+    super table with column/tag counts), ``ins_columns`` (one row per
+    column, parquet schema order), ``ins_tags`` (one row per tag
+    column). Catalog metadata is tiny by construction — these are
+    in-memory DataFrames, broadcastable into any introspection join.
+    """
+    if view == "ins_tables":
+        rows = [
+            (db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols))
+            for db_name, db in dbs.items()
+            for t in db.tables.values()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "db_name string, table_name string, ts_col string, "
+            "tbname_col string, tags string",
+        )
+    if view == "ins_stables":
+        rows = []
+        for db_name, db in dbs.items():
+            for t in db.tables.values():
+                schema = t.read(spark).schema
+                rows.append(
+                    (db_name, t.name, len(schema), len(t.tag_cols), t.ts_col)
+                )
+        return spark.createDataFrame(
+            rows,
+            "db_name string, stable_name string, columns int, tags int, "
+            "ts_col string",
+        )
+    if view == "ins_columns":
+        rows = []
+        for db_name, db in dbs.items():
+            for t in db.tables.values():
+                for pos, fld in enumerate(t.read(spark).schema, start=1):
+                    rows.append(
+                        (db_name, t.name, fld.name,
+                         fld.dataType.simpleString(), pos)
+                    )
+        return spark.createDataFrame(
+            rows,
+            "db_name string, table_name string, col_name string, "
+            "col_type string, col_position int",
+        )
+    if view == "ins_tags":
+        rows = []
+        for db_name, db in dbs.items():
+            for t in db.tables.values():
+                if not t.tag_cols:
+                    continue
+                types = {f.name: f.dataType.simpleString()
+                         for f in t.read(spark).schema}
+                for tag in t.tag_cols:
+                    rows.append((db_name, t.name, tag, types.get(tag, "")))
+        return spark.createDataFrame(
+            rows,
+            "db_name string, stable_name string, tag_name string, "
+            "tag_type string",
+        )
+    raise ValueError(
+        f"unknown information_schema view {view!r}; supported: "
+        "ins_tables, ins_stables, ins_columns, ins_tags"
     )

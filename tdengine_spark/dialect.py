@@ -184,8 +184,10 @@ _ASOF_JOIN_RE = re.compile(
     \s+(?P<side>LEFT|RIGHT)?\s*ASOF\s+JOIN\s+
     (?P<rtab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ral>[A-Za-z_]\w*)
     \s+ON\s+(?P<cond>.*?)
+    (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+JLIMIT\s+(?P<jlimit>\d+))?
     (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?
     \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -198,6 +200,7 @@ _WINDOW_JOIN_RE = re.compile(
     \s+WINDOW\s+JOIN\s+
     (?P<rtab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ral>[A-Za-z_]\w*)
     \s+ON\s+(?P<cond>.*?)
+    (?:\s+WHERE\s+(?P<where>.*?))?
     \s+WINDOW_OFFSET\s*\(\s*(?P<lo>-?\w+)\s*,\s*(?P<hi>-?\w+)\s*\)
     (?:\s+JLIMIT\s+(?P<jlimit>\d+))?
     \s*;?\s*$
@@ -288,16 +291,19 @@ def _join_cond_parse(cond: str, lal: str, ral: str, ts_col: str):
     return keys, ts_op
 
 
+def _dealias(expr: str, lal: str, ral: str, prefix: str = "r_") -> str:
+    """Rewrite ``l.x``/``r.x`` alias references onto the joined frame's
+    flat columns (driving side unprefixed, other side ``r_``-prefixed)."""
+    s = re.sub(rf"\b{re.escape(ral)}\.(\w+)", rf"{prefix}\1", expr)
+    return re.sub(rf"\b{re.escape(lal)}\.(\w+)", r"\1", s)
+
+
 def _project_join(out: DataFrame, select: str, lal: str, ral: str,
                   prefix: str = "r_") -> DataFrame:
-    """Rewrite ``l.x``/``r.x`` alias references in the select list onto the
-    joined frame's flat columns (left unprefixed, right ``r_``-prefixed)."""
     select = select.strip()
     if select == "*":
         return out
-    s = re.sub(rf"\b{re.escape(ral)}\.(\w+)", rf"{prefix}\1", select)
-    s = re.sub(rf"\b{re.escape(lal)}\.(\w+)", r"\1", s)
-    return out.selectExpr(*_split_select(s))
+    return out.selectExpr(*_split_select(_dealias(select, lal, ral, prefix)))
 
 
 def _order_cols(order: str) -> list:
@@ -340,9 +346,16 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
         strict=ts_op in (">", "<"),
         jlimit=int(g["jlimit"]) if g["jlimit"] else 1,
     )
+    if g.get("where"):
+        # standard SQL: WHERE filters the join result (post-null-extension)
+        out = out.where(
+            F.expr(_rewrite_ops(_dealias(g["where"], drv_al, other_al)))
+        )
     out = _project_join(out, g["select"], drv_al, other_al)
     if g["order"]:
         out = out.orderBy(*_order_cols(g["order"]))
+    if g.get("limit"):
+        out = out.limit(int(g["limit"]))
     return out
 
 
@@ -359,7 +372,34 @@ def _translate_window_join(spark: SparkSession, db: Database, m, ts_col: str) ->
         left, right, keys, g["lo"], g["hi"], ts_col=ts_col,
         jlimit=int(g["jlimit"]) if g["jlimit"] else None,
     )
+    if g.get("where"):
+        out = out.where(
+            F.expr(_rewrite_ops(_dealias(g["where"], g["lal"], g["ral"])))
+        )
     return _project_join(out, g["select"], g["lal"], g["ral"])
+
+
+def _extract_from_subquery(sql: str):
+    """Find ``FROM ( <subquery> ) [AS] alias`` and return
+    (inner_sql, span_start, span_end) of the parenthesized group +
+    alias, or None. Balanced-paren scan — the subquery may itself
+    contain parens."""
+    m = re.search(r"\bFROM\s*\(", sql, flags=re.IGNORECASE)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    inner = sql[m.end() : i - 1].strip()
+    am = re.match(r"\s*(?:AS\s+)?[A-Za-z_]\w*", sql[i:], flags=re.IGNORECASE)
+    end = i + (am.end() if am else 0)
+    return inner, m.end() - 1, end
 
 
 def translate(
@@ -369,6 +409,16 @@ def translate(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Translate one dialect SELECT into a DataFrame plan."""
+    sub = _extract_from_subquery(sql)
+    if sub is not None:
+        # translate the inner query first (it may itself use dialect
+        # clauses), expose it as a view, and rewrite the outer query to
+        # reference it — mirrors the reference planner's subplan stacking
+        inner_sql, lo, hi = sub
+        inner = translate(spark, db, inner_sql, ts_col)
+        name = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
+        inner.createOrReplaceTempView(name)
+        return translate(spark, db, sql[:lo] + name + sql[hi:], ts_col)
     m = _INTERP_RE.match(sql)
     if m:
         return _translate_interp(spark, db, m, ts_col)
@@ -391,10 +441,17 @@ def translate(
     table = g["table"]
     import os
 
-    if not os.path.exists(f"{db.root}/{table}.parquet"):
-        # registered view / std-SQL table → Catalyst parses the whole query
+    if os.path.exists(f"{db.root}/{table}.parquet"):
+        base = db.read(spark, table)
+    elif (g["window"] or g["partition"] or g["slimit"]) and _view_exists(
+        spark, table
+    ):
+        # dialect clauses over a registered view (e.g. a translated
+        # FROM-subquery) — read the view instead of parquet
+        base = spark.table(table)
+    else:
+        # std-SQL table/view → Catalyst parses the whole query
         return spark.sql(_rewrite_ops(sql))
-    base = db.read(spark, table)
     if g["where"]:
         base = base.where(F.expr(_rewrite_ops(g["where"])))
     keys = (
@@ -405,12 +462,18 @@ def translate(
     items = _split_select(select)
 
     window = (g["window"] or "").strip()
+    gkeys_extra = (
+        [c.strip() for c in g["group"].split(",")] if g["group"] else []
+    )
     if window:
-        out = _windowed(base, window, items, keys, g["fill"], ts_col)
-    elif keys or g["group"]:
-        gkeys = keys + (
-            [c.strip() for c in g["group"].split(",")] if g["group"] else []
+        # PARTITION BY tags + window + GROUP BY residue: residual group
+        # keys fold into the window partitioning (reference planner puts
+        # both in the window operator's group list)
+        out = _windowed(
+            base, window, items, keys + gkeys_extra, g["fill"], ts_col
         )
+    elif keys or g["group"]:
+        gkeys = keys + gkeys_extra
         aggs = [F.expr(it) for it in items if not _is_plain_col(it, gkeys)]
         out = base.groupBy(*gkeys).agg(*aggs)
     else:
@@ -490,6 +553,13 @@ def _windowed(base, window, items, keys, fill_spec, ts_col):
     else:
         raise ValueError(f"unsupported window clause: {window}")
     return window_agg(assigned, ts_col, aggs, keys)
+
+
+def _view_exists(spark: SparkSession, name: str) -> bool:
+    try:
+        return spark.catalog.tableExists(name)
+    except Exception:
+        return False
 
 
 def _split_select(select: str) -> list[str]:

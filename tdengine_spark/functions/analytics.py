@@ -133,12 +133,14 @@ def forecast_holt(
         future_ts = pd.Timestamp(t1) + pd.to_timedelta(
             hs * step_us, unit="us"
         )
+        # unrounded: callers round once (rounding here then again in a
+        # caller is a double-round that shifts boundary values)
         out = pd.DataFrame(
             {
                 ts_col: future_ts,
-                "forecast_value": np.round(yhat, 4),
-                "forecast_low": np.round(yhat - half, 4),
-                "forecast_high": np.round(yhat + half, 4),
+                "forecast_value": yhat,
+                "forecast_low": yhat - half,
+                "forecast_high": yhat + half,
                 "is_forecast": True,
             }
         )

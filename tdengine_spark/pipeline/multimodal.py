@@ -69,25 +69,35 @@ def decode_images(assets: DataFrame, batch_size: int = 64) -> DataFrame:
     Arrow-batched mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch walk (no iterrows: building a pandas Row object
+        # per record costs more than the decode stub itself); the decode
+        # kernel stays a per-payload swap point for PIL/librosa
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
+            widths, heights, feats = [], [], []
+            for payload in pdf["payload"].tolist():
                 try:
-                    w, h, feat = _decode_image_bytes(row["payload"])
+                    w, h, feat = _decode_image_bytes(payload)
                 except (ValueError, TypeError):
-                    w = h = None
-                    feat = None
-                out.append(
-                    {
-                        "asset_id": row["asset_id"],
-                        "width": w,
-                        "height": h,
-                        "n_bytes": len(row["payload"]) if row["payload"] is not None else 0,
-                        "payload_hash": None,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+                    w = h = feat = None
+                widths.append(w)
+                heights.append(h)
+                feats.append(feat)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf["payload"].tolist()
+                    ],
+                    "payload_hash": pd.array(
+                        [None] * len(pdf), dtype="Int64"
+                    ),
+                    "feature": feats,
+                },
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA],
+            )
 
     with_hash = assets.where(F.col("modality") == "image")
     decoded = with_hash.select("asset_id", "payload").mapInPandas(

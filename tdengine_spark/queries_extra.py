@@ -690,3 +690,259 @@ def q_stateduration(spark, sf_dir):
         "user_id", "ts",
         stateduration("value", "gt", 100, "1s", "ts", ["user_id"]).alias("sd_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: pluggable anomaly detectors, Holt forecast, information_schema,
+# interp FILL(none), RIGHT ASOF JOIN, multi-probe ANN
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "anomaly_windows_mad",
+    """
+    WITH s AS (
+      SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), m AS (
+      SELECT *, quantile_cont(value, 0.5)
+                OVER (PARTITION BY event_type) AS med
+      FROM s
+    ), d AS (
+      SELECT *, quantile_cont(abs(value - med), 0.5)
+                OVER (PARTITION BY event_type) AS mad
+      FROM m
+    )
+    SELECT event_type, user_id, ts,
+           (ROUND(CASE WHEN mad > 0
+                       THEN (value - med) / (1.4826 * mad) ELSE 0 END
+                  + 0.0000001, 4) + 0) AS score,
+           CASE WHEN mad > 0
+                THEN abs((value - med) / (1.4826 * mad)) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM d
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """anomalycheck algo=mad (reference algo param,
+    anomalywindowoperator.c:138) — robust median/MAD outlier score."""
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    ev = t(spark, sf_dir, "events")
+    out = anomaly_detect(ev, "ts", "value", ["event_type"], algo="mad", k=3.0)
+    return out.select(
+        "event_type", "user_id", "ts",
+        _r4e(F.col("score")).alias("score"), "is_anomaly",
+    )
+
+
+@q(
+    "anomaly_windows_iqr",
+    """
+    WITH s AS (
+      SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), d AS (
+      SELECT *,
+             quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+             quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3,
+             quantile_cont(value, 0.5)  OVER (PARTITION BY event_type) AS med
+      FROM s
+    )
+    SELECT event_type, user_id, ts,
+           (ROUND(CASE WHEN q3 - q1 > 0
+                       THEN (value - med) / (q3 - q1) ELSE 0 END
+                  + 0.0000001, 4) + 0) AS score,
+           (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))
+                AS is_anomaly
+    FROM d
+    """,
+)
+def q_anomaly_iqr(spark, sf_dir):
+    """anomalycheck algo=iqr (Tukey fences, k=1.5)."""
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    ev = t(spark, sf_dir, "events")
+    out = anomaly_detect(ev, "ts", "value", ["event_type"], algo="iqr", k=1.5)
+    return out.select(
+        "event_type", "user_id", "ts",
+        _r4e(F.col("score")).alias("score"), "is_anomaly",
+    )
+
+
+@q(
+    "forecast_holtwinters",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), o AS (
+      SELECT *, lag(value) OVER w AS p1, lag(value, 2) OVER w AS p2,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             max(ts) OVER (PARTITION BY user_id) AS t1
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), f AS (
+      SELECT user_id, max(t1) AS t1, max(n) AS n,
+             max(CASE WHEN rn = n THEN value END) AS xT,
+             max(CASE WHEN rn = n THEN p1 END) AS xT1,
+             COALESCE(stddev_pop(CASE WHEN rn = 2 THEN 0.0
+                          WHEN rn > 2 THEN value - 2 * p1 + p2 END), 0.0)
+                  AS sigma
+      FROM o GROUP BY user_id
+    )
+    SELECT f.user_id,
+           make_timestamp(CAST(epoch_us(f.t1) + h.h * 3600000000 AS BIGINT))
+               AS ts,
+           (ROUND(f.xT + h.h * CASE WHEN f.n >= 2 THEN f.xT - f.xT1
+                                    ELSE 0 END + 0.0000001, 4) + 0)
+               AS forecast_value,
+           (ROUND(f.xT + h.h * CASE WHEN f.n >= 2 THEN f.xT - f.xT1
+                                    ELSE 0 END
+                  - 1.959963986120195 * f.sigma * sqrt(h.h)
+                  + 0.0000001, 4) + 0) AS forecast_low,
+           (ROUND(f.xT + h.h * CASE WHEN f.n >= 2 THEN f.xT - f.xT1
+                                    ELSE 0 END
+                  + 1.959963986120195 * f.sigma * sqrt(h.h)
+                  + 0.0000001, 4) + 0) AS forecast_high,
+           TRUE AS is_forecast
+    FROM f CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS h) h
+    """,
+)
+def q_forecast_holt(spark, sf_dir):
+    """forecast algo=holtwinters (reference TDgpt forecast with rows/conf
+    params, tanalytics.h:32-46). Gate runs alpha=beta=1 where the Holt
+    recursion closes to level=x_T, trend=x_T-x_{T-1} and one-step errors
+    x_t-2x_{t-1}+x_{t-2} — SQL-expressible, so the grouping, horizon
+    generation, sigma and CI math all hash-verify; the general recursion
+    is unit-tested with golden values."""
+    from tdengine_spark.functions.analytics import forecast_holt
+
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    out = forecast_holt(
+        ev, "ts", "value", horizon_rows=5, every="1h",
+        partition_by=["user_id"], alpha=1.0, beta=1.0, conf=0.95,
+    )
+    return out.select(
+        "user_id", "ts",
+        _r4e(F.col("forecast_value")).alias("forecast_value"),
+        _r4e(F.col("forecast_low")).alias("forecast_low"),
+        _r4e(F.col("forecast_high")).alias("forecast_high"),
+        "is_forecast",
+    )
+
+
+@q(
+    "information_schema_columns",
+    """
+    SELECT table_name, column_name AS col_name,
+           CASE lower(data_type)
+                WHEN 'bigint' THEN 'bigint'
+                WHEN 'double' THEN 'double'
+                WHEN 'varchar' THEN 'string'
+                WHEN 'integer' THEN 'int'
+                WHEN 'timestamp' THEN 'timestamp'
+                WHEN 'timestamp_ns' THEN 'timestamp'
+                WHEN 'float[]' THEN 'array<float>'
+                WHEN 'date' THEN 'date'
+                ELSE lower(data_type) END AS col_type,
+           CAST(ordinal_position AS INT) AS col_position
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def q_info_schema_columns(spark, sf_dir):
+    """information_schema.ins_columns analog (systable.h:26-70) over the
+    testdata catalog."""
+    from tdengine_spark.catalog import TESTDATA_TABLES, Database, information_schema
+
+    db = Database(root=sf_dir)
+    for name in TESTDATA_TABLES:
+        db.table(name)
+    out = information_schema(spark, {"testdata": db}, view="ins_columns")
+    # Spark reads parquet TIMESTAMP(isAdjustedToUTC=false) as
+    # timestamp_ntz; both normalize to the engine-neutral 'timestamp'
+    ctype = F.when(
+        F.col("col_type") == "timestamp_ntz", F.lit("timestamp")
+    ).otherwise(F.col("col_type"))
+    return out.select(
+        "table_name", "col_name", ctype.alias("col_type"), "col_position"
+    )
+
+
+@q(
+    "interp_fill_none",
+    f"""
+    WITH g AS (
+      SELECT event_type, {bucket_sql(HOUR_US * 24)} AS day,
+             (ROUND(SUM(value) + 0.0000001, 4) + 0) AS v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT u.event_type,
+             unnest(generate_series(TIMESTAMP '2024-01-05',
+                    TIMESTAMP '2024-01-25', INTERVAL 1 DAY)) AS _irowts
+      FROM (SELECT DISTINCT event_type FROM g) u
+    )
+    SELECT s.event_type, s._irowts, g.v AS value, FALSE AS _isfilled
+    FROM spine s JOIN g
+      ON g.event_type = s.event_type AND g.day = s._irowts
+    """,
+)
+def q_interp_none(spark, sf_dir):
+    """interp ... FILL(none) — the reference DEFAULT when FILL is omitted
+    (FILL_MODE_NONE, parTranslater.c:14626): only instants coinciding
+    with a sample, no interpolation. Runs over a day-bucketed series so
+    exact hits exist."""
+    from tdengine_spark.operators.interp import interp
+
+    ev = t(spark, sf_dir, "events")
+    daily = tw.interval_window(
+        ev, "ts", "1d", partition_by=["event_type"],
+        aggs=[_r4e(F.sum("value")).alias("v")],
+    ).select("event_type", F.col("_wstart").alias("dts"), "v")
+    out = interp(
+        daily, "dts", "v", "2024-01-05", "2024-01-25", "1d",
+        mode="none", partition_by=["event_type"], out_col="value",
+    )
+    return out.select("event_type", "_irowts", "value", "_isfilled")
+
+
+@q(
+    "right_asof_join",
+    """
+    SELECT r.event_id, r.user_id, CAST(r.ts AS TIMESTAMP) AS ts,
+           CAST(min(l.ts) AS TIMESTAMP) AS matched_ts
+    FROM events r LEFT JOIN events l
+      ON r.user_id = l.user_id AND l.ts > r.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_right_asof(spark, sf_dir):
+    """RIGHT ASOF JOIN via the dialect (sql.y:2769-2771 JOIN_TYPE_RIGHT):
+    drives from the right table with the flipped ts comparison. Only the
+    matched ts is projected so ts-ties can't make the gate flap."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark,
+        Database(root=sf_dir),
+        "SELECT r.event_id, r.user_id, r.ts, l.ts AS matched_ts "
+        "FROM events l RIGHT ASOF JOIN events r "
+        "ON l.user_id = r.user_id AND l.ts > r.ts",
+    )
+
+
+@q("ann_multiprobe_topk")  # rows-only: bucket boundary effects are seed-specific
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (probe_radius=1): recall recovered by probing
+    all Hamming-1 buckets — fan-out on the broadcast query side only."""
+    from tdengine_spark.pipeline import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.lsh_ann_topk(
+        emb, queries, dim=64, k=5, nbits=8, probe_radius=1
+    )

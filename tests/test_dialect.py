@@ -220,3 +220,106 @@ def test_standard_join_view_registration(spark):
         "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_name",
     )
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: composition — WHERE on joins, GROUP BY residue, subqueries,
+# RIGHT ASOF, interp default FILL(none)  (reference 09-DataQuerying shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_with_where(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, l.value, r.ts as r_ts FROM events l ASOF JOIN events r "
+        "ON l.ts > r.ts AND l.user_id = r.user_id WHERE l.value > 100",
+    )
+    assert out.where(F.col("value") <= 100).count() == 0
+    assert out.count() > 0
+
+
+def test_window_join_with_where(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, r.ts as r_ts, r.value as r_value "
+        "FROM events l WINDOW JOIN events r "
+        "ON l.user_id = r.user_id WHERE r.value > 100 "
+        "WINDOW_OFFSET(-5m, 5m)",
+    )
+    assert out.where(F.col("r_value") <= 100).count() == 0
+
+
+def test_right_asof_join_dialect(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT r.event_id, r.ts, l.ts AS matched_ts "
+        "FROM events l RIGHT ASOF JOIN events r "
+        "ON l.user_id = r.user_id AND l.ts > r.ts",
+    ).collect()
+    # drives from r: one row per right-side event
+    n = Database(root=SF).read(spark, "events").count()
+    assert len(out) == n
+    # matched ts is strictly after the driving ts whenever matched
+    assert all(r.matched_ts is None or r.matched_ts > r.ts for r in out)
+
+
+def test_partition_by_window_group_by_residue(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT _wstart, count(*) as cnt FROM events "
+        "PARTITION BY event_type INTERVAL(1d) GROUP BY user_id",
+    )
+    # both keys present in the window grouping
+    assert {"event_type", "user_id", "_wstart", "cnt"} <= set(out.columns)
+    expect = (
+        Database(root=SF).read(spark, "events")
+        .groupBy(F.date_trunc("day", "ts"), "event_type", "user_id")
+        .count()
+    )
+    assert out.count() == expect.count()
+
+
+def test_from_subquery_with_window_clause(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT _wstart, count(*) as cnt, round(sum(value), 4) as sv "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "PARTITION BY user_id INTERVAL(1d)",
+    )
+    expect = (
+        Database(root=SF).read(spark, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts"), "user_id")
+        .count()
+    )
+    assert out.count() == expect.count()
+
+
+def test_interp_default_fill_none(spark):
+    # no FILL clause → reference FILL_MODE_NONE: only exact-ts instants
+    out = translate(
+        spark,
+        _db(),
+        "SELECT interp(value) FROM events PARTITION BY event_type "
+        "RANGE('2024-01-01', '2024-01-31') EVERY(1h)",
+    )
+    rows = out.collect()
+    # random-μs event timestamps almost surely never land exactly on the
+    # hour → none (or vanishingly few) exact hits, and nothing is filled
+    assert all(not r._isfilled for r in rows)
+
+
+def test_order_by_desc_on_asof(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT l.ts, l.value, r.ts as r_ts FROM events l ASOF JOIN events r "
+        "ON l.ts > r.ts AND l.user_id = r.user_id ORDER BY ts DESC LIMIT 10",
+    ).collect()
+    ts_list = [r.ts for r in out]
+    assert ts_list == sorted(ts_list, reverse=True)

@@ -60,3 +60,56 @@ def test_masking(spark):
     assert out[0].none == "4111111111111111"
     assert out[1].part == "ab"  # shorter than keep-width: unchanged
     assert out[2].full is None
+
+
+def test_geom_polygon_roundtrip_and_predicates(spark):
+    from tdengine_spark.functions.geometry import (
+        geom_as_text,
+        geom_contains,
+        geom_from_text,
+        geom_intersects,
+    )
+
+    rows = [
+        (0, "POINT (2 2)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),      # inside
+        (1, "POINT (5 5)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),      # outside
+        (2, "POINT (0 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),      # on corner
+        (3, "LINESTRING (0 5, 5 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),  # crosses
+        (4, "LINESTRING (10 10, 12 12)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (5, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),                      # nested
+    ]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    out = df.select(
+        "i",
+        geom_intersects(geom_from_text("a"), geom_from_text("b")).alias("ix"),
+        geom_contains(geom_from_text("b"), geom_from_text("a")).alias("ct"),
+        geom_as_text(geom_from_text("a")).alias("wkt"),
+    ).collect()
+    got = {r.i: (r.ix, r.ct) for r in out}
+    assert got[0] == (True, True)
+    assert got[1] == (False, False)
+    assert got[2] == (True, True)   # boundary counts as contained
+    assert got[3] == (True, False)  # crosses but not contained
+    assert got[4] == (False, False)
+    assert got[5] == (True, True)   # nested polygon contained
+    wkts = {r.i: r.wkt for r in out}
+    assert wkts[0] == "POINT (2.000000 2.000000)"
+    assert wkts[3].startswith("LINESTRING (0.000000 5.000000")
+    assert wkts[5].startswith("POLYGON ((1.000000 1.000000")
+
+
+def test_geom_polygon_with_hole(spark):
+    from tdengine_spark.functions.geometry import geom_contains, geom_from_text
+
+    donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    rows = [(0, "POINT (2 2)", donut), (1, "POINT (5 5)", donut)]
+    df = spark.createDataFrame(rows, "i long, p string, g string")
+    out = {
+        r.i: r.c
+        for r in df.select(
+            "i", geom_contains(geom_from_text("g"), geom_from_text("p")).alias("c")
+        ).collect()
+    }
+    assert out[0] is True    # in the ring
+    assert out[1] is False   # in the hole

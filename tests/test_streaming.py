@@ -249,3 +249,133 @@ def test_recalc_on_late_rows(spark, stream_dir):
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CREATE STREAM dialect (sql.y:1623-1664; reference 18-StreamProcessing)
+# ---------------------------------------------------------------------------
+
+
+def test_create_stream_parse():
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM s1 INTERVAL(1h) SLIDING(30m) FROM events "
+        "PARTITION BY event_type WATERMARK(10s) INTO out_tbl "
+        "AS SELECT _wstart, event_type, count(*) AS cnt, "
+        "avg(value) AS avg_v FROM events"
+    )
+    assert d.name == "s1" and d.trigger == "interval"
+    assert d.trigger_args["width"] == "1h"
+    assert d.trigger_args["sliding"] == "30m"
+    assert d.partition_by == ["event_type"]
+    assert d.watermark == "10s" and d.into == "out_tbl"
+
+    d2 = parse_create_stream(
+        "CREATE STREAM IF NOT EXISTS s2 SESSION(ts, 30m) FROM events "
+        "PARTITION BY user_id INTO sess_out"
+    )
+    assert d2.trigger == "session" and d2.trigger_args["gap"] == "30m"
+
+    d3 = parse_create_stream(
+        "CREATE STREAM s3 COUNT_WINDOW(100) FROM events "
+        "PARTITION BY user_id INTO cw_out"
+    )
+    assert d3.trigger == "count_window" and d3.trigger_args["count"] == 100
+
+    d4 = parse_create_stream(
+        "CREATE STREAM s4 PERIOD(10s) FROM events INTO raw_out"
+    )
+    assert d4.trigger == "period"
+    assert d4.sink_trigger() == {"processingTime": "10 seconds"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_create_stream("CREATE STREAM bad FOO(1) FROM x INTO y")
+
+
+def test_create_stream_interval_equal_to_batch(spark, stream_dir):
+    """CREATE STREAM INTERVAL(...) runs and matches the batch answer."""
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+    from tdengine_spark.streaming.stream import read_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM cs_int INTERVAL(1d) FROM events "
+        "PARTITION BY event_type INTO out1 "
+        "AS SELECT _wstart, event_type, count(*) AS cnt, "
+        "round(sum(value), 4) AS sum_v FROM events"
+    )
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=2)
+    q = _run_available_now(d.apply(src), stream_dir, "cs_int")
+    got = {
+        (str(r._wstart), r.event_type): (r.cnt, r.sum_v)
+        for r in spark.sql("SELECT * FROM cs_int").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{stream_dir}/in")
+        .groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(F.col("_w.start").alias("_wstart"), "event_type", "cnt", "sum_v")
+    )
+    want = {
+        (str(r._wstart), r.event_type): (r.cnt, r.sum_v)
+        for r in batch.collect()
+    }
+    # append mode: the tail day's windows stay open at end-of-input (the
+    # watermark never passes them) — every FINALIZED window must match
+    last_day = max(k[0] for k in want)
+    want_final = {k: v for k, v in want.items() if k[0] != last_day}
+    assert set(got) >= set(want_final)
+    assert all(got[k] == v for k, v in want_final.items())
+    assert all(got[k] == want[k] for k in got)  # nothing emitted is wrong
+
+
+def test_create_stream_session_equal_to_batch(spark, stream_dir):
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+    from tdengine_spark.streaming.stream import read_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM cs_sess SESSION(ts, 30m) FROM events "
+        "PARTITION BY user_id INTO out2 "
+        "AS SELECT _wstart, user_id, count(*) AS cnt FROM events"
+    )
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=2)
+    q = _run_available_now(d.apply(src), stream_dir, "cs_sess")
+    got = {
+        (str(r._wstart), r.user_id): r.cnt
+        for r in spark.sql("SELECT * FROM cs_sess").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{stream_dir}/in")
+        .groupBy(F.session_window("ts", "30 minutes").alias("_w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("_w.start").alias("_wstart"), "user_id", "cnt")
+    )
+    want = {(str(r._wstart), r.user_id): r.cnt for r in batch.collect()}
+    # append mode: sessions still open at end-of-input aren't emitted —
+    # everything emitted must match batch, and most sessions finalize
+    assert len(got) >= len(want) * 0.8
+    assert all(want.get(k) == v for k, v in got.items())
+
+
+def test_create_stream_count_window_runs(spark, ordered_stream_dir):
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+    from tdengine_spark.streaming.stream import read_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM cs_cw COUNT_WINDOW(50) FROM events "
+        "PARTITION BY user_id INTO out3"
+    )
+    schema = spark.read.parquet(f"{ordered_stream_dir}/in").schema
+    src = read_stream(
+        spark, f"{ordered_stream_dir}/in", schema, max_files_per_trigger=1
+    )
+    q = _run_available_now(d.apply(src), ordered_stream_dir, "cs_cw")
+    rows = spark.sql("SELECT * FROM cs_cw").collect()
+    assert all(r.n_rows == 50 for r in rows)
+    # every emitted window is a complete block of 50 rows of one user
+    total = spark.read.parquet(f"{ordered_stream_dir}/in").count()
+    assert 0 < len(rows) <= total // 50

@@ -204,3 +204,106 @@ def test_query_pseudocols(spark):
     row = df.select("_qstart", "_qend", "_qduration").first()
     assert str(row._qstart) == "2024-01-05 00:00:00"
     assert row._qduration == 86400 * 1_000_000
+
+
+def test_anomaly_mad_and_iqr(spark):
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    # 10 spread inliers around 10 plus one gross outlier; median=10,
+    # MAD=1 (robust), q1=9.5 q3=11 — only the outlier trips either fence
+    vals = [8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 10.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    mad = anomaly_detect(df, "ts", "v", algo="mad", k=3.0).collect()
+    flagged = {r.ts for r in mad if r.is_anomaly}
+    assert flagged == {10}
+    iqr = anomaly_detect(df, "ts", "v", algo="iqr", k=1.5).collect()
+    assert {r.ts for r in iqr if r.is_anomaly} == {10}
+    with __import__("pytest").raises(ValueError):
+        anomaly_detect(df, "ts", "v", algo="nope").collect()
+
+
+def test_anomaly_mad_flags_outlier_nonzero_mad(spark):
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    out = anomaly_detect(df, "ts", "v", algo="mad", k=3.0).collect()
+    by_ts = {r.ts: r for r in out}
+    assert by_ts[9].is_anomaly
+    assert not by_ts[4].is_anomaly
+    # median=5.5, MAD=median(|v-5.5|)=2.5 → score(100)=(100-5.5)/(1.4826*2.5)
+    assert abs(by_ts[9].score - (100 - 5.5) / (1.4826 * 2.5)) < 1e-9
+
+
+def test_forecast_holt_golden(spark):
+    """General (alpha, beta) recursion against a hand-run golden trace."""
+    import numpy as np
+
+    from tdengine_spark.functions.analytics import forecast_holt
+
+    xs = [10.0, 12.0, 11.0, 13.0, 14.0]
+    base = 1_700_000_000_000_000  # us epoch
+    step = 3_600_000_000
+    rows = [(i, base + i * step, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, ts_us long, v double").select(
+        F.timestamp_micros(F.col("ts_us")).alias("ts"), "v"
+    )
+    alpha, beta = 0.5, 0.3
+    out = forecast_holt(
+        df, "ts", "v", horizon_rows=3, every="1h", alpha=alpha, beta=beta
+    ).collect()
+    # independent replica of the recursion
+    level, trend = xs[0], xs[1] - xs[0]
+    errs = []
+    for v in xs[1:]:
+        errs.append(v - (level + trend))
+        nl = alpha * v + (1 - alpha) * (level + trend)
+        trend = beta * (nl - level) + (1 - beta) * trend
+        level = nl
+    sigma = float(np.std(errs))
+    z = 1.959963986120195
+    got = sorted((r.ts, r.forecast_value, r.forecast_low, r.forecast_high)
+                 for r in out)
+    assert len(got) == 3
+    for h, (ts_, fv, lo, hi) in enumerate(got, start=1):
+        want = level + h * trend
+        assert abs(fv - want) < 1e-9
+        assert abs(lo - (want - z * sigma * np.sqrt(h))) < 1e-9
+        assert abs(hi - (want + z * sigma * np.sqrt(h))) < 1e-9
+    import datetime as _dt
+
+    t1_plus_1h = _dt.datetime.utcfromtimestamp((base + 5 * step) / 1e6)
+    assert got[0][0] == t1_plus_1h  # t1 + 1h
+
+
+def test_forecast_holt_single_point(spark):
+    from tdengine_spark.functions.analytics import forecast_holt
+
+    df = spark.createDataFrame(
+        [(1_700_000_000_000_000, 42.0)], "ts_us long, v double"
+    ).select(F.timestamp_micros(F.col("ts_us")).alias("ts"), "v")
+    out = forecast_holt(df, "ts", "v", horizon_rows=2, every="1h").collect()
+    assert [r.forecast_value for r in sorted(out, key=lambda r: r.ts)] == [42.0, 42.0]
+    assert all(r.forecast_low == 42.0 and r.forecast_high == 42.0 for r in out)
+
+
+def test_information_schema_views(spark):
+    from tdengine_spark.catalog import Database, information_schema
+
+    db = Database(root=SF)
+    db.tables.clear()
+    tbl = db.table("events")
+    tbl.tag_cols = ("event_type",)
+    stables = information_schema(spark, {"d": db}, "ins_stables").collect()
+    assert len(stables) == 1 and stables[0].stable_name == "events"
+    assert stables[0].columns == 6 and stables[0].tags == 1
+    cols = information_schema(spark, {"d": db}, "ins_columns").collect()
+    assert [c.col_name for c in sorted(cols, key=lambda r: r.col_position)] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    tags = information_schema(spark, {"d": db}, "ins_tags").collect()
+    assert [(t.tag_name, t.tag_type) for t in tags] == [("event_type", "string")]
