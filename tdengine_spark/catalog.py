@@ -138,16 +138,26 @@ def dedup_keep_last(
     duplicate-ts semantics (taosdef.h TD_ROW_OVERWRITE_UPDATE) as a read-
     time transform.
 
-    With no explicit version column, "newest" falls back to an arbitrary
-    single row per key (still deterministic under Parquet file order is NOT
-    guaranteed, so ingest should stamp ``_version``).
+    ``version_col`` is REQUIRED (``sources.ingest.append_batch`` stamps
+    ``_version`` on every batch): "newest" derived from row order is
+    nondeterministic under re-partitioning, so this refuses to guess.
 
     Scale: one hash aggregate; partial aggregation collapses duplicates
     map-side before the shuffle, so cost ~ one groupBy on the natural key.
     """
+    if not version_col:
+        if "_version" in df.columns:
+            version_col = "_version"
+        else:
+            raise ValueError(
+                "dedup_keep_last needs a version column to define 'newest' "
+                "deterministically — ingest via sources.ingest.append_batch "
+                "(stamps _version) or pass version_col explicitly"
+            )
     other = [c for c in df.columns if c not in keys]
-    ver = F.col(version_col) if version_col else F.monotonically_increasing_id()
-    packed = df.select(*keys, F.struct(*other).alias("_row"), ver.alias("_v"))
+    packed = df.select(
+        *keys, F.struct(*other).alias("_row"), F.col(version_col).alias("_v")
+    )
     deduped = packed.groupBy(*keys).agg(F.max_by("_row", "_v").alias("_row"))
     return deduped.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in other])
 

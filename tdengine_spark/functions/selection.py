@@ -136,3 +136,24 @@ def sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cols(
+    anchor: "str | Column",
+    *out_cols: "str | Column",
+    how: str = "max",
+    prefix: str = "",
+) -> "list[Column]":
+    """reference ``cols(selector(expr), c1, c2, …)`` (builtins.c:6831):
+    values of c1…cn taken from the row the selector picks. ``how='max'``
+    ≙ cols(last/max(anchor), …), ``how='min'`` ≙ cols(first/min(…), …).
+    Returns aggregate Columns usable in any groupBy — implemented as
+    max_by/min_by so Spark runs it as one hash aggregate."""
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    fn = F.max_by if how == "max" else F.min_by
+    out = []
+    for c in out_cols:
+        col = F.col(c) if isinstance(c, str) else c
+        name = c if isinstance(c, str) else "col"
+        out.append(fn(col, a).alias(f"{prefix}{name}"))
+    return out

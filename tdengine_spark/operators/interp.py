@@ -43,6 +43,7 @@ def interp(
     partition_by: "list[str] | None" = None,
     fill_value: "float | None" = None,
     out_col: "str | None" = None,
+    group_values: "list | DataFrame | None" = None,
 ) -> DataFrame:
     """Resample ``val_col`` to instants range_start, +every, ... ≤ range_end.
 
@@ -50,6 +51,12 @@ def interp(
     (partition, _irowts). NULL results outside the data range follow the
     reference: PREV holds nothing before the first sample, NEXT nothing
     after the last, LINEAR needs both sides, NEAR takes whichever exists.
+
+    ``group_values``: the distinct partition-key values, as a list of
+    tuples (single-key: scalars) or a DataFrame. When omitted they are
+    derived with ``df.select(keys).distinct()`` — a second scan of the
+    input. At scale, pass the known key set (tags usually live in a tiny
+    dimension table) so the fact table is scanned exactly once.
     """
     mode = mode.lower()
     if mode not in INTERP_MODES:
@@ -62,7 +69,20 @@ def interp(
     hi = F.lit(range_end).cast("timestamp")
     step = F.expr(f"interval {every_d.interval_string()}")
 
-    groups = df.select(*keys).distinct() if keys else df.select(F.lit(1).alias("_g")).limit(1)
+    if keys and group_values is not None:
+        if isinstance(group_values, DataFrame):
+            groups = group_values.select(*keys)
+        else:
+            rows = [
+                v if isinstance(v, (tuple, list)) else (v,) for v in group_values
+            ]
+            groups = df.sparkSession.createDataFrame(
+                rows, df.select(*keys).schema
+            )
+    elif keys:
+        groups = df.select(*keys).distinct()
+    else:
+        groups = df.select(F.lit(1).alias("_g")).limit(1)
     spine = groups.select(
         *(keys or []),
         F.explode(F.sequence(lo, hi, step)).alias("_t"),

@@ -107,13 +107,36 @@ class StreamDef:
             return src
         raise ValueError(f"unknown trigger {self.trigger!r}")
 
+    # -- STREAM_OPTIONS (sql.y:1730-1739) ---------------------------------
+
+    def max_delay(self) -> "str | None":
+        """MAX_DELAY(d): emit intermediate window results at latency ≤ d
+        even before the window closes."""
+        for o in self.options:
+            m = re.match(r"MAX_DELAY\s*\(\s*([^)]+)\s*\)", o, re.IGNORECASE)
+            if m:
+                return m.group(1).strip()
+        return None
+
+    def has_option(self, name: str) -> bool:
+        return any(o.upper().startswith(name.upper()) for o in self.options)
+
     def sink_trigger(self) -> "dict | None":
-        """writeStream.trigger kwargs implied by the trigger type."""
+        """writeStream.trigger kwargs implied by the trigger type/options."""
         from tdengine_spark.streaming.stream import period_trigger_options
 
+        delay = self.max_delay()
+        if delay is not None:
+            return period_trigger_options(delay)
         if self.trigger == "period":
             return period_trigger_options(self.trigger_args["period"])
         return None
+
+    def output_mode(self) -> str:
+        """MAX_DELAY → update mode: every micro-batch pushes the current
+        (partial) window aggregates, the reference's early-emit semantics;
+        otherwise append (windows emit once, finalized by the watermark)."""
+        return "update" if self.max_delay() is not None else "append"
 
     def _aggs(self, ts_col: str) -> "list | None":
         if not self.select:
@@ -212,12 +235,30 @@ def parse_create_stream(sql: str) -> StreamDef:
             [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
         ),
         options=(
-            [o.strip().upper() for o in g["options"].split("|")] if g["options"] else []
+            [o.strip() for o in g["options"].split("|")] if g["options"] else []
         ),
         watermark=(g["watermark"] or "").strip() or None,
         into=g["into"],
         select=(g["query"] or "").strip() or None,
     )
+
+
+def batch_sink_hook(defn: StreamDef, write_batch):
+    """foreachBatch wrapper honoring IGNORE_NODATA_TRIGGER (skip firings
+    whose batch produced no rows — the reference's no-data gate for
+    wall-clock triggers) and FORCE_OUTPUT (fire even on empty batches:
+    ``write_batch`` receives the empty frame and must emit its
+    placeholder row). Default behavior (neither flag): write whatever
+    the batch holds, empty or not."""
+    ignore_nodata = defn.has_option("IGNORE_NODATA_TRIGGER")
+    force = defn.has_option("FORCE_OUTPUT")
+
+    def hook(batch_df, batch_id):
+        if ignore_nodata and batch_df.isEmpty():
+            return
+        write_batch(batch_df, batch_id, force_output=force)
+
+    return hook
 
 
 def create_stream(
@@ -232,7 +273,11 @@ def create_stream(
 ):
     """Full deployment path: parse, read the FROM table as a file-source
     stream under ``in_root``, apply the trigger, start the parquet sink
-    at ``out_root/<into>``. Returns the StreamingQuery."""
+    at ``out_root/<into>``. Returns the StreamingQuery.
+
+    STREAM_OPTIONS honored here: MAX_DELAY(d) → update-mode sink firing
+    every d (early partial windows); IGNORE_NODATA_TRIGGER /
+    FORCE_OUTPUT → foreachBatch gate (see ``batch_sink_hook``)."""
     from tdengine_spark.streaming.stream import read_stream, write_into
 
     defn = parse_create_stream(sql)
@@ -240,9 +285,32 @@ def create_stream(
     schema = spark.read.parquet(src_path).schema
     src = read_stream(spark, src_path, schema, max_files_per_trigger)
     result = defn.apply(src, ts_col, value_col)
+    out_path = f"{out_root}/{defn.into}"
+    ckpt = f"{checkpoint_root}/{defn.name}"
+    if defn.has_option("IGNORE_NODATA_TRIGGER") or defn.has_option("FORCE_OUTPUT"):
+
+        def write_batch(batch_df, batch_id, force_output=False):
+            if force_output and batch_df.isEmpty():
+                # FORCE_OUTPUT: a firing with no data still writes a row
+                # of NULL aggregates (reference empty-window emission)
+                batch_df = batch_df.sparkSession.createDataFrame(
+                    [tuple(None for _ in batch_df.columns)], batch_df.schema
+                )
+            batch_df.write.mode("append").parquet(out_path)
+
+        w = (
+            result.writeStream.outputMode(defn.output_mode())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(batch_sink_hook(defn, write_batch))
+        )
+        trig = defn.sink_trigger()
+        if trig:
+            w = w.trigger(**trig)
+        return w.start()
     return write_into(
         result,
-        f"{out_root}/{defn.into}",
-        f"{checkpoint_root}/{defn.name}",
+        out_path,
+        ckpt,
+        output_mode=defn.output_mode(),
         trigger=defn.sink_trigger(),
     )

@@ -113,3 +113,46 @@ def test_geom_polygon_with_hole(spark):
     }
     assert out[0] is True    # in the ring
     assert out[1] is False   # in the hole
+
+
+def test_totp_rfc6238_vectors(spark):
+    """Official RFC 6238 SHA-1 test vectors (secret '12345678901234567890')."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from tdengine_spark.functions.masking import totp
+
+    secret = base64.b32encode(b"12345678901234567890").decode()
+    vectors = [(59, "94287082"), (1111111109, "07081804"), (1234567890, "89005924")]
+    df = spark.createDataFrame(
+        [(secret, t * 1_000_000) for t, _ in vectors], "k string, us long"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    got = [r.c for r in df.select(totp("k", "ts", 8).alias("c")).collect()]
+    assert sorted(got) == sorted(v for _, v in vectors)
+    # NULL key → NULL code
+    nulls = spark.createDataFrame(
+        [(None, 59_000_000)], "k string, us long"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    assert nulls.select(totp("k", "ts").alias("c")).first().c is None
+
+
+def test_cols_selector(spark):
+    from pyspark.sql import functions as F
+
+    from tdengine_spark.functions.selection import cols
+
+    ev = spark.createDataFrame(
+        [("a", 1, 10.0, "x"), ("a", 2, 20.0, "y"), ("b", 1, 5.0, "z")],
+        "k string, ts long, v double, tag string",
+    )
+    got = {
+        r.k: (r.v, r.tag)
+        for r in ev.groupBy("k").agg(*cols("ts", "v", "tag")).collect()
+    }
+    assert got == {"a": (20.0, "y"), "b": (5.0, "z")}
+    first = {
+        r.k: r.v
+        for r in ev.groupBy("k").agg(*cols("ts", "v", how="min")).collect()
+    }
+    assert first == {"a": 10.0, "b": 5.0}

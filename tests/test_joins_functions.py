@@ -138,6 +138,13 @@ def test_dedup_keep_last(spark):
     out = dedup_keep_last(df, ["tbname", "ts"], version_col="_version").collect()
     got = {(r.ts, r.v) for r in out}
     assert got == {(ts("2024-01-01 00:00:00"), 2.0), (ts("2024-01-01 00:00:01"), 3.0)}
+    # implicit _version column is picked up; anything else refuses to guess
+    out2 = dedup_keep_last(df, ["tbname", "ts"]).collect()
+    assert {(r.ts, r.v) for r in out2} == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version column"):
+        dedup_keep_last(df.drop("_version"), ["tbname", "ts"])
 
 
 def test_asof_jlimit_backward(spark):

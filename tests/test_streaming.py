@@ -379,3 +379,96 @@ def test_create_stream_count_window_runs(spark, ordered_stream_dir):
     # every emitted window is a complete block of 50 rows of one user
     total = spark.read.parquet(f"{ordered_stream_dir}/in").count()
     assert 0 < len(rows) <= total // 50
+
+
+def test_stream_options_parse_and_modes():
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM s5 INTERVAL(1h) FROM events PARTITION BY event_type "
+        "STREAM_OPTIONS(MAX_DELAY(5s) | IGNORE_NODATA_TRIGGER) INTO out5 "
+        "AS SELECT _wstart, event_type, count(*) AS cnt FROM events"
+    )
+    assert d.max_delay() == "5s"
+    assert d.has_option("IGNORE_NODATA_TRIGGER")
+    assert not d.has_option("FORCE_OUTPUT")
+    assert d.output_mode() == "update"
+    assert d.sink_trigger() == {"processingTime": "5 seconds"}
+
+    d2 = parse_create_stream(
+        "CREATE STREAM s6 PERIOD(30s) FROM events "
+        "STREAM_OPTIONS(FORCE_OUTPUT) INTO out6"
+    )
+    assert d2.has_option("FORCE_OUTPUT") and d2.output_mode() == "append"
+
+
+def test_batch_sink_hook_gates(spark):
+    from tdengine_spark.streaming.create_stream import (
+        batch_sink_hook,
+        parse_create_stream,
+    )
+
+    calls = []
+
+    def write_batch(df, batch_id, force_output=False):
+        calls.append((batch_id, df.count(), force_output))
+
+    d_ignore = parse_create_stream(
+        "CREATE STREAM g1 PERIOD(1s) FROM events "
+        "STREAM_OPTIONS(IGNORE_NODATA_TRIGGER) INTO o1"
+    )
+    hook = batch_sink_hook(d_ignore, write_batch)
+    empty = spark.createDataFrame([], "a long")
+    full = spark.createDataFrame([(1,)], "a long")
+    hook(empty, 0)   # skipped
+    hook(full, 1)    # written
+    assert calls == [(1, 1, False)]
+
+    calls.clear()
+    d_force = parse_create_stream(
+        "CREATE STREAM g2 PERIOD(1s) FROM events "
+        "STREAM_OPTIONS(FORCE_OUTPUT) INTO o2"
+    )
+    hook2 = batch_sink_hook(d_force, write_batch)
+    hook2(empty, 2)  # NOT skipped: force_output flag rides through
+    assert calls == [(2, 0, True)]
+
+
+def test_max_delay_emits_unclosed_windows(spark, stream_dir):
+    """MAX_DELAY → update mode: the tail window (never finalized by the
+    watermark) still appears in the sink — the early-emit semantics."""
+    from tdengine_spark.streaming.create_stream import parse_create_stream
+    from tdengine_spark.streaming.stream import read_stream
+
+    d = parse_create_stream(
+        "CREATE STREAM cs_md INTERVAL(1d) FROM events "
+        "PARTITION BY event_type STREAM_OPTIONS(MAX_DELAY(1s)) INTO outm "
+        "AS SELECT _wstart, event_type, count(*) AS cnt FROM events"
+    )
+    schema = spark.read.parquet(f"{stream_dir}/in").schema
+    src = read_stream(spark, f"{stream_dir}/in", schema, max_files_per_trigger=2)
+    q = (
+        d.apply(src)
+        .writeStream.outputMode(d.output_mode())
+        .format("memory")
+        .queryName("cs_md")
+        .option("checkpointLocation", f"{stream_dir}/ckpt_md")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT _wstart, event_type, max(cnt) AS cnt FROM cs_md "
+        "GROUP BY _wstart, event_type"
+    ).collect()
+    batch = (
+        spark.read.parquet(f"{stream_dir}/in")
+        .groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("_w.start").alias("_wstart"), "event_type", "cnt")
+    )
+    want = {(str(r._wstart), r.event_type): r.cnt for r in batch.collect()}
+    gotd = {(str(r._wstart), r.event_type): r.cnt for r in got}
+    # update mode: EVERY window appears (including the tail day), and the
+    # final update per window equals the batch answer
+    assert gotd == want
