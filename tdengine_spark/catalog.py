@@ -262,3 +262,40 @@ def information_schema(
         f"unknown information_schema view {view!r}; supported: "
         "ins_tables, ins_stables, ins_columns, ins_tags"
     )
+
+
+def block_dist(spark: SparkSession, path: str) -> DataFrame:
+    """``SHOW TABLE DISTRIBUTED`` / BlockDistScan analog (reference
+    executor blockdistscan; tsdbRead block distribution): per-file
+    row-group statistics from the parquet footers — rows, compressed and
+    uncompressed bytes per block. Footer-only reads via pyarrow (no data
+    scan), the same way the reference serves block stats from metadata.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            glob.glob(f"{path}/*.parquet") + glob.glob(f"{path}/**/*.parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    rows = []
+    for f in files:
+        meta = pq.read_metadata(f)
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            comp = sum(
+                g.column(c).total_compressed_size for c in range(g.num_columns)
+            )
+            rows.append(
+                (os.path.basename(f), rg, g.num_rows, comp, g.total_byte_size)
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, row_group int, num_rows long, compressed_bytes long, "
+        "total_bytes long",
+    )

@@ -555,6 +555,121 @@ def _windowed(base, window, items, keys, fill_spec, ts_col):
     return window_agg(assigned, ts_col, aggs, keys)
 
 
+_INSERT_RE = re.compile(
+    r"""
+    ^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*)
+    (?:\s+USING\s+(?P<stable>[A-Za-z_][\w.]*)
+        \s*(?:\(\s*(?P<tagcols>[^)]*?)\s*\))?
+        \s*TAGS\s*\((?P<tags>.*?)\))?
+    (?:\s*\(\s*(?P<cols>[^)]*?)\s*\))?
+    \s+VALUES\s*(?P<values>.+?)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.upper() == "NULL":
+        return None
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
+
+
+def _split_value_groups(text: str) -> list[list]:
+    """``(a, b)(c, d), (e, f)`` → [[a,b],[c,d],[e,f]] (balanced-paren,
+    quote-aware)."""
+    groups, depth, in_str, start = [], 0, False, None
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    groups.append(
+                        [_parse_literal(t) for t in _split_select(text[start:i])]
+                    )
+    return groups
+
+
+def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
+    """``INSERT INTO tbl [USING stable [(tagcols)] TAGS(...)] [(cols)]
+    VALUES (...)[(...)…]`` (grammar sql.y INSERT rules; the reference's
+    parser bypasses the planner the same way — parInsertSql.c). Appends
+    to the table's parquet dataset; returns the row count written.
+
+    USING = child-table insert: rows land in the SUPER table's dataset
+    with ``tbname`` = the child name and the tag columns set from TAGS —
+    the reference's child-table→super-table row mapping.
+    """
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(f"unrecognized INSERT statement: {sql!r}")
+    g = m.groupdict()
+    rows = _split_value_groups(g["values"])
+    if not rows:
+        raise ValueError("INSERT with no VALUES rows")
+    cols = [c.strip() for c in g["cols"].split(",")] if g["cols"] else None
+    target = g["stable"] or g["table"]
+    path = f"{db.root}/{target}.parquet"
+    import os
+
+    schema = None
+    if os.path.exists(path):
+        schema = spark.read.parquet(path).schema
+
+    extra = {}
+    if g["stable"]:
+        extra["tbname"] = g["table"]
+        tagvals = [_parse_literal(t) for t in _split_select(g["tags"])]
+        tagcols = (
+            [c.strip() for c in g["tagcols"].split(",")]
+            if g["tagcols"]
+            else [f"tag{i}" for i in range(len(tagvals))]
+        )
+        extra.update(dict(zip(tagcols, tagvals)))
+
+    if cols is None:
+        if schema is None:
+            raise ValueError(
+                "INSERT without a column list needs an existing table schema"
+            )
+        cols = [f.name for f in schema if f.name not in extra]
+        cols = cols[: len(rows[0])]
+    data = [dict(zip(cols, r), **extra) for r in rows]
+    if schema is not None:
+        out_fields = [f for f in schema if f.name in set(cols) | set(extra)]
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(data, T.StructType(out_fields))
+    else:
+        df = spark.createDataFrame(data)
+    df.write.mode("append").parquet(path)
+    return len(rows)
+
+
+def execute(spark: SparkSession, db: Database, sql: str, ts_col: str = "ts"):
+    """Single SQL entry point: SELECT → DataFrame plan (``translate``),
+    INSERT → append + row count, CREATE STREAM → StreamDef."""
+    s = sql.lstrip().upper()
+    if s.startswith("INSERT"):
+        return translate_insert(spark, db, sql)
+    if s.startswith("CREATE STREAM"):
+        from tdengine_spark.streaming.create_stream import parse_create_stream
+
+        return parse_create_stream(sql)
+    return translate(spark, db, sql, ts_col)
+
+
 def _view_exists(spark: SparkSession, name: str) -> bool:
     try:
         return spark.catalog.tableExists(name)

@@ -323,3 +323,63 @@ def test_order_by_desc_on_asof(spark):
     ).collect()
     ts_list = [r.ts for r in out]
     assert ts_list == sorted(ts_list, reverse=True)
+
+
+def test_insert_dialect_roundtrip(spark, tmp_path):
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    n = execute(
+        spark, db,
+        "INSERT INTO readings (ts, value, quality) VALUES "
+        "('2024-01-01 00:00:00', 1.5, 10)('2024-01-01 00:01:00', 2.5, NULL), "
+        "('2024-01-01 00:02:00', 3.5, 30)",
+    )
+    assert n == 3
+    out = db.read(spark, "readings").orderBy("ts").collect()
+    assert [r.value for r in out] == [1.5, 2.5, 3.5]
+    assert out[1].quality is None
+    # append to the now-existing table uses its schema
+    execute(
+        spark, db,
+        "INSERT INTO readings (ts, value, quality) VALUES "
+        "('2024-01-01 00:03:00', 4.5, 40)",
+    )
+    assert db.read(spark, "readings").count() == 4
+
+
+def test_insert_using_stable_tags(spark, tmp_path):
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(
+        spark, db,
+        "INSERT INTO d1001 USING meters (location, group_id) "
+        "TAGS ('sf', 2) (ts, current) VALUES "
+        "('2024-01-01 00:00:00', 10.5)('2024-01-01 00:00:10', 11.0)",
+    )
+    execute(
+        spark, db,
+        "INSERT INTO d1002 USING meters (location, group_id) "
+        "TAGS ('la', 3) (ts, current) VALUES ('2024-01-01 00:00:00', 9.0)",
+    )
+    out = db.read(spark, "meters")
+    assert out.count() == 3
+    got = {r.tbname: (r.location, r.group_id) for r in out.collect()}
+    assert got == {"d1001": ("sf", 2), "d1002": ("la", 3)}
+
+
+def test_execute_dispatch(spark, tmp_path):
+    from tdengine_spark.dialect import execute
+    from tdengine_spark.streaming.create_stream import StreamDef
+
+    d = execute(
+        spark, Database(root=SF),
+        "CREATE STREAM s INTERVAL(1h) FROM events INTO o",
+    )
+    assert isinstance(d, StreamDef)
+    df = execute(
+        spark, Database(root=SF),
+        "SELECT count(*) as n FROM events",
+    )
+    assert df.first().n > 0

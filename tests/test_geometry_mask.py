@@ -156,3 +156,68 @@ def test_cols_selector(spark):
         for r in ev.groupBy("k").agg(*cols("ts", "v", how="min")).collect()
     }
     assert first == {"a": 10.0, "b": 5.0}
+
+
+def test_sm4_vector_and_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from tdengine_spark.functions.sm4 import sm4_decrypt, sm4_encrypt
+
+    key = bytes.fromhex("0123456789ABCDEFFEDCBA9876543210")
+    df = spark.createDataFrame(
+        [(1, "attack at dawn"), (2, ""), (3, None)], "i long, msg string"
+    )
+    enc = df.select("i", sm4_encrypt("msg", key).alias("ct"))
+    dec = enc.select("i", sm4_decrypt("ct", key).alias("pt"))
+    got = {r.i: (bytes(r.pt).decode() if r.pt is not None else None)
+           for r in dec.collect()}
+    assert got == {1: "attack at dawn", 2: "", 3: None}
+    # CBC differs from ECB for multi-block input and round-trips
+    long = spark.createDataFrame(
+        [(0, "x" * 64)], "i long, msg string"
+    )
+    iv = bytes(range(16))
+    ecb = bytes(long.select(sm4_encrypt("msg", key).alias("c")).first().c)
+    cbc = bytes(
+        long.select(sm4_encrypt("msg", key, mode="CBC", iv=iv).alias("c")).first().c
+    )
+    assert ecb != cbc
+    back = long.select(
+        sm4_decrypt(sm4_encrypt("msg", key, mode="CBC", iv=iv), key,
+                    mode="CBC", iv=iv).alias("p")
+    ).first().p
+    assert bytes(back).decode() == "x" * 64
+    # ECB of identical blocks repeats (the known ECB weakness — proves
+    # real block-cipher behavior, not a stub)
+    assert ecb[:16] == ecb[16:32]
+
+
+def test_block_dist(spark):
+    from tdengine_spark.catalog import block_dist
+
+    out = block_dist(spark, "/root/testdata/sf0.001/events.parquet")
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert sum(r.num_rows for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    assert all(r.compressed_bytes > 0 and r.total_bytes > 0 for r in rows)
+
+
+def test_sm4_official_vector():
+    """GB/T 32907-2016 appendix A known-answer test (no Spark needed)."""
+    import numpy as np
+
+    from tdengine_spark.functions.sm4 import _crypt_blocks, _round_keys
+
+    key = bytes.fromhex("0123456789ABCDEFFEDCBA9876543210")
+    pt = bytes.fromhex("0123456789ABCDEFFEDCBA9876543210")
+    rk = _round_keys(key)
+    blocks = np.frombuffer(pt, dtype=">u4").astype(np.uint32).reshape(-1, 4)
+    ct = _crypt_blocks(blocks, rk).astype(">u4").tobytes()
+    assert ct.hex() == "681edf34d206965e86b3e94f536e4246"
+    # decrypt = reversed round keys
+    back = _crypt_blocks(
+        np.frombuffer(ct, dtype=">u4").astype(np.uint32).reshape(-1, 4), rk[::-1]
+    ).astype(">u4").tobytes()
+    assert back == pt
