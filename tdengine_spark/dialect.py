@@ -57,8 +57,8 @@ _CLAUSE_RE = re.compile(
     (?:\s+(?P<window>
         INTERVAL\s*\(.*?\)(?:\s+SLIDING\s*\(.*?\))?
       | SESSION\s*\(.*?\)
-      | STATE_WINDOW\s*\(.*?\)
-      | EVENT_WINDOW\s+START\s+WITH\s+.*?\s+END\s+WITH\s+[^\s]+(?:\s*[<>=!]+\s*[^\s]+)?
+      | STATE_WINDOW\s*\(.*?\)(?:\s+TRUE_FOR\s*\(.*?\))?
+      | EVENT_WINDOW\s+START\s+WITH\s+.*?\s+END\s+WITH\s+[^\s]+(?:\s*[<>=!]+\s*[^\s]+)?(?:\s+TRUE_FOR\s*\(.*?\))?
       | COUNT_WINDOW\s*\(.*?\)
     ))?
     (?:\s+FILL\s*\((?P<fill>.*?)\))?
@@ -531,6 +531,14 @@ def _windowed(base, window, items, keys, fill_spec, ts_col):
 
     from tdengine_spark.operators.eventwindow import window_agg
 
+    # TRUE_FOR(d): minimum window duration (state/event windows,
+    # sql.y TRUE_FOR clause) — stripped here, applied in window_agg
+    true_for = None
+    tf = re.search(r"\s+true_for\s*\(\s*([^)]+)\s*\)\s*$", wl)
+    if tf:
+        true_for = tf.group(1).strip()
+        wl = wl[: tf.start()]
+
     if wl.startswith("session"):
         mm = re.match(r"session\s*\(\s*([^,]+),\s*([^)]+)\)", wl)
         assigned = assign_session_windows(base, mm.group(1).strip(), mm.group(2).strip(), keys)
@@ -552,7 +560,7 @@ def _windowed(base, window, items, keys, fill_spec, ts_col):
         )
     else:
         raise ValueError(f"unsupported window clause: {window}")
-    return window_agg(assigned, ts_col, aggs, keys)
+    return window_agg(assigned, ts_col, aggs, keys, true_for=true_for)
 
 
 _INSERT_RE = re.compile(
@@ -647,26 +655,92 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         cols = cols[: len(rows[0])]
     data = [dict(zip(cols, r), **extra) for r in rows]
     if schema is not None:
-        out_fields = [f for f in schema if f.name in set(cols) | set(extra)]
+        # route literals through strings + cast: '2024-…' → timestamp,
+        # '1.5' → double, etc., exactly as the reference parser coerces
+        # VALUES literals against the table schema
         from pyspark.sql import types as T
 
-        df = spark.createDataFrame(data, T.StructType(out_fields))
+        out_fields = [f for f in schema if f.name in set(cols) | set(extra)]
+        names = [f.name for f in out_fields]
+        str_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        str_rows = [
+            tuple(None if d.get(n) is None else str(d.get(n)) for n in names)
+            for d in data
+        ]
+        df = spark.createDataFrame(str_rows, str_schema)
+        for f in out_fields:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     else:
         df = spark.createDataFrame(data)
+        # create-on-first-insert: the reference's first column is always
+        # the TIMESTAMP primary key — literals arrive as strings
+        first = cols[0]
+        if dict(df.dtypes).get(first) == "string":
+            df = df.withColumn(first, F.col(first).cast("timestamp"))
     df.write.mode("append").parquet(path)
     return len(rows)
 
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _db_tables(db: Database) -> "list[str]":
+    import glob
+    import os
+
+    names = [
+        os.path.basename(p)[: -len(".parquet")]
+        for p in glob.glob(f"{db.root}/*.parquet")
+    ]
+    return sorted(set(names) | set(db.tables))
+
+
 def execute(spark: SparkSession, db: Database, sql: str, ts_col: str = "ts"):
-    """Single SQL entry point: SELECT → DataFrame plan (``translate``),
-    INSERT → append + row count, CREATE STREAM → StreamDef."""
+    """Single SQL entry point mirroring the reference's statement set:
+    SELECT → DataFrame plan (``translate``), INSERT → append + row
+    count, DELETE → partition-rewrite + deleted count, CREATE STREAM →
+    StreamDef, SHOW TABLES/STABLES and DESCRIBE → catalog DataFrames."""
     s = sql.lstrip().upper()
     if s.startswith("INSERT"):
         return translate_insert(spark, db, sql)
+    if s.startswith("DELETE"):
+        from tdengine_spark.operators.delete import delete_where
+
+        m = _DELETE_RE.match(sql)
+        if not m:
+            raise ValueError(f"unrecognized DELETE statement: {sql!r}")
+        cond = (
+            F.expr(_rewrite_ops(m.group("where")))
+            if m.group("where")
+            else F.lit(True)
+        )
+        return delete_where(spark, f"{db.root}/{m.group('table')}.parquet", cond)
     if s.startswith("CREATE STREAM"):
         from tdengine_spark.streaming.create_stream import parse_create_stream
 
         return parse_create_stream(sql)
+    if s.startswith("SHOW TABLES") or s.startswith("SHOW STABLES"):
+        from tdengine_spark.catalog import information_schema
+
+        for name in _db_tables(db):
+            db.table(name)
+        view = "ins_stables" if "STABLES" in s else "ins_tables"
+        return information_schema(spark, {"db": db}, view)
+    dm = re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
+    if dm:
+        from tdengine_spark.catalog import information_schema
+
+        db.table(dm.group(1))
+        cols = information_schema(spark, {"db": db}, "ins_columns")
+        return cols.where(F.col("table_name") == dm.group(1)).select(
+            F.col("col_name").alias("field"),
+            F.col("col_type").alias("type"),
+            F.col("col_position").alias("position"),
+        )
     return translate(spark, db, sql, ts_col)
 
 

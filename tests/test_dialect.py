@@ -383,3 +383,46 @@ def test_execute_dispatch(spark, tmp_path):
         "SELECT count(*) as n FROM events",
     )
     assert df.first().n > 0
+
+
+def test_state_window_true_for(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n FROM events PARTITION BY user_id "
+        "STATE_WINDOW(event_type) TRUE_FOR(1h)",
+    )
+    base = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n FROM events PARTITION BY user_id "
+        "STATE_WINDOW(event_type)",
+    )
+    # TRUE_FOR keeps only windows lasting ≥ 1h → strictly fewer rows
+    n_tf, n_all = out.count(), base.count()
+    assert 0 < n_tf < n_all
+    dur = out.select(
+        (F.unix_micros("_wend") - F.unix_micros("_wstart")).alias("d")
+    )
+    assert dur.where(F.col("d") < 3_600_000_000).count() == 0
+
+
+def test_delete_show_describe(spark, tmp_path):
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(
+        spark, db,
+        "INSERT INTO sensors (ts, v) VALUES "
+        "('2024-01-01 00:00:00', 1.0)('2024-01-02 00:00:00', 2.0)"
+        "('2024-01-03 00:00:00', 3.0)",
+    )
+    n = execute(spark, db, "DELETE FROM sensors WHERE v > 1.5")
+    assert n == 2
+    assert db.read(spark, "sensors").count() == 1
+    tables = execute(spark, db, "SHOW TABLES").collect()
+    assert [t.table_name for t in tables] == ["sensors"]
+    desc = execute(spark, db, "DESCRIBE sensors").collect()
+    assert [(d.field, d.type) for d in sorted(desc, key=lambda r: r.position)] == [
+        ("ts", "timestamp"), ("v", "double")
+    ]
