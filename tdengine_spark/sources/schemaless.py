@@ -95,6 +95,28 @@ def parse_opentsdb_telnet(lines: DataFrame, line_col: str = "value") -> DataFram
     )
 
 
+def parse_opentsdb_json(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """OpenTSDB JSON protocol (clientSmlJson.c): each line is one object
+    ``{"metric": m, "timestamp": t, "value": v, "tags": {...}}`` or an
+    ARRAY of such objects — arrays are exploded so mixed files work.
+    Seconds vs milliseconds resolved by magnitude like the telnet path.
+    All JVM-side (from_json + explode): a backfill is one scan."""
+    c = F.trim(F.col(line_col))
+    schema = "array<struct<metric:string, timestamp:long, value:double, tags:map<string,string>>>"
+    # normalize single objects to 1-element arrays so one from_json serves both
+    arr = F.when(c.startswith("["), c).otherwise(F.concat(F.lit("["), c, F.lit("]")))
+    rows = lines.select(
+        F.explode(F.from_json(arr, schema)).alias("r")
+    ).select("r.metric", "r.timestamp", "r.value", "r.tags")
+    ts_raw = F.col("timestamp")
+    ts = F.when(ts_raw < 10_000_000_000, F.timestamp_seconds(ts_raw)).otherwise(
+        F.timestamp_millis(ts_raw)
+    )
+    return rows.where(F.col("metric").isNotNull()).select(
+        "metric", ts.alias("ts"), "value", "tags"
+    )
+
+
 def explode_fields(
     parsed: DataFrame, fields: list[str], tags: "list[str] | None" = None
 ) -> DataFrame:

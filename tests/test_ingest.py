@@ -107,3 +107,27 @@ def test_opentsdb_telnet(spark):
     assert by_host["web01"].value == 42.5
     assert str(by_host["web01"].ts) == "2024-05-01 02:20:00"  # seconds heuristic
     assert str(by_host["web02"].ts) == "2024-05-01 02:20:00.123000"  # ms heuristic
+
+
+def test_opentsdb_json(spark):
+    from tdengine_spark.sources.schemaless import parse_opentsdb_json
+
+    lines = spark.createDataFrame(
+        [
+            ('{"metric": "cpu", "timestamp": 1700000000, "value": 0.5, '
+             '"tags": {"host": "a"}}',),
+            ('[{"metric": "mem", "timestamp": 1700000000000, "value": 1.5, '
+             '"tags": {"host": "b"}}, '
+             '{"metric": "mem", "timestamp": 1700000001000, "value": 2.5, '
+             '"tags": {"host": "c"}}]',),
+            ("not json",),
+        ],
+        "value string",
+    )
+    out = parse_opentsdb_json(lines).collect()
+    assert len(out) == 3
+    got = {(r.metric, r.tags["host"]): (str(r.ts), r.value) for r in out}
+    # seconds and milliseconds resolve to the same instant
+    assert got[("cpu", "a")] == ("2023-11-14 22:13:20", 0.5)
+    assert got[("mem", "b")] == ("2023-11-14 22:13:20", 1.5)
+    assert got[("mem", "c")] == ("2023-11-14 22:13:21", 2.5)
