@@ -75,15 +75,24 @@ def forecast_holt(
     alpha: float = 0.5,
     beta: float = 0.3,
     conf: float = 0.95,
+    season_length: "int | None" = None,
+    gamma: float = 0.3,
 ) -> DataFrame:
-    """forecast(col, 'algo=holtwinters'): Holt's linear (double
-    exponential smoothing) per key — the model-based counterpart to
+    """forecast(col, 'algo=holtwinters'): Holt-Winters exponential
+    smoothing per key — the model-based counterpart to
     ``forecast_linear`` (reference forecast params rows/conf per
     include/common/tanalytics.h:32-46; builtins.c:6735).
 
-    Init l0=x0, b0=x1−x0; recursion l_t=αx_t+(1−α)(l+b),
-    b_t=β(l_t−l)+(1−β)b. Forecast ŷ_{T+h}=l_T+h·b_T with a
-    ±z(conf)·σ̂·√h interval from one-step in-sample residuals.
+    Without ``season_length``: Holt's linear. Init l0=x0, b0=x1−x0;
+    recursion l_t=αx_t+(1−α)(l+b), b_t=β(l_t−l)+(1−β)b. Forecast
+    ŷ_{T+h}=l_T+h·b_T.
+
+    With ``season_length=m`` (requires ≥2m samples): additive seasonal
+    component — s initialized from the first-cycle deviations,
+    l_t=α(x_t−s_{t−m})+(1−α)(l+b), s_t=γ(x_t−l_t)+(1−γ)s_{t−m},
+    ŷ_{T+h}=l_T+h·b_T+s_{T+h−m·⌈h/m⌉}.
+
+    Confidence band: ±z(conf)·σ̂·√h from one-step in-sample residuals.
 
     Iterative recursion → grouped applyInPandas (one task per key; keys
     are independent, scales horizontally). Output: (keys..., ts,
@@ -115,8 +124,27 @@ def forecast_holt(
                 columns=[*keys, ts_col, "forecast_value", "forecast_low",
                          "forecast_high", "is_forecast"]
             )
+        m = season_length
+        seasonal = m is not None and len(x) >= 2 * m
+        season = None
         if len(x) == 1:
             level, trend, sigma = float(x[0]), 0.0, 0.0
+        elif seasonal:
+            # init from the first cycle: level = cycle mean, trend =
+            # mean cycle-over-cycle step, season = first-cycle deviations
+            level = float(x[:m].mean())
+            trend = float((x[m : 2 * m].mean() - x[:m].mean()) / m)
+            season = (x[:m] - level).astype(np.float64).copy()
+            errs = []
+            for t in range(m, len(x)):
+                s_prev = season[t % m]
+                pred = level + trend + s_prev
+                errs.append(x[t] - pred)
+                new_level = alpha * (x[t] - s_prev) + (1 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1 - beta) * trend
+                level = new_level
+                season[t % m] = gamma * (x[t] - new_level) + (1 - gamma) * s_prev
+            sigma = float(np.std(np.asarray(errs), ddof=0))
         else:
             level, trend = float(x[0]), float(x[1] - x[0])
             errs = []
@@ -129,6 +157,9 @@ def forecast_holt(
             sigma = float(np.std(np.asarray(errs), ddof=0))
         hs = np.arange(1, horizon_rows + 1, dtype=np.float64)
         yhat = level + hs * trend
+        if seasonal:
+            idx = (len(x) + np.arange(horizon_rows)) % m
+            yhat = yhat + season[idx]
         half = z * sigma * np.sqrt(hs)
         future_ts = pd.Timestamp(t1) + pd.to_timedelta(
             hs * step_us, unit="us"

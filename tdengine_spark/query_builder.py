@@ -90,6 +90,44 @@ class Scan:
             mode=mode, partition_by=self._keys, fill_value=fill_value,
         )
 
+    # -- joins (reference ASOF / WINDOW JOIN) --------------------------
+    def asof_join(
+        self,
+        other: "Scan | DataFrame",
+        on: "list[str] | None" = None,
+        direction: str = "backward",
+        strict: bool = False,
+        tolerance=None,
+        jlimit: int = 1,
+    ) -> DataFrame:
+        """``this ASOF JOIN other ON keys [JLIMIT k]`` — keys default to
+        the scan's PARTITION BY columns."""
+        from tdengine_spark.operators.asofjoin import asof_join
+
+        right = other.df() if isinstance(other, Scan) else other
+        return asof_join(
+            self.df(), right, on or self._keys, ts_col=self._ts_col,
+            direction=direction, strict=strict, tolerance=tolerance,
+            jlimit=jlimit,
+        )
+
+    def window_join(
+        self,
+        other: "Scan | DataFrame",
+        lower,
+        upper,
+        on: "list[str] | None" = None,
+        jlimit: "int | None" = None,
+    ) -> DataFrame:
+        """``this WINDOW JOIN other WINDOW_OFFSET(lower, upper)``."""
+        from tdengine_spark.operators.asofjoin import window_join
+
+        right = other.df() if isinstance(other, Scan) else other
+        return window_join(
+            self.df(), right, on or self._keys, lower, upper,
+            ts_col=self._ts_col, jlimit=jlimit,
+        )
+
     # -- terminal ------------------------------------------------------
     def df(self, query_pseudocols: bool = False) -> DataFrame:
         base = self._db.table(self._table).read(

@@ -93,3 +93,25 @@ def test_priority_names_all_registered():
     _register_extensions()
     dangling = [n for n in _PRIORITY if n not in REGISTRY]
     assert not dangling, f"unregistered _PRIORITY names: {dangling}"
+
+
+def test_builder_asof_and_window_join(spark):
+    from pyspark.sql import functions as F
+
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.operators.asofjoin import asof_join
+    from tdengine_spark.query_builder import Scan
+
+    db = Database(root="/root/testdata/sf0.001")
+    left = (
+        Scan(db, "events", spark)
+        .where(F.col("event_type") == "purchase")
+        .partition_by("user_id")
+    )
+    right = Scan(db, "events", spark).where(F.col("event_type") == "click")
+    got = left.asof_join(right)
+    expect = asof_join(left.df(), right.df(), ["user_id"], "ts")
+    assert got.count() == expect.count()
+    assert got.schema == expect.schema
+    wj = left.window_join(right, "-5m", "5m", jlimit=2)
+    assert wj.count() > 0

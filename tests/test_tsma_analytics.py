@@ -307,3 +307,39 @@ def test_information_schema_views(spark):
     ]
     tags = information_schema(spark, {"d": db}, "ins_tags").collect()
     assert [(t.tag_name, t.tag_type) for t in tags] == [("event_type", "string")]
+
+
+def test_forecast_holtwinters_seasonal(spark):
+    """Additive seasonal Holt-Winters recovers a clean season+trend."""
+    import numpy as np
+
+    from tdengine_spark.functions.analytics import forecast_holt
+
+    m = 4
+    season = [10.0, -5.0, 0.0, -5.0]
+    base = 1_700_000_000_000_000
+    step = 3_600_000_000
+    xs = [100.0 + 0.5 * t + season[t % m] for t in range(24)]
+    rows = [(base + t * step, v) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "ts_us long, v double").select(
+        F.timestamp_micros(F.col("ts_us")).alias("ts"), "v"
+    )
+    out = sorted(
+        forecast_holt(
+            df, "ts", "v", horizon_rows=m, every="1h",
+            alpha=0.5, beta=0.3, season_length=m, gamma=0.3,
+        ).collect(),
+        key=lambda r: r.ts,
+    )
+    assert len(out) == m
+    # a noiseless seasonal series forecasts within a tight band
+    for h, r in enumerate(out, start=1):
+        want = 100.0 + 0.5 * (24 + h - 1) + season[(24 + h - 1) % m]
+        assert abs(r.forecast_value - want) < 1.0, (h, r.forecast_value, want)
+    # fewer than 2 cycles falls back to Holt linear (no crash)
+    short = spark.createDataFrame(rows[:6], "ts_us long, v double").select(
+        F.timestamp_micros(F.col("ts_us")).alias("ts"), "v"
+    )
+    assert forecast_holt(
+        short, "ts", "v", horizon_rows=2, every="1h", season_length=4
+    ).count() == 2
