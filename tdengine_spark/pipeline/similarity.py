@@ -139,6 +139,74 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: "int | None" = None,
+    nbits: int = 8,
+    probe_radius: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) —
+    the vector-space member of the dedup family (exact / MinHash /
+    SimHash / embedding-cosine).
+
+    ``method="lsh"`` (the 100 TB path): hyperplane-bucket the corpus
+    once, equi-join within buckets (plus Hamming-``probe_radius``
+    neighbor buckets, fanned out on ONE side only), exact cosine on
+    candidates. No all-pairs product: candidate count ≈ Σ bucket².
+    Recall < 1 by construction (tunable via nbits/probe_radius).
+
+    ``method="exact"``: full pairwise — O(n²), for verification and
+    small corpora only; broadcast self-join so Catalyst still avoids a
+    shuffle on the big side.
+    """
+    vcast = F.col(vec_col).cast("array<double>")
+    if method == "exact":
+        a = emb.select(F.col(id_col).alias("id_a"), vcast.alias("_va"))
+        b = emb.select(F.col(id_col).alias("id_b"), vcast.alias("_vb"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("method='lsh' needs dim")
+        planes = random_hyperplanes(dim, nbits, seed)
+        base = emb.select(
+            F.col(id_col).alias("_id"),
+            vcast.alias("_v"),
+            lsh_bucket(vcast, planes).alias("_b0"),
+        )
+        probed = base.select(
+            "_id", "_v",
+            F.explode(
+                _probe_buckets(F.col("_b0"), nbits, probe_radius)
+            ).alias("_bucket"),
+        )
+        plain = base.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_b0").alias("_bucket"),
+        )
+        pairs = (
+            probed.select(
+                F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+            )
+            .join(plain, "_bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+            .distinct()
+        )
+    return (
+        pairs.withColumn(
+            "cosine", pair_cosine(F.col("_va"), F.col("_vb"), round4=True)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def random_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).tolist()

@@ -979,6 +979,8 @@ _PRIORITY: list[str] = [
     "information_schema_columns",
     "interp_fill_none",
     "right_asof_join",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
     # --- materially changed in round 4 (hash unification, surrogate-id
     # JLIMIT fixes, rounding-path unification) ---
     "minhash_near_dup_pairs",

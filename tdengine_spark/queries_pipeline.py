@@ -286,3 +286,32 @@ def q_interp_prev(spark, sf_dir):
         (F.round(F.col("value") + F.lit(1e-7), 4) + F.lit(0.0)).alias("value"),
         "_isfilled",
     )
+
+
+@q(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (ROUND(list_cosine_similarity(a.v, b.v) + 0.0000001, 4) + 0) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact method (the verification
+    baseline; the LSH-bucketed variant below is the 100 TB path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.35, method="exact")
+
+
+@q("embedding_near_dup_lsh")  # rows-only: LSH recall is seed/bucket-specific
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup via hyperplane buckets + multi-probe —
+    candidate generation is a bucket equi-join, no all-pairs product."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(
+        emb, threshold=0.35, method="lsh", dim=64, nbits=8, probe_radius=1
+    )

@@ -208,3 +208,35 @@ def test_multiprobe_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert len(e & a) >= len(e & single)
+
+
+def test_cosine_near_dup_exact_vs_lsh(spark):
+    """LSH candidates are a subset of exact pairs; on clustered data the
+    near-dup recall is high."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    rows = []
+    # 10 clusters of 4 near-identical vectors + 60 random singletons
+    for j in range(10):
+        c = rng.standard_normal(dim)
+        for i in range(4):
+            rows.append((j * 4 + i, (c + 0.01 * rng.standard_normal(dim)).tolist()))
+    for i in range(60):
+        rows.append((100 + i, rng.standard_normal(dim).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(emb, 0.95, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(
+            emb, 0.95, method="lsh", dim=dim, nbits=8, probe_radius=1
+        ).collect()
+    }
+    # every cluster contributes its C(4,2)=6 pairs to exact
+    assert len(exact) == 60
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9  # near-identical vectors co-bucket
