@@ -681,6 +681,62 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
     return len(rows)
 
 
+#: TDengine column types → Spark (taosdef.h type table)
+_TYPE_MAP = {
+    "TIMESTAMP": "timestamp", "BOOL": "boolean", "TINYINT": "tinyint",
+    "SMALLINT": "smallint", "INT": "int", "INTEGER": "int",
+    "BIGINT": "bigint", "FLOAT": "float", "DOUBLE": "double",
+    "VARCHAR": "string", "NCHAR": "string", "BINARY": "string",
+    "JSON": "string", "VARBINARY": "binary", "GEOMETRY": "binary",
+}
+
+_CREATE_TABLE_RE = re.compile(
+    r"""
+    ^\s*CREATE\s+(?:STABLE|TABLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?
+    (?P<table>[A-Za-z_][\w.]*)
+    \s*\(\s*(?P<cols>.*?)\s*\)
+    (?:\s+TAGS\s*\(\s*(?P<tags>.*?)\s*\))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
+    out = []
+    for item in _split_select(defs):
+        parts = item.split()
+        name, ty = parts[0], parts[1].upper()
+        ty = re.sub(r"\(.*\)", "", ty)  # VARCHAR(64) → VARCHAR
+        out.append((name, _TYPE_MAP.get(ty, ty.lower())))
+    return out
+
+
+def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
+    """``CREATE STABLE t (cols…) TAGS (tags…)`` (sql.y CREATE TABLE
+    rules): registers the SuperTable descriptor (ts/tag columns) and
+    materializes an empty parquet dataset with the declared schema so
+    INSERT/SELECT see consistent types. Returns the table name."""
+    m = _CREATE_TABLE_RE.match(sql)
+    if not m:
+        raise ValueError(f"unrecognized CREATE TABLE statement: {sql!r}")
+    g = m.groupdict()
+    cols = _parse_col_defs(g["cols"])
+    tags = _parse_col_defs(g["tags"]) if g["tags"] else []
+    name = g["table"]
+    fields = cols + tags + ([("tbname", "string")] if tags else [])
+    schema_str = ", ".join(f"{n} {t}" for n, t in fields)
+    import os
+
+    path = f"{db.root}/{name}.parquet"
+    if not os.path.exists(path):
+        spark.createDataFrame([], schema_str).write.parquet(path)
+    t = db.table(name)
+    t.ts_col = cols[0][0]
+    t.tag_cols = tuple(n for n, _ in tags)
+    return name
+
+
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
@@ -723,6 +779,8 @@ def execute(spark: SparkSession, db: Database, sql: str, ts_col: str = "ts"):
         from tdengine_spark.streaming.create_stream import parse_create_stream
 
         return parse_create_stream(sql)
+    if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
+        return translate_create_table(spark, db, sql)
     if s.startswith("SHOW TABLES") or s.startswith("SHOW STABLES"):
         from tdengine_spark.catalog import information_schema
 

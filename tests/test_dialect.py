@@ -426,3 +426,32 @@ def test_delete_show_describe(spark, tmp_path):
     assert [(d.field, d.type) for d in sorted(desc, key=lambda r: r.position)] == [
         ("ts", "timestamp"), ("v", "double")
     ]
+
+
+def test_create_stable_then_insert_select(spark, tmp_path):
+    """The full reference workflow: CREATE STABLE → INSERT USING → query."""
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    name = execute(
+        spark, db,
+        "CREATE STABLE meters (ts TIMESTAMP, current FLOAT, voltage INT) "
+        "TAGS (location VARCHAR(64), group_id INT)",
+    )
+    assert name == "meters"
+    assert db.table("meters").tag_cols == ("location", "group_id")
+    execute(
+        spark, db,
+        "INSERT INTO d1 USING meters (location, group_id) TAGS ('sf', 2) "
+        "(ts, current, voltage) VALUES ('2024-01-01 00:00:00', 10.5, 220)"
+        "('2024-01-01 01:00:00', 11.5, 221)",
+    )
+    out = execute(
+        spark, db,
+        "SELECT _wstart, count(*) as n FROM meters "
+        "PARTITION BY location INTERVAL(1h)",
+    ).collect()
+    assert len(out) == 2 and all(r.n == 1 for r in out)
+    desc = {r.field: r.type for r in execute(spark, db, "DESCRIBE meters").collect()}
+    assert desc["ts"] == "timestamp" and desc["voltage"] == "int"
+    assert desc["location"] == "string"
