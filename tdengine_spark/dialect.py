@@ -197,7 +197,7 @@ _WINDOW_JOIN_RE = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.*?)
     \s+FROM\s+(?P<ltab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<lal>[A-Za-z_]\w*)
-    \s+WINDOW\s+JOIN\s+
+    \s+(?P<side>LEFT|RIGHT)?\s*WINDOW\s+JOIN\s+
     (?P<rtab>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ral>[A-Za-z_]\w*)
     \s+ON\s+(?P<cond>.*?)
     (?:\s+WHERE\s+(?P<where>.*?))?
@@ -360,23 +360,36 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
 
 
 def _translate_window_join(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
-    """``l WINDOW JOIN r ON cond WINDOW_OFFSET(lo, hi) [JLIMIT k]`` →
-    operators.asofjoin.window_join (sql.y WINDOW_OFFSET clause)."""
+    """``l [LEFT|RIGHT] WINDOW JOIN r ON cond WINDOW_OFFSET(lo, hi)
+    [JLIMIT k]`` → operators.asofjoin.window_join (sql.y WINDOW_OFFSET
+    clause). RIGHT drives from the right table: tables swap, the offset
+    window negates ([lo,hi] seen from the right row is [-hi,-lo]), and
+    the select-list alias prefixes re-map."""
     from tdengine_spark.operators.asofjoin import window_join
 
     g = m.groupdict()
     left = db.read(spark, g["ltab"])
     right = db.read(spark, g["rtab"])
     keys, _ = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
+    drv, other, drv_al, other_al = left, right, g["lal"], g["ral"]
+    lo, hi = g["lo"], g["hi"]
+    if (g.get("side") or "").upper() == "RIGHT":
+        drv, other, drv_al, other_al = right, left, g["ral"], g["lal"]
+        lo, hi = _negate_offset(g["hi"]), _negate_offset(g["lo"])
     out = window_join(
-        left, right, keys, g["lo"], g["hi"], ts_col=ts_col,
+        drv, other, keys, lo, hi, ts_col=ts_col,
         jlimit=int(g["jlimit"]) if g["jlimit"] else None,
     )
     if g.get("where"):
         out = out.where(
-            F.expr(_rewrite_ops(_dealias(g["where"], g["lal"], g["ral"])))
+            F.expr(_rewrite_ops(_dealias(g["where"], drv_al, other_al)))
         )
-    return _project_join(out, g["select"], g["lal"], g["ral"])
+    return _project_join(out, g["select"], drv_al, other_al)
+
+
+def _negate_offset(spec: str) -> str:
+    spec = spec.strip()
+    return spec[1:] if spec.startswith("-") else f"-{spec}"
 
 
 def _extract_from_subquery(sql: str):

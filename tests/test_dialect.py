@@ -455,3 +455,23 @@ def test_create_stable_then_insert_select(spark, tmp_path):
     desc = {r.field: r.type for r in execute(spark, db, "DESCRIBE meters").collect()}
     assert desc["ts"] == "timestamp" and desc["voltage"] == "int"
     assert desc["location"] == "string"
+
+
+def test_right_window_join_dialect(spark):
+    """RIGHT WINDOW JOIN ≡ swapped LEFT with negated offsets."""
+    rgt = translate(
+        spark,
+        _db(),
+        "SELECT r.event_id, r.ts, l.ts AS l_ts "
+        "FROM events l RIGHT WINDOW JOIN events r "
+        "ON l.user_id = r.user_id WINDOW_OFFSET(-5m, 10m)",
+    )
+    # reference semantics: drives from r; matched l.ts in [r.ts-10m, r.ts+5m]
+    eq = translate(
+        spark,
+        _db(),
+        "SELECT l.event_id, l.ts, r.ts AS l_ts "
+        "FROM events l WINDOW JOIN events r "
+        "ON l.user_id = r.user_id WINDOW_OFFSET(-10m, 5m)",
+    )
+    assert rgt.count() == eq.count()
