@@ -420,8 +420,14 @@ def translate(
     db: Database,
     sql: str,
     ts_col: str = "ts",
+    tsma_catalog=None,
 ) -> DataFrame:
-    """Translate one dialect SELECT into a DataFrame plan."""
+    """Translate one dialect SELECT into a DataFrame plan.
+
+    ``tsma_catalog`` (a ``plans.tsma.TsmaCatalog``): INTERVAL queries
+    whose select list is plain avg/sum/count/min/max aggregates are
+    transparently rewritten onto a compatible pre-aggregation — the
+    reference's TSMA planner rewrite (SURVEY §4.3)."""
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect
@@ -483,7 +489,8 @@ def translate(
         # keys fold into the window partitioning (reference planner puts
         # both in the window operator's group list)
         out = _windowed(
-            base, window, items, keys + gkeys_extra, g["fill"], ts_col
+            base, window, items, keys + gkeys_extra, g["fill"], ts_col,
+            tsma_catalog=tsma_catalog,
         )
     elif keys or g["group"]:
         gkeys = keys + gkeys_extra
@@ -508,7 +515,27 @@ def translate(
     return out
 
 
-def _windowed(base, window, items, keys, fill_spec, ts_col):
+_SIMPLE_AGG_RE = re.compile(
+    r"^(avg|sum|count|min|max)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+    r"(?:\s+as\s+([A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_simple_aggs(items: list[str]):
+    """[(op, metric, out_alias)] when every item is a plain rollup-able
+    aggregate (TSMA rewrite eligibility), else None."""
+    out = []
+    for it in items:
+        m = _SIMPLE_AGG_RE.match(it.strip())
+        if not m or m.group(2) == "*":
+            return None
+        op, metric = m.group(1).lower(), m.group(2)
+        out.append((op, metric, m.group(3) or f"{op}_{metric}"))
+    return out
+
+
+def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
     wl = window.lower()
     agg_items = [it for it in items if it.strip() not in ("_wstart", "_wend")]
     aggs = [F.expr(it) for it in agg_items]
@@ -525,6 +552,19 @@ def _windowed(base, window, items, keys, fill_spec, ts_col):
             (mm.group(2) or "").strip() or None,
             (mm.group(3) or "").strip() or None,
         )
+        if tsma_catalog is not None and not (fill_spec or offset or sliding):
+            parsed = _parse_simple_aggs(agg_items)
+            if parsed:
+                metric_aggs: dict = {}
+                for op, metric, _ in parsed:
+                    metric_aggs.setdefault(metric, []).append(op)
+                out = tsma_catalog.interval_agg(
+                    base.sparkSession, base, width, keys, metric_aggs, ts_col
+                )
+                for op, metric, alias in parsed:
+                    if alias != f"{op}_{metric}":
+                        out = out.withColumnRenamed(f"{op}_{metric}", alias)
+                return out.select(*[c for c in keep if c in out.columns])
         out = tw.interval_window(
             base, ts_col, width, sliding=sliding, offset=offset,
             partition_by=keys, aggs=aggs,
@@ -768,12 +808,31 @@ def _db_tables(db: Database) -> "list[str]":
     return sorted(set(names) | set(db.tables))
 
 
-def execute(spark: SparkSession, db: Database, sql: str, ts_col: str = "ts"):
+def execute(
+    spark: SparkSession,
+    db: Database,
+    sql: str,
+    ts_col: str = "ts",
+    tsma_catalog=None,
+):
     """Single SQL entry point mirroring the reference's statement set:
-    SELECT → DataFrame plan (``translate``), INSERT → append + row
-    count, DELETE → partition-rewrite + deleted count, CREATE STREAM →
-    StreamDef, SHOW TABLES/STABLES and DESCRIBE → catalog DataFrames."""
+    SELECT → DataFrame plan (``translate``, TSMA-rewritten when a
+    catalog is given), INSERT → append + row count, DELETE →
+    partition-rewrite + deleted count, CREATE STABLE/TABLE → typed
+    dataset, CREATE STREAM → StreamDef, SHOW TABLES/STABLES / DESCRIBE /
+    EXPLAIN → catalog and plan DataFrames."""
     s = sql.lstrip().upper()
+    if s.startswith("EXPLAIN"):
+        inner = sql.lstrip()[len("EXPLAIN"):].lstrip()
+        df = translate(spark, db, inner, ts_col, tsma_catalog=tsma_catalog)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return spark.createDataFrame(
+            [(line,) for line in plan.splitlines()], "plan string"
+        )
     if s.startswith("INSERT"):
         return translate_insert(spark, db, sql)
     if s.startswith("DELETE"):
@@ -812,7 +871,7 @@ def execute(spark: SparkSession, db: Database, sql: str, ts_col: str = "ts"):
             F.col("col_type").alias("type"),
             F.col("col_position").alias("position"),
         )
-    return translate(spark, db, sql, ts_col)
+    return translate(spark, db, sql, ts_col, tsma_catalog=tsma_catalog)
 
 
 def _view_exists(spark: SparkSession, name: str) -> bool:

@@ -475,3 +475,48 @@ def test_right_window_join_dialect(spark):
         "ON l.user_id = r.user_id WINDOW_OFFSET(-10m, 5m)",
     )
     assert rgt.count() == eq.count()
+
+
+def test_dialect_tsma_rewrite(spark, tmp_path):
+    """INTERVAL dialect queries transparently read a compatible TSMA."""
+    from tdengine_spark.plans.tsma import TsmaCatalog, create_tsma
+
+    ev = Database(root=SF).read(spark, "events")
+    spec = create_tsma(
+        spark, ev, f"{tmp_path}/tsma_1h", "1h",
+        keys=["event_type"], metrics=["value"],
+    )
+    cat = TsmaCatalog()
+    cat.register(spec)
+    sql = ("SELECT _wstart, avg(value) as avg_v, count(value) as n "
+           "FROM events PARTITION BY event_type INTERVAL(6h)")
+    rewritten = translate(spark, _db(), sql, tsma_catalog=cat)
+    raw = translate(spark, _db(), sql)
+    # same answer, but the rewritten plan scans the TSMA, not events
+    files = rewritten.inputFiles()
+    assert all("tsma_1h" in f for f in files), files
+    a = {(str(r._wstart), r.event_type): (round(r.avg_v, 6), r.n)
+         for r in rewritten.collect()}
+    b = {(str(r._wstart), r.event_type): (round(r.avg_v, 6), r.n)
+         for r in raw.collect()}
+    assert a == b
+    # FILL blocks the rewrite (pre-agg can't serve filled spines)
+    filled = translate(
+        spark, _db(),
+        "SELECT _wstart, avg(value) as v FROM events "
+        "PARTITION BY event_type INTERVAL(6h) FILL(prev)",
+        tsma_catalog=cat,
+    )
+    assert not any("tsma_1h" in f for f in filled.inputFiles())
+
+
+def test_explain_statement(spark):
+    from tdengine_spark.dialect import execute
+
+    out = execute(
+        spark, _db(),
+        "EXPLAIN SELECT _wstart, count(*) as n FROM events "
+        "PARTITION BY event_type INTERVAL(1h)",
+    ).collect()
+    text = "\n".join(r.plan for r in out)
+    assert "HashAggregate" in text or "Physical Plan" in text
