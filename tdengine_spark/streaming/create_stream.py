@@ -90,7 +90,8 @@ class StreamDef:
             )
         if self.trigger == "count_window":
             return st.count_window_trigger(
-                src, ts_col, ta["count"], _one_key(keys), value_col
+                src, ts_col, ta["count"], _one_key(keys), value_col,
+                sliding=ta.get("sliding"),
             )
         if self.trigger == "state_window":
             return st.state_window_trigger(

@@ -472,3 +472,37 @@ def test_max_delay_emits_unclosed_windows(spark, stream_dir):
     # update mode: EVERY window appears (including the tail day), and the
     # final update per window equals the batch answer
     assert gotd == want
+
+
+def test_sliding_count_window_trigger(spark, ordered_stream_dir):
+    """COUNT_WINDOW(40, 20): windows of 40 rows advancing every 20 rows,
+    equal to a pandas replica over the per-user ts-ordered series."""
+    from tdengine_spark.streaming.stream import count_window_trigger
+
+    d = ordered_stream_dir
+    schema = spark.read.parquet(f"{d}/in").schema
+    src = read_stream(spark, f"{d}/in", schema, max_files_per_trigger=1)
+    result = count_window_trigger(src, "ts", 40, "user_id", "value", sliding=20)
+    _run_available_now(result, d, "scw")
+    got = {
+        (r.k, str(r._wstart), str(r._wend)): (r.n_rows, r.sum_value)
+        for r in spark.sql("SELECT * FROM scw").collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{d}/in")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts"], kind="mergesort")
+    )
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].tolist()
+        v = g["value"].tolist()
+        for i in range(1, len(v) + 1):
+            if i % 20 == 0 and i >= 40:
+                s_i = i - 40
+                want[(str(uid), str(ts[s_i]), str(ts[i - 1]))] = (
+                    40, round(sum(v[s_i:i]), 4),
+                )
+    assert got == want
+    assert len(got) > 0
