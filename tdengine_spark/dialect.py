@@ -484,6 +484,7 @@ def translate(
     gkeys_extra = (
         [c.strip() for c in g["group"].split(",")] if g["group"] else []
     )
+    indef_cols = None if window else _build_indef_items(items, keys, ts_col)
     if window:
         # PARTITION BY tags + window + GROUP BY residue: residual group
         # keys fold into the window partitioning (reference planner puts
@@ -492,6 +493,10 @@ def translate(
             base, window, items, keys + gkeys_extra, g["fill"], ts_col,
             tsma_catalog=tsma_catalog,
         )
+    elif indef_cols is not None:
+        # row-indexed functions (diff/csum/…): PARTITION BY keys become
+        # the ordered-window partition, one row out per row in
+        out = base.select(*indef_cols)
     elif keys or g["group"]:
         gkeys = keys + gkeys_extra
         aggs = [F.expr(it) for it in items if not _is_plain_col(it, gkeys)]
@@ -872,6 +877,60 @@ def execute(
             F.col("col_position").alias("position"),
         )
     return translate(spark, db, sql, ts_col, tsma_catalog=tsma_catalog)
+
+
+#: row-indexed ("indefinite" output) functions, sql.y / builtins.c —
+#: per-row outputs over a ts-ordered per-key window, not aggregates
+_INDEF_FNS = ("diff", "csum", "mavg", "derivative", "statecount", "stateduration")
+
+_INDEF_ITEM_RE = re.compile(
+    r"^(\w+)\s*\(\s*(.*?)\s*\)(?:\s+as\s+([A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
+    """Column list when ≥1 select item calls an indef function (diff,
+    csum, mavg, derivative, statecount, stateduration — reference
+    ``SELECT diff(v) FROM t PARTITION BY tag`` shape), else None.
+    Plain items pass through as expressions."""
+    from tdengine_spark.functions import indef
+
+    def unq(s: str) -> str:
+        s = s.strip()
+        return s[1:-1] if len(s) >= 2 and s[0] == "'" and s[-1] == "'" else s
+
+    any_indef = False
+    cols = []
+    for it in items:
+        m = _INDEF_ITEM_RE.match(it.strip())
+        fn = m.group(1).lower() if m else None
+        if fn not in _INDEF_FNS:
+            cols.append(F.expr(it))
+            continue
+        any_indef = True
+        args = [a.strip() for a in _split_select(m.group(2))]
+        alias = m.group(3) or fn
+        if fn == "diff":
+            c = indef.diff(
+                args[0], ts_col, keys,
+                ignore_negative=len(args) > 1 and args[1] in ("1", "3"),
+            )
+        elif fn == "csum":
+            c = indef.csum(args[0], ts_col, keys)
+        elif fn == "mavg":
+            c = indef.mavg(args[0], int(args[1]), ts_col, keys)
+        elif fn == "derivative":
+            c = indef.derivative(args[0], unq(args[1]), ts_col, keys)
+        elif fn == "statecount":
+            c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
+        else:  # stateduration
+            c = indef.stateduration(
+                args[0], unq(args[1]), float(args[2]),
+                unq(args[3]) if len(args) > 3 else "1s", ts_col, keys,
+            )
+        cols.append(c.alias(alias))
+    return cols if any_indef else None
 
 
 def _view_exists(spark: SparkSession, name: str) -> bool:

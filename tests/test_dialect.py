@@ -520,3 +520,36 @@ def test_explain_statement(spark):
     ).collect()
     text = "\n".join(r.plan for r in out)
     assert "HashAggregate" in text or "Physical Plan" in text
+
+
+def test_indef_functions_in_select(spark):
+    """Reference ``SELECT diff(v)/csum/mavg … PARTITION BY tag`` shapes."""
+    from tdengine_spark.functions import indef
+
+    out = translate(
+        spark,
+        _db(),
+        "SELECT user_id, ts, diff(value) AS d, csum(value) AS c, "
+        "mavg(value, 3) AS m FROM events PARTITION BY user_id",
+    )
+    ev = Database(root=SF).read(spark, "events")
+    expect = ev.select(
+        "user_id", "ts",
+        indef.diff("value", "ts", ["user_id"]).alias("d"),
+        indef.csum("value", "ts", ["user_id"]).alias("c"),
+        indef.mavg("value", 3, "ts", ["user_id"]).alias("m"),
+    )
+    a = {(r.user_id, r.ts): (r.d, r.c, r.m) for r in out.collect()}
+    b = {(r.user_id, r.ts): (r.d, r.c, r.m) for r in expect.collect()}
+    assert a == b and len(a) > 0
+
+    sc = translate(
+        spark,
+        _db(),
+        "SELECT user_id, ts, statecount(value, 'gt', 100) AS sc "
+        "FROM events WHERE event_type = 'error' PARTITION BY user_id",
+    )
+    rows = sc.collect()
+    assert len(rows) > 0
+    assert any(r.sc and r.sc > 0 for r in rows)
+    assert any(r.sc == -1 for r in rows)
