@@ -269,7 +269,7 @@ def impute_missing(
 #: detector algorithms accepted by anomaly_detect / anomaly_window —
 #: the reference's ANOMALY_WINDOW(col, 'algo=...') parameter
 #: (anomalywindowoperator.c:138; tanalytics.h algo list)
-ANOMALY_ALGOS = ("ksigma", "mad", "iqr")
+ANOMALY_ALGOS = ("ksigma", "mad", "iqr", "grubbs", "esd")
 
 #: MAD → σ-equivalent scale for a normal distribution
 _MAD_SCALE = 1.4826
@@ -339,7 +339,86 @@ def anomaly_detect(
             .withColumn("is_anomaly", flag)
             .drop("_q1", "_q3", "_med")
         )
+    if algo in ("grubbs", "esd"):
+        # Grubbs = ESD with one candidate; iterative removal needs the
+        # whole key group → applyInPandas (keys independent, scales out)
+        return _anomaly_esd(
+            df, ts_col, val_col, keys,
+            max_anomalies=1 if algo == "grubbs" else max(int(k), 1),
+        )
     raise ValueError(f"unknown anomaly algo {algo!r}; supported: {ANOMALY_ALGOS}")
+
+
+def _t_ppf(p: float, df: int) -> float:
+    """Student-t quantile via the Cornish-Fisher expansion in the normal
+    quantile (Abramowitz & Stegun 26.7.5) — adequate for the df ≥ 5 the
+    ESD test meets in practice (N ≥ 7)."""
+    z = _norm_ppf(p)
+    g1 = (z**3 + z) / 4
+    g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96
+    g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384
+    g4 = (79 * z**9 + 776 * z**7 + 1482 * z**5 - 1920 * z**3 - 945 * z) / 92160
+    return z + g1 / df + g2 / df**2 + g3 / df**3 + g4 / df**4
+
+
+def _anomaly_esd(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list,
+    max_anomalies: int,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Generalized ESD (Rosner 1983) per key: iteratively remove the
+    most extreme |v − mean|/s point, compare R_i against the λ_i
+    critical value; all points up to the last significant i are
+    anomalies. Grubbs' test = i ≤ 1. Output schema matches the
+    expression detectors: input columns + score + is_anomaly."""
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    out_schema = f"{in_fields}, score double, is_anomaly boolean"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        out = pdf.copy()
+        mu0, sd0 = float(np.mean(v)), float(np.std(v, ddof=1)) if n > 1 else 0.0
+        out["score"] = (v - mu0) / sd0 if sd0 > 0 else 0.0
+        flagged: list[int] = []
+        if n >= 7 and sd0 > 0:
+            mask = np.ones(n, dtype=bool)
+            cand: list[int] = []
+            last_sig = 0
+            for i in range(1, max_anomalies + 1):
+                vv = v[mask]
+                if len(vv) < 3:
+                    break
+                mu, sd = np.mean(vv), np.std(vv, ddof=1)
+                if sd == 0:
+                    break
+                devs = np.abs(vv - mu) / sd
+                j_local = int(np.argmax(devs))
+                r_i = float(devs[j_local])
+                j_global = int(np.flatnonzero(mask)[j_local])
+                cand.append(j_global)
+                mask[j_global] = False
+                ni = len(vv)
+                t = _t_ppf(1 - alpha / (2 * ni), ni - 2)
+                lam = (ni - 1) * t / np.sqrt((ni - 2 + t * t) * ni)
+                if r_i > lam:
+                    last_sig = i
+            flagged = cand[:last_sig]
+        out["is_anomaly"] = False
+        if flagged:
+            out.iloc[flagged, out.columns.get_loc("is_anomaly")] = True
+        return out
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(lambda _, p: run(p), out_schema)
+    return df.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, p: run(p), out_schema
+    )
 
 
 def anomaly_zscore(

@@ -343,3 +343,35 @@ def test_forecast_holtwinters_seasonal(spark):
     assert forecast_holt(
         short, "ts", "v", horizon_rows=2, every="1h", season_length=4
     ).count() == 2
+
+
+def test_anomaly_grubbs_esd(spark):
+    import numpy as np
+
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    rng = np.random.default_rng(3)
+    vals = list(10 + rng.standard_normal(30))
+    outliers = {30: 100.0, 31: -80.0, 32: 90.0}
+    for i, v in outliers.items():
+        vals.append(v)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    esd = anomaly_detect(df, "ts", "v", algo="esd", k=5)
+    assert {r.ts for r in esd.collect() if r.is_anomaly} == set(outliers)
+    # Grubbs: at most ONE flag — the most extreme |v−mean|/s point,
+    # which is −80 (ts=31): the mean sits near 12, so its deviation
+    # beats +100's
+    gr = [r.ts for r in anomaly_detect(df, "ts", "v", algo="grubbs").collect()
+          if r.is_anomaly]
+    assert gr == [31]
+    # clean data: no flags
+    clean = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(10 + rng.standard_normal(40))],
+        "ts long, v double",
+    )
+    assert not any(
+        r.is_anomaly
+        for r in anomaly_detect(clean, "ts", "v", algo="esd", k=5).collect()
+    )
