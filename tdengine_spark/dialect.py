@@ -60,6 +60,7 @@ _CLAUSE_RE = re.compile(
       | STATE_WINDOW\s*\(.*?\)(?:\s+TRUE_FOR\s*\(.*?\))?
       | EVENT_WINDOW\s+START\s+WITH\s+.*?\s+END\s+WITH\s+[^\s]+(?:\s*[<>=!]+\s*[^\s]+)?(?:\s+TRUE_FOR\s*\(.*?\))?
       | COUNT_WINDOW\s*\(.*?\)
+      | ANOMALY_WINDOW\s*\(.*?\)
     ))?
     (?:\s+FILL\s*\((?P<fill>.*?)\))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
@@ -615,6 +616,16 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
         assigned = assign_count_windows(
             base, ts_col, int(mm.group(1)),
             int(mm.group(2)) if mm.group(2) else None, keys,
+        )
+    elif wl.startswith("anomaly_window"):
+        # ANOMALY_WINDOW(col[, 'algo=ksigma|mad|iqr|grubbs|esd'])
+        # (anomalywindowoperator.c:138) — detected anomalies delimit
+        # the windows
+        from tdengine_spark.functions.analytics import anomaly_window
+
+        mm = re.match(r"anomaly_window\s*\(\s*(\w+)\s*(?:,\s*'algo=(\w+)')?\s*\)", wl)
+        assigned = anomaly_window(
+            base, ts_col, mm.group(1), keys, algo=mm.group(2) or "ksigma"
         )
     else:
         raise ValueError(f"unsupported window clause: {window}")

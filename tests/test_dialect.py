@@ -553,3 +553,23 @@ def test_indef_functions_in_select(spark):
     assert len(rows) > 0
     assert any(r.sc and r.sc > 0 for r in rows)
     assert any(r.sc == -1 for r in rows)
+
+
+def test_anomaly_window_dialect(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n, round(avg(value), 4) as avg_v FROM events "
+        "PARTITION BY event_type ANOMALY_WINDOW(value, 'algo=mad')",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"event_type", "_wstart", "_wend", "n", "avg_v"} <= set(out.columns)
+    # default algo variant parses too
+    dflt = translate(
+        spark,
+        _db(),
+        "SELECT count(*) as n FROM events "
+        "PARTITION BY event_type ANOMALY_WINDOW(value)",
+    )
+    assert dflt.count() > 0
