@@ -75,7 +75,61 @@ _CLAUSE_RE = re.compile(
 
 
 def _rewrite_ops(expr: str) -> str:
-    """Dialect operators → Spark SQL: `col->'k'`, MATCH, NMATCH."""
+    """Dialect operators/functions → Spark SQL: `col->'k'`, MATCH,
+    NMATCH, NOW/TODAY keywords, and the reference time-function family
+    (timetruncate / timediff / to_iso8601 / to_unixtimestamp,
+    builtins.c:5034-5127)."""
+    from tdengine_spark.durations import parse_duration
+
+    def trunc(a):
+        unit = a[1].strip().strip("'")
+        if unit.endswith(("n", "y")):  # calendar units
+            word = "month" if unit.endswith("n") else "year"
+            return f"date_trunc('{word}', {a[0]})"
+        w = parse_duration(unit).microseconds
+        return (
+            f"timestamp_micros(CAST(floor(unix_micros({a[0]}) / {w}) "
+            f"* {w} AS BIGINT))"
+        )
+
+    def tdiff(a):
+        unit = a[2].strip().strip("'") if len(a) > 2 else "1a"
+        u = parse_duration(unit if unit[0].isdigit() else "1" + unit).microseconds
+        return (
+            f"CAST((unix_micros({a[0]}) - unix_micros({a[1]})) div {u} AS BIGINT)"
+        )
+
+    expr = _rewrite_call(expr, "timetruncate", trunc)
+    expr = _rewrite_call(expr, "timediff", tdiff)
+    expr = _rewrite_call(
+        expr,
+        "to_iso8601",
+        lambda a: (
+            f"concat(date_format({a[0]}, 'yyyy-MM-dd\\'T\\'HH:mm:ss.SSS'), '+0000')"
+        ),
+    )
+    expr = _rewrite_call(
+        expr,
+        "to_unixtimestamp",
+        lambda a: f"CAST(unix_micros(to_timestamp({a[0]})) div 1000 AS BIGINT)",
+    )
+    def _kw(pattern: str, repl: str, s: str) -> str:
+        # keyword substitution outside single-quoted literals only
+        return re.sub(
+            pattern,
+            lambda m: m.group(0)
+            if s.count("'", 0, m.start()) % 2 == 1
+            else repl,
+            s,
+            flags=re.IGNORECASE,
+        )
+
+    expr = _kw(r"\bnow\s*\(\s*\)|\bnow\b", "current_timestamp()", expr)
+    expr = _kw(
+        r"\btoday\s*\(\s*\)|\btoday\b",
+        "date_trunc('day', current_timestamp())",
+        expr,
+    )
     expr = re.sub(
         r"([A-Za-z_][\w]*)\s*->\s*'([^']+)'",
         r"get_json_object(\1, '$.\2')",

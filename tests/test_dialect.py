@@ -573,3 +573,30 @@ def test_anomaly_window_dialect(spark):
         "PARTITION BY event_type ANOMALY_WINDOW(value)",
     )
     assert dflt.count() > 0
+
+
+def test_time_function_rewrites(spark):
+    out = translate(
+        spark,
+        _db(),
+        "SELECT ts, timetruncate(ts, '1h') AS th, "
+        "timediff(ts, timetruncate(ts, '1d'), '1h') AS hours_into_day, "
+        "to_iso8601(ts) AS iso, to_unixtimestamp('2024-01-01 00:00:00') AS ep "
+        "FROM events LIMIT 5",
+    ).collect()
+    for r in out:
+        assert r.th.minute == 0 and r.th.second == 0
+        assert 0 <= r.hours_into_day <= 23
+        assert r.iso.endswith("+0000") and "T" in r.iso
+        assert r.ep == 1704067200000
+    # NOW keyword usable in WHERE (all testdata ts are in the past)
+    n = translate(
+        spark, _db(), "SELECT count(*) AS n FROM events WHERE ts < now"
+    ).first().n
+    total = translate(spark, _db(), "SELECT count(*) AS n FROM events").first().n
+    assert n == total
+    # 'now' inside a string literal is untouched
+    lit = translate(
+        spark, _db(), "SELECT 'now' AS w FROM events LIMIT 1"
+    ).first().w
+    assert lit == "now"
