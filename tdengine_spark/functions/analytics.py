@@ -269,7 +269,7 @@ def impute_missing(
 #: detector algorithms accepted by anomaly_detect / anomaly_window —
 #: the reference's ANOMALY_WINDOW(col, 'algo=...') parameter
 #: (anomalywindowoperator.c:138; tanalytics.h algo list)
-ANOMALY_ALGOS = ("ksigma", "mad", "iqr", "grubbs", "esd")
+ANOMALY_ALGOS = ("ksigma", "mad", "iqr", "grubbs", "esd", "shesd", "lof")
 
 #: MAD → σ-equivalent scale for a normal distribution
 _MAD_SCALE = 1.4826
@@ -282,6 +282,7 @@ def anomaly_detect(
     partition_by: "list[str] | None" = None,
     algo: str = "ksigma",
     k: float = 3.0,
+    season_length: "int | None" = None,
 ) -> DataFrame:
     """anomalycheck(col, algo): flag per-key outliers. Adds ``score`` +
     ``is_anomaly`` (and keeps ``zscore`` as an alias column for ksigma).
@@ -339,13 +340,19 @@ def anomaly_detect(
             .withColumn("is_anomaly", flag)
             .drop("_q1", "_q3", "_med")
         )
-    if algo in ("grubbs", "esd"):
-        # Grubbs = ESD with one candidate; iterative removal needs the
-        # whole key group → applyInPandas (keys independent, scales out)
+    if algo in ("grubbs", "esd", "shesd"):
+        # Grubbs = ESD with one candidate; SHESD = ESD on seasonally
+        # detrended residuals; iterative removal needs the whole key
+        # group → applyInPandas (keys independent, scales out)
+        if algo == "shesd" and not season_length:
+            raise ValueError("algo='shesd' needs season_length")
         return _anomaly_esd(
             df, ts_col, val_col, keys,
             max_anomalies=1 if algo == "grubbs" else max(int(k), 1),
+            season_length=season_length if algo == "shesd" else None,
         )
+    if algo == "lof":
+        return _anomaly_lof(df, ts_col, val_col, keys, k=max(int(k), 2))
     raise ValueError(f"unknown anomaly algo {algo!r}; supported: {ANOMALY_ALGOS}")
 
 
@@ -368,11 +375,15 @@ def _anomaly_esd(
     keys: list,
     max_anomalies: int,
     alpha: float = 0.05,
+    season_length: "int | None" = None,
 ) -> DataFrame:
     """Generalized ESD (Rosner 1983) per key: iteratively remove the
     most extreme |v − mean|/s point, compare R_i against the λ_i
     critical value; all points up to the last significant i are
-    anomalies. Grubbs' test = i ≤ 1. Output schema matches the
+    anomalies. Grubbs' test = i ≤ 1. ``season_length`` → SHESD (Twitter
+    / Hochenbaum 2017): subtract the per-phase seasonal median + the
+    overall median, run ESD on the residuals — robust to periodic
+    series that plain ESD reads as spread. Output schema matches the
     expression detectors: input columns + score + is_anomaly."""
     in_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
@@ -380,8 +391,15 @@ def _anomaly_esd(
     out_schema = f"{in_fields}, score double, is_anomaly boolean"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
         v = pdf[val_col].to_numpy(dtype=np.float64)
         n = len(v)
+        if season_length and n >= 2 * season_length:
+            phases = np.arange(n) % season_length
+            seas = np.zeros(season_length)
+            for ph in range(season_length):
+                seas[ph] = np.median(v[phases == ph])
+            v = v - seas[phases] - np.median(v - seas[phases])
         out = pdf.copy()
         mu0, sd0 = float(np.mean(v)), float(np.std(v, ddof=1)) if n > 1 else 0.0
         out["score"] = (v - mu0) / sd0 if sd0 > 0 else 0.0
@@ -412,6 +430,61 @@ def _anomaly_esd(
         out["is_anomaly"] = False
         if flagged:
             out.iloc[flagged, out.columns.get_loc("is_anomaly")] = True
+        return out
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(lambda _, p: run(p), out_schema)
+    return df.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, p: run(p), out_schema
+    )
+
+
+def _anomaly_lof(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list,
+    k: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig 2000) on the value distribution per
+    key. Univariate shortcut: after sorting, every point's k nearest
+    neighbors lie inside a 2k+1 window → one (n, 2k+1) distance matrix
+    instead of n² — scale-safe for large keys. Flags LOF > threshold
+    (1-D gaussian cluster edges reach LOF ≈ 2.4, so the classic 1.5
+    multivariate cutoff over-flags; 3.0 separates cleanly)."""
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    out_schema = f"{in_fields}, score double, is_anomaly boolean"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        out = pdf.copy()
+        if n < 2 * k + 2:
+            out["score"] = 1.0
+            out["is_anomaly"] = False
+            return out
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        # distinct candidate window per point (edges shift inward so the
+        # window always holds 2k+1 DISTINCT indices incl. self)
+        starts = np.clip(np.arange(n) - k, 0, n - 2 * k - 1)
+        idx = starts[:, None] + np.arange(2 * k + 1)[None, :]
+        d = np.abs(sv[idx] - sv[:, None])
+        d[idx == np.arange(n)[:, None]] = np.inf  # exclude self
+        nbr_pos = np.argsort(d, axis=1, kind="stable")[:, :k]
+        knn_d = np.take_along_axis(d, nbr_pos, axis=1)
+        nbr_idx = np.take_along_axis(idx, nbr_pos, axis=1)
+        kdist = knn_d[:, k - 1]
+        reach = np.maximum(kdist[nbr_idx], knn_d)
+        lrd = k / np.maximum(reach.sum(axis=1), 1e-12)
+        lof = lrd[nbr_idx].mean(axis=1) / np.maximum(lrd, 1e-12)
+        score = np.empty(n)
+        score[order] = lof
+        out["score"] = score
+        out["is_anomaly"] = score > threshold
         return out
 
     if keys:

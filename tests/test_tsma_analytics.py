@@ -375,3 +375,60 @@ def test_anomaly_grubbs_esd(spark):
         r.is_anomaly
         for r in anomaly_detect(clean, "ts", "v", algo="esd", k=5).collect()
     )
+
+
+def test_anomaly_shesd_seasonal(spark):
+    """Plain ESD drowns a modest spike in seasonal spread; SHESD detrends
+    the season first and catches it."""
+    import numpy as np
+
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    rng = np.random.default_rng(9)
+    m = 12
+    season = 30 * np.sin(2 * np.pi * np.arange(m) / m)
+    vals = []
+    for t in range(120):
+        vals.append(float(season[t % m] + rng.normal(0, 0.5)))
+    vals[60] += 12.0  # spike small vs the ±30 seasonal swing
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    shesd = {
+        r.ts
+        for r in anomaly_detect(
+            df, "ts", "v", algo="shesd", k=4, season_length=m
+        ).collect()
+        if r.is_anomaly
+    }
+    assert 60 in shesd
+    esd = {
+        r.ts
+        for r in anomaly_detect(df, "ts", "v", algo="esd", k=4).collect()
+        if r.is_anomaly
+    }
+    assert 60 not in esd  # the seasonal spread hides it from plain ESD
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="season_length"):
+        anomaly_detect(df, "ts", "v", algo="shesd")
+
+
+def test_anomaly_lof(spark):
+    import numpy as np
+
+    from tdengine_spark.functions.analytics import anomaly_detect
+
+    rng = np.random.default_rng(4)
+    # two dense clusters + two isolated points between/beyond them
+    vals = list(rng.normal(0, 0.3, 50)) + list(rng.normal(20, 0.3, 50))
+    vals += [10.0, 40.0]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    out = anomaly_detect(df, "ts", "v", algo="lof", k=10).collect()
+    flagged = {r.ts for r in out if r.is_anomaly}
+    assert flagged == {100, 101}
+    # the isolated points dominate the score ranking
+    top2 = {r.ts for r in sorted(out, key=lambda r: -r.score)[:2]}
+    assert top2 == {100, 101}
