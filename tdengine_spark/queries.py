@@ -981,6 +981,7 @@ _PRIORITY: list[str] = [
     "right_asof_join",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "interval_1h_offset_30m",
     # --- materially changed in round 4 (hash unification, surrogate-id
     # JLIMIT fixes, rounding-path unification) ---
     "minhash_near_dup_pairs",

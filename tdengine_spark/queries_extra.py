@@ -946,3 +946,27 @@ def q_ann_multiprobe(spark, sf_dir):
     return sim.lsh_ann_topk(
         emb, queries, dim=64, k=5, nbits=8, probe_radius=1
     )
+
+
+_OFF_US = 1_800_000_000  # 30m
+
+
+@q(
+    "interval_1h_offset_30m",
+    f"""
+    SELECT event_type,
+           make_timestamp(CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - {_OFF_US})
+                / {HOUR_US}) * {HOUR_US} + {_OFF_US} AS BIGINT)) AS _wstart,
+           COUNT(*) AS cnt,
+           (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_interval_offset(spark, sf_dir):
+    """INTERVAL(1h, 30m): buckets anchored at :30 past the hour (the
+    reference's interval_offset, timewindow.c getAlignQueryTimeWindow)."""
+    ev = t(spark, sf_dir, "events")
+    return tw.interval_window(
+        ev, "ts", "1h", offset="30m", partition_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r4e(F.avg("value")).alias("avg_v")],
+    ).select("event_type", "_wstart", "cnt", "avg_v")
