@@ -982,6 +982,11 @@ _PRIORITY: list[str] = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "interval_1h_offset_30m",
+    "string_functions_extended",
+    "math_functions_family",
+    "cast_conversion_family",
+    "case_when_bucketing",
+    "in_filter_scalar_subquery",
     # --- materially changed in round 4 (hash unification, surrogate-id
     # JLIMIT fixes, rounding-path unification) ---
     "minhash_near_dup_pairs",

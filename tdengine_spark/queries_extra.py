@@ -970,3 +970,163 @@ def q_interval_offset(spark, sf_dir):
         ev, "ts", "1h", offset="30m", partition_by=["event_type"],
         aggs=[F.count(F.lit(1)).alias("cnt"), _r4e(F.avg("value")).alias("avg_v")],
     ).select("event_type", "_wstart", "cnt", "avg_v")
+
+
+@q(
+    "string_functions_extended",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           upper(substr(text, 1, 10)) AS head_u,
+           lower(substr(text, 1, 10)) AS head_l,
+           CAST(position('the' IN lower(text)) AS INT) AS pos_the,
+           replace(substr(text, 1, 20), ' ', '_') AS underscored,
+           trim(substr(text, 1, 12)) AS trimmed,
+           reverse(substr(text, 1, 8)) AS rev8,
+           concat_ws('|', source, lang) AS src_lang,
+           repeat(lang, 2) AS lang2,
+           lpad(lang, 5, '.') AS lang_pad
+    FROM documents
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String function family (§2.9: length/substr/position/replace/
+    trim/reverse/concat_ws/repeat/lpad — builtins.c string registry)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.upper(F.substring("text", 1, 10)).alias("head_u"),
+        F.lower(F.substring("text", 1, 10)).alias("head_l"),
+        F.instr(F.lower(F.col("text")), "the").cast("int").alias("pos_the"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("underscored"),
+        F.trim(F.substring("text", 1, 12)).alias("trimmed"),
+        F.reverse(F.substring("text", 1, 8)).alias("rev8"),
+        F.concat_ws("|", "source", "lang").alias("src_lang"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.lpad("lang", 5, ".").alias("lang_pad"),
+    )
+
+
+@q(
+    "math_functions_family",
+    """
+    SELECT event_id,
+           abs(value - 100) AS a,
+           CAST(ceil(value) AS BIGINT) AS c,
+           CAST(floor(value) AS BIGINT) AS f,
+           (ROUND(sqrt(abs(value)) + 0.0000001, 4) + 0) AS sq,
+           (ROUND(pow(value / 100, 2) + 0.0000001, 4) + 0) AS p2,
+           (ROUND(ln(abs(value) + 1) + 0.0000001, 4) + 0) AS lnv,
+           (ROUND(log10(abs(value) + 1) + 0.0000001, 4) + 0) AS l10,
+           (ROUND(sin(value / 100) + 0.0000001, 4) + 0) AS s,
+           (ROUND(cos(value / 100) + 0.0000001, 4) + 0) AS co,
+           (ROUND(atan(value / 100) + 0.0000001, 4) + 0) AS at,
+           CAST(sign(value - 100) AS INT) AS sg,
+           CAST(mod(CAST(floor(value) AS BIGINT), 7) AS BIGINT) AS m7,
+           (floor(value * 100) / 100) AS trunc2,
+           greatest(value, 100.0) AS g,
+           least(value, 100.0) AS l
+    FROM events WHERE user_id = 11
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """Math function family (§2.9: abs/ceil/floor/sqrt/pow/log/trig/
+    sign/mod/truncate/greatest/least — builtins.c math registry)."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") == 11)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v - 100).alias("a"),
+        F.ceil(v).cast("bigint").alias("c"),
+        F.floor(v).cast("bigint").alias("f"),
+        _r4e(F.sqrt(F.abs(v))).alias("sq"),
+        _r4e(F.pow(v / 100, 2)).alias("p2"),
+        _r4e(F.log(F.abs(v) + 1)).alias("lnv"),
+        _r4e(F.log10(F.abs(v) + 1)).alias("l10"),
+        _r4e(F.sin(v / 100)).alias("s"),
+        _r4e(F.cos(v / 100)).alias("co"),
+        _r4e(F.atan(v / 100)).alias("at"),
+        F.signum(v - 100).cast("int").alias("sg"),
+        F.pmod(F.floor(v).cast("bigint"), F.lit(7)).cast("bigint").alias("m7"),
+        (F.floor(v * 100) / 100).alias("trunc2"),
+        F.greatest(v, F.lit(100.0)).alias("g"),
+        F.least(v, F.lit(100.0)).alias("l"),
+    )
+
+
+@q(
+    "cast_conversion_family",
+    """
+    SELECT event_id,
+           CAST(trunc(value) AS BIGINT) AS v_int,  -- ref cast truncates (C semantics)
+           CAST(value AS VARCHAR) AS v_str,
+           CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS uid_rt,
+           CAST(value > 100 AS BOOLEAN) AS v_gt,
+           CAST(CAST(value > 100 AS BOOLEAN) AS INT) AS v_gt_i,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+           TRY_CAST(event_type AS DOUBLE) AS bad_cast
+    FROM events WHERE user_id = 13
+    """,
+)
+def q_cast_funcs(spark, sf_dir):
+    """Cast / conversion family (§2.9 — CAST across numeric/string/bool/
+    ts; TRY_CAST NULL on failure, matching the reference's cast guards)."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") == 13)
+    return ev.select(
+        "event_id",
+        F.col("value").cast("bigint").alias("v_int"),
+        F.col("value").cast("string").alias("v_str"),
+        F.col("user_id").cast("string").cast("bigint").alias("uid_rt"),
+        (F.col("value") > 100).alias("v_gt"),
+        (F.col("value") > 100).cast("int").alias("v_gt_i"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").try_cast("double").alias("bad_cast"),
+    )
+
+
+@q(
+    "case_when_bucketing",
+    """
+    SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type, COUNT(*) AS n,
+           (ROUND(AVG(value) + 0.0000001, 4) + 0) AS avg_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_case_when(spark, sf_dir):
+    """CASE WHEN bucketing + groupBy (expression framework §2.2)."""
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy(bucket.alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), _r4e(F.avg("value")).alias("avg_v")
+    )
+
+
+@q(
+    "in_filter_scalar_subquery",
+    """
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+      AND value > (SELECT AVG(value) FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_in_scalar_subquery(spark, sf_dir):
+    """IN-list + scalar subquery in WHERE (filter framework §2.2)."""
+    ev = t(spark, sf_dir, "events")
+    avg_v = ev.agg(F.avg("value")).first()[0]
+    return (
+        ev.where(F.col("event_type").isin("purchase", "error"))
+        .where(F.col("value") > avg_v)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
