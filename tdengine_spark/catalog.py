@@ -66,7 +66,12 @@ class SuperTable:
         # legacy conf, and non-UTC sessions render timestamps shifted
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ by
+        # default; the engine (like the reference, which stores epoch int64)
+        # works in epoch-UTC TIMESTAMP — unix_micros() et al. require it
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(self.path)
+        df = _ntz_to_utc_timestamp(df)
         ns_cols = _ns_timestamp_cols(self.path)
         if ts_range is not None and self.ts_col in df.columns:
             lo, hi = ts_range
@@ -90,6 +95,19 @@ class SuperTable:
                 version_col=self.version_col,
             )
         return df
+
+
+def _ntz_to_utc_timestamp(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz UTC, so the
+    wall-clock value is preserved). Defensive second layer behind the
+    inferTimestampNTZ conf: a caller-owned session may have completed reads
+    before our conf set, or hand the frame in pre-built."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
+    return df
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:

@@ -48,6 +48,11 @@ def get_spark(
         # ns-precision timestamps (reference db precision 'b') surface as
         # LongType nanos; the catalog converts to us TimestampType on read
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # us-precision parquet written without isAdjustedToUTC would
+        # otherwise surface as TIMESTAMP_NTZ on Spark 4 (inferTimestampNTZ
+        # defaults true), which unix_micros()/window() reject — keep the
+        # reference's epoch-UTC reading (session tz is UTC, so values align)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -8,6 +8,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from tdengine_spark.catalog import Database
 from tdengine_spark.streaming.latest import LatestTable
 from tdengine_spark.streaming.stream import (
     count_window_trigger,
@@ -24,10 +25,8 @@ def stream_dir(spark):
     d = tempfile.mkdtemp(prefix="tds_stream_")
     # replay the events table as N arriving files (ts order preserved
     # within files; the watermark handles cross-file disorder)
-    df = spark.read.parquet(SRC)
-    df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).repartition(
-        4
-    ).write.mode("overwrite").parquet(f"{d}/in")
+    df = Database(root=os.path.dirname(SRC)).read(spark, "events")
+    df.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -43,8 +42,8 @@ def ordered_stream_dir(spark):
     d = tempfile.mkdtemp(prefix="tds_ostream_")
     os.makedirs(f"{d}/in")
     pdf = (
-        spark.read.parquet(SRC)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        Database(root=os.path.dirname(SRC))
+        .read(spark, "events")
         .toPandas()
         .sort_values("ts")
         .reset_index(drop=True)
