@@ -124,6 +124,7 @@ def _rewrite_ops(expr: str) -> str:
             flags=re.IGNORECASE,
         )
 
+    expr = _rewrite_epoch_ts_literals(expr)
     expr = _kw(r"\bnow\s*\(\s*\)|\bnow\b", "current_timestamp()", expr)
     expr = _kw(
         r"\btoday\s*\(\s*\)|\btoday\b",
@@ -148,6 +149,41 @@ def _rewrite_ops(expr: str) -> str:
         flags=re.IGNORECASE,
     )
     return expr
+
+
+_EPOCH_CMP_RE = re.compile(
+    r"""(?P<col>(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*ts)\s*(?P<op>>=|<=|=|>|<)\s*(?P<lit>\d{12,19})\b
+      | (?P<lit2>\b\d{12,19})\s*(?P<op2>>=|<=|=|>|<)\s*(?P<col2>(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*ts)\b
+    """,
+    re.VERBOSE,
+)
+
+
+def _epoch_lit_sql(lit: str) -> str:
+    """A bare integer compared against a timestamp column is an epoch
+    literal in the reference dialect (db precision ms by default; us/ns
+    precisions use correspondingly larger magnitudes — disambiguated by
+    range, reference parser TSDB_TIME_PRECISION units)."""
+    v = int(lit)
+    if v < 10**14:  # ms precision (until year 5138)
+        return f"timestamp_millis({lit})"
+    if v < 10**17:  # us precision
+        return f"timestamp_micros({lit})"
+    return f"timestamp_micros({lit} div 1000)"  # ns precision
+
+
+def _rewrite_epoch_ts_literals(expr: str) -> str:
+    """``ts >= 1767196801000`` → ``ts >= timestamp_millis(...)`` for any
+    column whose name ends in ``ts`` (ts, _rowts, a.ts, bts …), either
+    operand order. The reference compares TIMESTAMP columns to bare int
+    epochs (filterOperator.c type promotion); Spark needs the cast."""
+
+    def sub(m):
+        if m.group("col") is not None:
+            return f"{m.group('col')} {m.group('op')} {_epoch_lit_sql(m.group('lit'))}"
+        return f"{_epoch_lit_sql(m.group('lit2'))} {m.group('op2')} {m.group('col2')}"
+
+    return _EPOCH_CMP_RE.sub(sub, expr)
 
 
 def _rewrite_call(s: str, name: str, render) -> str:
@@ -447,6 +483,60 @@ def _negate_offset(spec: str) -> str:
     return spec[1:] if spec.startswith("-") else f"-{spec}"
 
 
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip().rstrip(";").strip()
+    while s.startswith("("):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if i == len(s) - 1:
+            s = s[1:-1].strip()
+        else:
+            break
+    return s
+
+
+def _split_top_union(sql: str):
+    """Split ``q1 UNION [ALL] q2 [UNION [ALL] q3 …]`` at paren depth 0
+    (grammar sql.y:3096-3098). Returns (operands, is_all) or None.
+    Mixed UNION/UNION ALL chains keep SQL left-assoc semantics only when
+    uniform; the reference corpus uses uniform chains."""
+    s = sql.strip().rstrip(";")
+    depth, i, cuts = 0, 0, []
+    pat = re.compile(r"\bUNION(\s+ALL)?\b", re.IGNORECASE)
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            i = len(s) if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "uU":
+            m = pat.match(s, i)
+            if m:
+                cuts.append((i, m.end(), m.group(1) is not None))
+                i = m.end()
+                continue
+        i += 1
+    if not cuts:
+        return None
+    is_all = all(c[2] for c in cuts)
+    parts, prev = [], 0
+    for lo, hi, _ in cuts:
+        parts.append(_strip_outer_parens(s[prev:lo]))
+        prev = hi
+    parts.append(_strip_outer_parens(s[prev:]))
+    return parts, is_all
+
+
 def _extract_from_subquery(sql: str):
     """Find ``FROM ( <subquery> ) [AS] alias`` and return
     (inner_sql, span_start, span_end) of the parenthesized group +
@@ -483,6 +573,14 @@ def translate(
     whose select list is plain avg/sum/count/min/max aggregates are
     transparently rewritten onto a compatible pre-aggregation — the
     reference's TSMA planner rewrite (SURVEY §4.3)."""
+    un = _split_top_union(sql)
+    if un is not None:
+        parts, is_all = un
+        dfs = [translate(spark, db, p, ts_col, tsma_catalog) for p in parts]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.union(d)  # positional, SQL UNION semantics
+        return out if is_all else out.distinct()
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect

