@@ -131,6 +131,7 @@ def _rewrite_ops(expr: str) -> str:
         "date_trunc('day', current_timestamp())",
         expr,
     )
+    expr = _rewrite_duration_arith(expr)
     expr = re.sub(
         r"([A-Za-z_][\w]*)\s*->\s*'([^']+)'",
         r"get_json_object(\1, '$.\2')",
@@ -151,11 +152,21 @@ def _rewrite_ops(expr: str) -> str:
     return expr
 
 
+# a ts-column reference: bare `ts`, qualified `a.ts`, or any identifier
+# ending in `ts` (_rowts, ats, bts …) — suffix heuristic matching the
+# reference's convention of naming every primary timestamp column *ts
+_TS_NAME = r"(?:[A-Za-z_]\w*\.)?(?:[A-Za-z_]\w*)?ts"
+
 _EPOCH_CMP_RE = re.compile(
-    r"""(?P<col>(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*ts)\s*(?P<op>>=|<=|=|>|<)\s*(?P<lit>\d{12,19})\b
-      | (?P<lit2>\b\d{12,19})\s*(?P<op2>>=|<=|=|>|<)\s*(?P<col2>(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*ts)\b
+    rf"""\b(?P<col>{_TS_NAME})(?:\s*(?P<adjop>[+-])\s*(?P<adj>\d{{1,9}})(?![\w.]))?\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{12,19}})(?![\w.])
+      | (?P<lit2>\b\d{{12,19}})\s*(?P<op2>>=|<=|<>|!=|=|>|<)\s*(?P<col2>{_TS_NAME})\b
     """,
     re.VERBOSE,
+)
+
+_EPOCH_BETWEEN_RE = re.compile(
+    rf"""\b(?P<col>{_TS_NAME})\s+BETWEEN\s+(?P<lo>\d{{12,19}})\s+AND\s+(?P<hi>\d{{12,19}})(?![\w.])""",
+    re.VERBOSE | re.IGNORECASE,
 )
 
 
@@ -172,18 +183,88 @@ def _epoch_lit_sql(lit: str) -> str:
     return f"timestamp_micros({lit} div 1000)"  # ns precision
 
 
+def _epoch_unit_us(lit: str) -> float:
+    """Microseconds per 1 unit of the precision implied by ``lit``."""
+    v = int(lit)
+    if v < 10**14:
+        return 1000.0  # ms
+    if v < 10**17:
+        return 1.0  # us
+    return 0.001  # ns
+
+
 def _rewrite_epoch_ts_literals(expr: str) -> str:
     """``ts >= 1767196801000`` → ``ts >= timestamp_millis(...)`` for any
-    column whose name ends in ``ts`` (ts, _rowts, a.ts, bts …), either
-    operand order. The reference compares TIMESTAMP columns to bare int
-    epochs (filterOperator.c type promotion); Spark needs the cast."""
+    ts-suffixed column (ts, _rowts, a.ts, bts …), either operand order,
+    BETWEEN included. ``ts + 1 >= <epoch>`` keeps the arithmetic by
+    converting the integer adjustment to a same-precision interval. The
+    reference compares TIMESTAMP columns to bare int epochs
+    (filterOperator.c type promotion); Spark needs the cast. Applied
+    outside single-quoted literals only."""
 
     def sub(m):
         if m.group("col") is not None:
-            return f"{m.group('col')} {m.group('op')} {_epoch_lit_sql(m.group('lit'))}"
+            col = m.group("col")
+            if m.group("adjop"):
+                secs = (
+                    int(m.group("adj")) * _epoch_unit_us(m.group("lit")) / 1e6
+                )
+                col = (
+                    f"({col} {m.group('adjop')} "
+                    f"make_dt_interval(0, 0, 0, {secs:.6f}))"
+                )
+            return f"{col} {m.group('op')} {_epoch_lit_sql(m.group('lit'))}"
         return f"{_epoch_lit_sql(m.group('lit2'))} {m.group('op2')} {m.group('col2')}"
 
-    return _EPOCH_CMP_RE.sub(sub, expr)
+    def between(m):
+        return (
+            f"{m.group('col')} BETWEEN {_epoch_lit_sql(m.group('lo'))} "
+            f"AND {_epoch_lit_sql(m.group('hi'))}"
+        )
+
+    return _outside_quotes(
+        expr, lambda s: _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s))
+    )
+
+
+_QUOTED_RE = re.compile(r"'[^']*'")
+
+
+def _outside_quotes(expr: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``expr`` outside single-quoted
+    string literals (shared guard for the text-level rewrites)."""
+    out, i = [], 0
+    for m in _QUOTED_RE.finditer(expr):
+        out.append(fn(expr[i : m.start()]))
+        out.append(m.group(0))
+        i = m.end()
+    out.append(fn(expr[i:]))
+    return "".join(out)
+
+
+# `<expr> ± <duration literal>`: `now + 4m`, `ts - 1h` … (grammar sql.y
+# NK_VARIABLE arithmetic; parTranslater.c promotes the int+unit literal
+# to a duration). Spark needs an interval literal instead.
+_DUR_ARITH_RE = re.compile(r"([+\-])\s*(\d+)([buasmhdwny])(?![\w.'])")
+
+
+def _rewrite_duration_arith(expr: str) -> str:
+    """``+ 4m`` → ``+ make_dt_interval(0, 0, 0, 240.0)`` (fixed-width
+    units) / ``+ make_ym_interval(...)`` (calendar n/y units), outside
+    string literals. Timestamp ± interval stays a timestamp in Spark,
+    matching the reference's duration-type promotion."""
+    from tdengine_spark.durations import parse_duration
+
+    def sub(m):
+        op, n, unit = m.group(1), int(m.group(2)), m.group(3)
+        if unit == "n":
+            return f"{op} make_ym_interval(0, {n})"
+        if unit == "y":
+            return f"{op} make_ym_interval({n}, 0)"
+        us = parse_duration(f"{n}{unit}").microseconds
+        return f"{op} make_dt_interval(0, 0, 0, {us / 1e6:.6f})"
+
+    return _outside_quotes(expr, lambda s: _DUR_ARITH_RE.sub(sub, s))
 
 
 def _rewrite_call(s: str, name: str, render) -> str:
@@ -301,10 +382,36 @@ _WINDOW_JOIN_RE = re.compile(
 
 
 def _table_names(sql: str) -> list[str]:
-    """Table identifiers appearing after FROM / JOIN keywords."""
-    return re.findall(
-        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, flags=re.IGNORECASE
-    )
+    """Table identifiers appearing after FROM / JOIN keywords, including
+    comma-separated FROM lists (``FROM t1, t2`` implicit-join syntax)."""
+    out = []
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)",
+        sql,
+        flags=re.IGNORECASE,
+    ):
+        for t in re.split(r"\s*,\s*", m.group(1)):
+            out.append(t.split()[0])
+    return out
+
+
+def _dequalify_tables(sql: str, db: Database) -> str:
+    """Strip db qualifiers from table references: ``db1.st1`` → ``st1``
+    when ``st1`` is a table in ``db`` and ``db1`` is not (the reference
+    addresses tables as ``<db>.<tbl>``; our Database is single-level).
+    Column refs like ``alias.col`` are untouched — their suffix is not a
+    table."""
+    import os
+
+    def sub(m):
+        pre, suf = m.group(1), m.group(2)
+        if os.path.exists(f"{db.root}/{suf}.parquet") and not os.path.exists(
+            f"{db.root}/{pre}.parquet"
+        ):
+            return suf
+        return m.group(0)
+
+    return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", sub, sql)
 
 
 def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
@@ -501,11 +608,56 @@ def _strip_outer_parens(s: str) -> str:
     return s
 
 
+_TRAIL_RE = re.compile(
+    r"\b(?:ORDER\s+BY|SLIMIT|LIMIT)\b", re.IGNORECASE
+)
+
+_TRAIL_PARSE_RE = re.compile(
+    r"^(?:ORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\s*\bSLIMIT\s+(?P<slimit>\d+))?"
+    r"(?:\s*\bLIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_trailing_clauses(seg: str):
+    """Strip depth-0 trailing ``ORDER BY … [SLIMIT n] [LIMIT n]`` from a
+    union operand. Returns (core, {"order":…, "slimit":…, "limit":…}) —
+    the dict empty when no depth-0 trailing clause exists."""
+    depth, i, cut = 0, 0, None
+    while i < len(seg):
+        ch = seg[i]
+        if ch == "'":
+            j = seg.find("'", i + 1)
+            i = len(seg) if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _TRAIL_RE.match(seg, i)
+            if m:
+                cut = i
+                break
+        i += 1
+    if cut is None:
+        return seg, {}
+    m = _TRAIL_PARSE_RE.match(seg[cut:].strip())
+    if not m:
+        return seg, {}
+    return seg[:cut].rstrip(), {
+        k: v for k, v in m.groupdict().items() if v is not None
+    }
+
+
 def _split_top_union(sql: str):
     """Split ``q1 UNION [ALL] q2 [UNION [ALL] q3 …]`` at paren depth 0
-    (grammar sql.y:3096-3098). Returns (operands, is_all) or None.
-    Mixed UNION/UNION ALL chains keep SQL left-assoc semantics only when
-    uniform; the reference corpus uses uniform chains."""
+    (grammar sql.y:3096-3098). Returns (operands, all_flags, tail) or
+    None; ``all_flags[i]`` is the ALL-ness of the i-th UNION cut (mixed
+    chains fold left-associatively, SQL semantics), and ``tail`` holds
+    depth-0 trailing ORDER BY/SLIMIT/LIMIT — which the grammar applies
+    to the whole set operation, not the last operand."""
     s = sql.strip().rstrip(";")
     depth, i, cuts = 0, 0, []
     pat = re.compile(r"\bUNION(\s+ALL)?\b", re.IGNORECASE)
@@ -528,13 +680,14 @@ def _split_top_union(sql: str):
         i += 1
     if not cuts:
         return None
-    is_all = all(c[2] for c in cuts)
+    all_flags = [c[2] for c in cuts]
     parts, prev = [], 0
     for lo, hi, _ in cuts:
         parts.append(_strip_outer_parens(s[prev:lo]))
         prev = hi
-    parts.append(_strip_outer_parens(s[prev:]))
-    return parts, is_all
+    last, tail = _split_trailing_clauses(s[prev:].strip())
+    parts.append(_strip_outer_parens(last))
+    return parts, all_flags, tail
 
 
 def _extract_from_subquery(sql: str):
@@ -575,12 +728,18 @@ def translate(
     reference's TSMA planner rewrite (SURVEY §4.3)."""
     un = _split_top_union(sql)
     if un is not None:
-        parts, is_all = un
+        parts, all_flags, tail = un
         dfs = [translate(spark, db, p, ts_col, tsma_catalog) for p in parts]
         out = dfs[0]
-        for d in dfs[1:]:
+        for d, is_all in zip(dfs[1:], all_flags):
             out = out.union(d)  # positional, SQL UNION semantics
-        return out if is_all else out.distinct()
+            if not is_all:  # left-assoc fold: distinct at each plain cut
+                out = out.distinct()
+        if tail.get("order"):
+            out = out.orderBy(*_order_cols(tail["order"]))
+        if tail.get("limit"):
+            out = out.limit(int(tail["limit"]))
+        return out
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect
@@ -600,9 +759,13 @@ def translate(
     m = _WINDOW_JOIN_RE.match(sql)
     if m:
         return _translate_window_join(spark, db, m, ts_col)
-    if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
-        # standard multi-table SQL: register the referenced tables as
-        # views and let Catalyst parse the whole query
+    if re.search(r"\bJOIN\b", sql, re.IGNORECASE) or re.search(
+        r"\bFROM\s+[A-Za-z_][\w.]*\s*,", sql, re.IGNORECASE
+    ):
+        # standard multi-table SQL (explicit JOIN or comma-list implicit
+        # join): register the referenced tables as views and let
+        # Catalyst parse the whole query
+        sql = _dequalify_tables(sql, db)
         _register_views(spark, db, sql)
         return spark.sql(_rewrite_ops(sql))
     m = _CLAUSE_RE.match(sql)

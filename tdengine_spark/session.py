@@ -54,6 +54,11 @@ def get_spark(
         # reference's epoch-UTC reading (session tz is UTC, so values align)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # the reference's C expression engine yields NULL for division
+        # by zero and malformed casts (sclvector.c error paths return
+        # null, not query failure); Spark 4's ANSI default errors — use
+        # legacy semantics to match
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -245,8 +245,10 @@ def _pytest_statements(limit=60):
         text = open(path).read()
         for m in _QUERY_RE.finditer(text):
             sql = m.group(1)
-            for k, v in _SUBST.items():
-                sql = sql.replace(k, v)
+            # longest-key-first so dotted templates ({db}.{tb}) resolve
+            # before their parts
+            for k in sorted(_SUBST, key=len, reverse=True):
+                sql = sql.replace(k, _SUBST[k])
             if "{" in sql or "}" in sql:
                 continue  # unresolved template var
             if sql not in seen:
@@ -266,10 +268,21 @@ def pytest_corpus_db(spark):
     now = pd.Timestamp.utcnow().tz_localize(None).floor("s")
     frames = []
     for i in range(10):
+        # union of the file's two mt fixtures: (ts, tbcol) tags(tgcol)
+        # at :64 and (ts, a..g) tags(tgcol) at :300 — one parquet serves
+        # every substituted statement
+        x = list(range(10))
         pdf = pd.DataFrame(
             {
-                "ts": [now + pd.Timedelta(minutes=x) for x in range(10)],
-                "tbcol": list(range(10)),
+                "ts": [now + pd.Timedelta(minutes=v) for v in x],
+                "tbcol": x,
+                "a": pd.array(x, dtype="int32"),
+                "b": pd.array(x, dtype="float32"),
+                "c": pd.array(x, dtype="int16"),
+                "d": pd.array(x, dtype="float64"),
+                "e": pd.array(x, dtype="int8"),
+                "f": "11",
+                "g": True,
                 "tgcol": i,
                 "tbname": f"tb{i}",
             }
@@ -280,7 +293,58 @@ def pytest_corpus_db(spark):
     allr.to_parquet(f"{d}/mt.parquet", index=False)
     one = frames[1].copy()
     one["ts"] = one["ts"].astype("datetime64[us]")
-    one[["ts", "tbcol"]].to_parquet(f"{d}/tb1.parquet", index=False)
+    one.drop(columns=["tgcol", "tbname"]).to_parquet(
+        f"{d}/tb1.parquet", index=False
+    )
+    # stb1: test_query_select_basic.py:470-493 — 10 child tables tagged
+    # t1=i, rows (ts, c, c, …, true, 'binaryC', 'ncharC') with c = x%10;
+    # odd-half tables write NULL c2/c4
+    stb_frames = []
+    for i in range(10):
+        c = [x % 10 for x in range(10)]
+        pdf = pd.DataFrame(
+            {
+                "ts": [now + pd.Timedelta(minutes=10 * x) for x in range(10)],
+                "c1": pd.array(c, dtype="int32"),
+                "c2": pd.array([None if i >= 5 else v for v in c], dtype="Int64"),
+                "c3": pd.array(c, dtype="float32"),
+                "c4": pd.array(
+                    [None if i >= 5 else float(v) for v in c], dtype="Float64"
+                ),
+                "c5": pd.array(c, dtype="int16"),
+                "c6": pd.array(c, dtype="int8"),
+                "c7": True,
+                "c8": [f"binary{v}" for v in c],
+                "c9": [f"nchar{v}" for v in c],
+                "t1": pd.array([i] * 10, dtype="int32"),
+                "tbname": f"tb{i}",
+            }
+        )
+        stb_frames.append(pdf)
+    stb = pd.concat(stb_frames)
+    stb["ts"] = stb["ts"].astype("datetime64[us]")
+    stb.to_parquet(f"{d}/stb1.parquet", index=False)
+    # st1/st2: test_query_select_basic.py:597-608 implicit-join fixture
+    st1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [1575880055000, 1575880059000, 1575880069000], unit="ms"
+            ).astype("datetime64[us]"),
+            "f1": pd.array([1, 1, 1], dtype="int32"),
+            "t1": pd.array([1, 1, 1], dtype="int32"),
+        }
+    )
+    st1.to_parquet(f"{d}/st1.parquet", index=False)
+    st2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([1575880055000], unit="ms").astype(
+                "datetime64[us]"
+            ),
+            "f2": pd.array([2], dtype="int32"),
+            "t2": pd.array([1], dtype="int32"),
+        }
+    )
+    st2.to_parquet(f"{d}/st2.parquet", index=False)
     yield Database(root=d)
     shutil.rmtree(d, ignore_errors=True)
 
