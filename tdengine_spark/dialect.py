@@ -52,6 +52,11 @@ _CLAUSE_RE = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.*?)
     \s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    (?:\s+(?:AS\s+)?
+       (?!WHERE\b|PARTITION\b|INTERVAL\b|SESSION\b|STATE_WINDOW\b
+         |EVENT_WINDOW\b|COUNT_WINDOW\b|ANOMALY_WINDOW\b|FILL\b|GROUP\b
+         |HAVING\b|ORDER\b|SLIMIT\b|LIMIT\b|UNION\b)
+       (?P<talias>[A-Za-z_]\w*))?
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+PARTITION\s+BY\s+(?P<partition>.*?))?
     (?:\s+(?P<window>
@@ -82,13 +87,16 @@ def _rewrite_ops(expr: str) -> str:
     from tdengine_spark.durations import parse_duration
 
     def trunc(a):
+        arg = a[0].strip()
+        if re.fullmatch(r"\d{12,19}", arg):  # bare epoch literal operand
+            arg = _epoch_lit_sql(arg)
         unit = a[1].strip().strip("'")
         if unit.endswith(("n", "y")):  # calendar units
             word = "month" if unit.endswith("n") else "year"
-            return f"date_trunc('{word}', {a[0]})"
+            return f"date_trunc('{word}', {arg})"
         w = parse_duration(unit).microseconds
         return (
-            f"timestamp_micros(CAST(floor(unix_micros({a[0]}) / {w}) "
+            f"timestamp_micros(CAST(floor(unix_micros({arg}) / {w}) "
             f"* {w} AS BIGINT))"
         )
 
@@ -99,6 +107,21 @@ def _rewrite_ops(expr: str) -> str:
             f"CAST((unix_micros({a[0]}) - unix_micros({a[1]})) div {u} AS BIGINT)"
         )
 
+    # _rowts pseudo-column = the row's primary timestamp (parser TK_ROWTS)
+    expr = _outside_quotes(
+        expr, lambda s: re.sub(r"\b_rowts\b", "ts", s)
+    )
+    # CAST(<int> AS TIMESTAMP) is epoch-in-db-precision in the reference
+    # (ms by default); Spark's cast treats the int as seconds — rewrite
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            r"\bcast\s*\(\s*(\d{12,19})\s+as\s+timestamp\s*\)",
+            lambda m: _epoch_lit_sql(m.group(1)),
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
     expr = _rewrite_call(expr, "timetruncate", trunc)
     expr = _rewrite_call(expr, "timediff", tdiff)
     expr = _rewrite_call(
@@ -125,6 +148,18 @@ def _rewrite_ops(expr: str) -> str:
         )
 
     expr = _rewrite_epoch_ts_literals(expr)
+    # epoch literal projected under a ts-suffixed alias (`1691386256000
+    # ats`) — downstream time functions expect a timestamp, and the
+    # reference promotes the int by its timestamp context
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            rf"(?<![\w.])(\d{{12,19}})\s+(?:as\s+)?((?:[A-Za-z_]\w*)?ts)\b",
+            lambda m: f"{_epoch_lit_sql(m.group(1))} AS {m.group(2)}",
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
     expr = _kw(r"\bnow\s*\(\s*\)|\bnow\b", "current_timestamp()", expr)
     expr = _kw(
         r"\btoday\s*\(\s*\)|\btoday\b",
@@ -424,6 +459,281 @@ def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
             db.read(spark, t).createOrReplaceTempView(t)
 
 
+def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
+    """A FROM operand: parquet table in ``db``, else a registered temp
+    view (e.g. a translated subquery)."""
+    import os
+
+    if os.path.exists(f"{db.root}/{name}.parquet"):
+        return db.read(spark, name)
+    if _view_exists(spark, name):
+        return spark.table(name)
+    raise ValueError(f"unknown table or view {name!r}")
+
+
+# `SELECT <items> FROM t [WHERE w] [ORDER BY o] [LIMIT n]` where one
+# item is a selection function — detected before _CLAUSE_RE because the
+# companion items ride the selected row, not a GROUP BY
+_SELECTION_STMT_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    (?:\s+WHERE\s+(?P<where>.*?))?
+    (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_SEL_FN_ITEM_RE = re.compile(
+    r"^(first|last|mode|unique)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+    r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
+
+_ITEM_ALIAS_RE = re.compile(
+    r"^(?P<expr>.+?)(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.DOTALL,
+)
+
+
+def _match_selection_stmt(sql: str):
+    """(clause-match, parsed-items, fn-index) when ``sql`` is a
+    selection-function statement with companion items, else None.
+
+    TDengine selection functions (first/last/mode/unique,
+    builtins.c FUNC_MGT_SELECT_FUNC) let plain columns accompany the
+    function in the select list; the companions take their values from
+    the selected row(s) — not expressible as a Spark GROUP BY."""
+    m = _SELECTION_STMT_RE.match(sql)
+    if not m:
+        return None
+    items = _split_select(m.group("items"))
+    if len(items) < 2:
+        return None
+    fn_idx = None
+    for i, it in enumerate(items):
+        if _SEL_FN_ITEM_RE.match(it.strip()):
+            if fn_idx is not None:
+                return None  # multiple selection fns — out of scope
+            fn_idx = i
+    if fn_idx is None:
+        return None
+    if any(_has_agg(it) for i, it in enumerate(items) if i != fn_idx):
+        return None  # selection + ordinary aggregates: _CLAUSE_RE path
+    return m, items, fn_idx
+
+
+def _translate_selection(
+    spark: SparkSession, db: Database, m, items, fn_idx, ts_col: str
+) -> DataFrame:
+    """Selection-function select list with companion columns:
+
+    - first/last(c): one row — each output = min_by/max_by(item, ts
+      over non-null c), matching the reference's "other columns take
+      the first/last row's values".
+    - mode(c): the row of the most frequent c (ties → earliest first
+      occurrence, matching the reference's golden answers); companions
+      via min_by(item, ts) within the winning group.
+    - unique(c): one row per distinct c at its first occurrence.
+    """
+    g = m.groupdict()
+    base = _read_rel(spark, db, g["table"])
+    if g["where"]:
+        base = base.where(F.expr(_rewrite_ops(g["where"])))
+    fm = _SEL_FN_ITEM_RE.match(items[fn_idx].strip())
+    fn, col = fm.group(1).lower(), fm.group(2)
+    fn_alias = fm.group("alias") or f"{fn}({col})"
+
+    def companions():
+        out = []
+        for i, it in enumerate(items):
+            if i == fn_idx:
+                continue
+            am = _ITEM_ALIAS_RE.match(it.strip())
+            expr = _rewrite_ops(am.group("expr"))
+            out.append((expr, am.group("alias") or am.group("expr")))
+        return out
+
+    if fn in ("first", "last"):
+        guard = f"CASE WHEN {col} IS NOT NULL THEN {ts_col} END"
+        pick = "min_by" if fn == "first" else "max_by"
+        aggs = [
+            F.expr(f"{pick}({e}, {guard})").alias(a) for e, a in companions()
+        ]
+        aggs.insert(fn_idx, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
+        out = base.agg(*aggs)
+    else:
+        aggs = [
+            F.expr(f"min_by({e}, {ts_col})").alias(a) for e, a in companions()
+        ]
+        grouped = base.groupBy(F.col(col).alias(fn_alias)).agg(
+            *aggs,
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(ts_col).alias("_fts"),
+        )
+        if fn == "mode":
+            grouped = grouped.orderBy(
+                F.col("_cnt").desc(), F.col("_fts").asc()
+            ).limit(1)
+        names = [a for _, a in companions()]
+        names.insert(fn_idx, fn_alias)
+        out = grouped.select(*[F.col(n) for n in names])
+    if g["order"]:
+        out = out.orderBy(*_order_cols(g["order"]))
+    if g["limit"]:
+        out = out.limit(int(g["limit"]))
+    return out
+
+
+_PK_SEMI_ANTI_RE = re.compile(
+    r"\b(?P<side>LEFT|RIGHT)\s+(?P<kind>SEMI|ANTI)\s+JOIN\b", re.IGNORECASE
+)
+
+
+def _take_operand(text: str):
+    """Parse a FROM operand: ``( subquery )`` or identifier, plus an
+    optional [AS] alias. Returns (operand_text, alias, rest)."""
+    text = text.lstrip()
+    if text.startswith("("):
+        depth = 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        op, rest = text[: i + 1], text[i + 1 :]
+    else:
+        m = re.match(r"[A-Za-z_][\w.]*", text)
+        op, rest = m.group(0), text[m.end() :]
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", rest, re.IGNORECASE)
+    alias = None
+    if am and am.group(1).upper() not in (
+        "ON", "LEFT", "RIGHT", "INNER", "FULL", "JOIN", "WHERE",
+    ):
+        alias = am.group(1)
+        rest = rest[am.end() :]
+    return op, alias, rest
+
+
+def _operand_df(spark: SparkSession, db: Database, text: str, ts_col: str):
+    """Translate a join operand to (DataFrame, pick_order) where
+    pick_order is (col, descending) — the operand's own ORDER BY, or
+    storage order (ts asc) when unordered. The reference's semi join
+    picks the FIRST match in the other side's row order, so the order
+    must survive the subquery boundary."""
+    text = text.strip()
+    order = (ts_col, False)
+    if text.startswith("("):
+        inner = _strip_outer_parens(text)
+        om = re.search(
+            r"\border\s+by\s+([A-Za-z_]\w*)(\s+desc)?\s*(?:limit\s+\d+)?\s*$",
+            inner,
+            re.IGNORECASE,
+        )
+        if om:
+            order = (om.group(1), om.group(2) is not None)
+        df = translate(spark, db, inner, ts_col)
+        if order[0] not in df.columns:
+            # the order key was projected away — fall back to the ts
+            # column, any ts-suffixed projection of it, or the first
+            # column (storage order rides the ts-ordered projection)
+            cand = (
+                [c for c in df.columns if c == ts_col]
+                or [c for c in df.columns if c.endswith("ts")]
+                or [df.columns[0]]
+            )
+            order = (cand[0], order[1])
+        return df, order
+    return _read_rel(spark, db, text), order
+
+
+def _translate_semi_anti(
+    spark: SparkSession, db: Database, sql: str, jm, ts_col: str
+) -> DataFrame:
+    """``X [AS] a LEFT|RIGHT SEMI|ANTI JOIN Y [AS] b ON cond`` with the
+    reference's semantics (joinoperator.c M_JOIN_SUBTYPE_SEMI/ANTI):
+
+    - SEMI emits each driving-side row once with the columns of its
+      FIRST matching row from the other side (first in that side's row
+      order) — unlike Spark's LEFT SEMI, the other side is projectable.
+    - ANTI emits driving-side rows with no match, other side
+      NULL-extended.
+
+    LEFT drives from the first operand, RIGHT from the second. Executed
+    as one shuffle join plus a per-driving-row row_number pick."""
+    from pyspark.sql.window import Window
+
+    side, kind = jm.group("side").upper(), jm.group("kind").upper()
+    pre, post = sql[: jm.start()], sql[jm.end() :]
+    pm = re.match(
+        r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<rest>.*)$",
+        pre,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not pm:
+        raise ValueError(f"unsupported semi/anti join shape: {sql!r}")
+    ltext, lal, lrest = _take_operand(pm.group("rest"))
+    if lrest.strip():
+        raise ValueError(f"unparsed join text before operator: {lrest!r}")
+    rtext, ral, rrest = _take_operand(post)
+    om = re.match(r"\s*ON\s+(?P<cond>.*?)\s*;?\s*$", rrest,
+                  re.IGNORECASE | re.DOTALL)
+    if not om:
+        raise ValueError(f"semi/anti join needs an ON clause: {sql!r}")
+    lal, ral = lal or "a", ral or "b"
+    ldf, lorder = _operand_df(spark, db, ltext, ts_col)
+    rdf, rorder = _operand_df(spark, db, rtext, ts_col)
+    cond = F.expr(_rewrite_ops(om.group("cond")))
+    sel = _split_select(pm.group("select"))
+
+    def key(order, alias=None):
+        c = F.col(f"{alias}.{order[0]}" if alias else order[0])
+        return c.desc() if order[1] else c.asc()
+
+    if kind == "SEMI":
+        # row_number over the driving side's own order: a deterministic
+        # surrogate id. Single-partition window is fine here — the
+        # reference planner rejects every non-ts-equi join shape, so
+        # this path only ever sees small compat queries.
+        if side == "LEFT":
+            drv_al, drv, drv_ord = lal, ldf, lorder
+            oth_al, oth, oth_ord = ral, rdf, rorder
+        else:
+            drv_al, drv, drv_ord = ral, rdf, rorder
+            oth_al, oth, oth_ord = lal, ldf, lorder
+        drv = drv.withColumn(
+            "_did", F.row_number().over(Window.orderBy(key(drv_ord)))
+        )
+        if side == "LEFT":
+            j = drv.alias(lal).join(oth.alias(ral), cond, "inner")
+        else:
+            j = oth.alias(lal).join(drv.alias(ral), cond, "inner")
+        w = Window.partitionBy(F.col(f"{drv_al}._did")).orderBy(
+            key(oth_ord, oth_al)
+        )
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .selectExpr(*sel)
+            .drop("_did", "_rn")
+        )
+    # ANTI: left join against a match marker, keep unmatched driving rows
+    if side == "LEFT":
+        j = ldf.alias(lal).join(
+            rdf.withColumn("_m", F.lit(1)).alias(ral), cond, "left"
+        )
+        out = j.where(F.col(f"{ral}._m").isNull())
+    else:
+        j = rdf.alias(ral).join(
+            ldf.withColumn("_m", F.lit(1)).alias(lal), cond, "left"
+        )
+        out = j.where(F.col(f"{lal}._m").isNull())
+    return out.selectExpr(*sel).drop("_m")
+
+
 def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
     """``SELECT interp(col) FROM t [WHERE..] [PARTITION BY..] RANGE(a,b)
     EVERY(d) FILL(mode[, v])`` → operators.interp.interp (grammar
@@ -527,8 +837,8 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
     from tdengine_spark.operators.asofjoin import asof_join
 
     g = m.groupdict()
-    left = db.read(spark, g["ltab"])
-    right = db.read(spark, g["rtab"])
+    left = _read_rel(spark, db, g["ltab"])
+    right = _read_rel(spark, db, g["rtab"])
     keys, ts_op = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
     if ts_op is None:
         ts_op = ">="  # reference default: match at-or-before
@@ -566,8 +876,8 @@ def _translate_window_join(spark: SparkSession, db: Database, m, ts_col: str) ->
     from tdengine_spark.operators.asofjoin import window_join
 
     g = m.groupdict()
-    left = db.read(spark, g["ltab"])
-    right = db.read(spark, g["rtab"])
+    left = _read_rel(spark, db, g["ltab"])
+    right = _read_rel(spark, db, g["rtab"])
     keys, _ = _join_cond_parse(g["cond"], g["lal"], g["ral"], ts_col)
     drv, other, drv_al, other_al = left, right, g["lal"], g["ral"]
     lo, hi = g["lo"], g["hi"]
@@ -692,9 +1002,10 @@ def _split_top_union(sql: str):
 
 def _extract_from_subquery(sql: str):
     """Find ``FROM ( <subquery> ) [AS] alias`` and return
-    (inner_sql, span_start, span_end) of the parenthesized group +
-    alias, or None. Balanced-paren scan — the subquery may itself
-    contain parens."""
+    (inner_sql, span_start, span_end, alias) covering the parenthesized
+    group + alias, or None. Balanced-paren scan — the subquery may
+    itself contain parens. The alias (when present) is preserved by the
+    caller so qualified references keep resolving."""
     m = re.search(r"\bFROM\s*\(", sql, flags=re.IGNORECASE)
     if not m:
         return None
@@ -708,9 +1019,19 @@ def _extract_from_subquery(sql: str):
     if depth:
         return None
     inner = sql[m.end() : i - 1].strip()
-    am = re.match(r"\s*(?:AS\s+)?[A-Za-z_]\w*", sql[i:], flags=re.IGNORECASE)
-    end = i + (am.end() if am else 0)
-    return inner, m.end() - 1, end
+    am = re.match(
+        r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[i:], flags=re.IGNORECASE
+    )
+    alias = None
+    if am and am.group(1).upper() not in (
+        "WHERE", "GROUP", "ORDER", "LIMIT", "SLIMIT", "HAVING", "UNION",
+        "INTERVAL", "SESSION", "STATE_WINDOW", "EVENT_WINDOW",
+        "COUNT_WINDOW", "PARTITION", "FILL", "ON", "INNER", "LEFT",
+        "RIGHT", "FULL", "JOIN", "ASOF", "WINDOW",
+    ):
+        alias = am.group(1)
+    end = i + (am.end() if alias else 0)
+    return inner, m.end() - 1, end, alias
 
 
 def translate(
@@ -726,6 +1047,7 @@ def translate(
     whose select list is plain avg/sum/count/min/max aggregates are
     transparently rewritten onto a compatible pre-aggregation — the
     reference's TSMA planner rewrite (SURVEY §4.3)."""
+    sql = _dequalify_tables(sql, db)
     un = _split_top_union(sql)
     if un is not None:
         parts, all_flags, tail = un
@@ -740,19 +1062,28 @@ def translate(
         if tail.get("limit"):
             out = out.limit(int(tail["limit"]))
         return out
+    jm = _PK_SEMI_ANTI_RE.search(sql)
+    if jm:
+        # before subquery extraction: semi-join pick order depends on
+        # the operand subqueries' own ORDER BY
+        return _translate_semi_anti(spark, db, sql, jm, ts_col)
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect
         # clauses), expose it as a view, and rewrite the outer query to
         # reference it — mirrors the reference planner's subplan stacking
-        inner_sql, lo, hi = sub
-        inner = translate(spark, db, inner_sql, ts_col)
+        inner_sql, lo, hi, alias = sub
+        inner = translate(spark, db, _strip_outer_parens(inner_sql), ts_col)
         name = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
         inner.createOrReplaceTempView(name)
-        return translate(spark, db, sql[:lo] + name + sql[hi:], ts_col)
+        repl = f"{name} AS {alias}" if alias else name
+        return translate(spark, db, sql[:lo] + repl + sql[hi:], ts_col)
     m = _INTERP_RE.match(sql)
     if m:
         return _translate_interp(spark, db, m, ts_col)
+    selm = _match_selection_stmt(sql)
+    if selm:
+        return _translate_selection(spark, db, *selm, ts_col)
     m = _ASOF_JOIN_RE.match(sql)
     if m and "window_offset" not in sql.lower():
         return _translate_asof_join(spark, db, m, ts_col)

@@ -96,31 +96,37 @@ def interp(
     )
     u = samples.unionByName(spine.withColumn("_v", F.lit(None).cast("double")))
 
-    fwd = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # both directions ride ONE (partition, asc-order) sort: the
+    # previous-sample tracker uses an unboundedPreceding→current frame,
+    # the next-sample tracker a current→unboundedFollowing frame over
+    # the SAME ordering — Spark evaluates both in a single Window node,
+    # so the plan has one exchange + one sort instead of two of each
+    # (the desc-ordered formulation forced a second sort pass)
+    asc = Window.partitionBy(*keys).orderBy(
+        F.col("_t").asc(), F.col("_side").asc()
     )
-    bwd = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_t").desc(), F.col("_side").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    fwd = asc.rowsBetween(Window.unboundedPreceding, 0)
+    nxt = asc.rowsBetween(0, Window.unboundedFollowing)
     t_us = F.unix_micros(F.col("_t"))
     # both trackers must be gated on value presence: a NULL-valued sample
     # would otherwise advance _pt but not _pv, giving linear/near a
-    # mismatched (t, v) pair and an exact-ts NULL a stale "exact" hit
+    # mismatched (t, v) pair and an exact-ts NULL a stale "exact" hit.
+    # Equal-ts samples sort before instants (side 0 < 1), so an exact
+    # sample lands in the preceding frame and not the following one —
+    # the same tie rule the desc window encoded.
     is_sample = (F.col("_side") == 0) & F.col("_v").isNotNull()
     sample_t = F.when(is_sample, t_us)
     sample_v = F.when(is_sample, F.col("_v"))
 
-    staged = (
-        u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(fwd))
-        .withColumn("_pv", F.last(sample_v, ignorenulls=True).over(fwd))
-        .withColumn("_nt", F.last(sample_t, ignorenulls=True).over(bwd))
-        .withColumn("_nv", F.last(sample_v, ignorenulls=True).over(bwd))
-        .where(F.col("_side") == 1)
-    )
+    staged = u.select(
+        "*",
+        # one select → the optimizer collapses same-spec functions into
+        # two adjacent Window nodes (chained withColumn left four)
+        F.last(sample_t, ignorenulls=True).over(fwd).alias("_pt"),
+        F.last(sample_v, ignorenulls=True).over(fwd).alias("_pv"),
+        F.first(sample_t, ignorenulls=True).over(nxt).alias("_nt"),
+        F.first(sample_v, ignorenulls=True).over(nxt).alias("_nv"),
+    ).where(F.col("_side") == 1)
 
     pt, pv, nt, nv = (F.col(c) for c in ("_pt", "_pv", "_nt", "_nv"))
     exact = pt == t_us

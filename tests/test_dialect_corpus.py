@@ -105,8 +105,14 @@ def _statements(path):
     return out
 
 
+#: sentinel: the reference itself rejected the statement ("DB error: …")
+DBERROR = "DBERROR"
+
+
 def _parse_ans(path):
-    """{sql: [row tuples of raw cell strings]} for non-explain selects."""
+    """{sql: [row tuples of raw cell strings] | DBERROR} for non-explain
+    selects. A ``DB error`` line means the reference's planner rejected
+    the statement — recorded distinctly from a legitimate empty result."""
     answers, sql, rows, state = {}, None, [], None
     for line in open(path):
         line = line.rstrip("\n")
@@ -120,6 +126,10 @@ def _parse_ans(path):
                 sql, state = None, None
             continue
         if sql is None:
+            continue
+        if line.startswith("DB error"):
+            answers[sql] = DBERROR
+            sql, state = None, None
             continue
         if state == "header":
             if line.startswith("="):
@@ -171,11 +181,15 @@ def _key(row):
     return tuple((x is None, x) for x in row)
 
 
-def run_corpus(spark, db):
-    """(results, failures): per-statement PASS/MISMATCH/ERROR triage."""
-    answers = _parse_ans(ANS_FILE)
+def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE):
+    """(results, failures): per-statement PASS/MISMATCH/ERROR triage.
+
+    A statement the reference itself rejects (DB error in the golden
+    file) counts as REJECT when we also raise — parity — and as RAN when
+    we execute it (superset behavior, no golden to diff against)."""
+    answers = _parse_ans(ans_file)
     results = []
-    for sql in _statements(IN_FILE):
+    for sql in _statements(in_file):
         golden = answers.get(sql)
         try:
             got = [
@@ -183,7 +197,13 @@ def run_corpus(spark, db):
                 for r in dialect.translate(spark, db, sql).collect()
             ]
         except Exception as e:  # noqa: BLE001 — triage, not crash
-            results.append((sql, "ERROR", f"{type(e).__name__}: {e}"))
+            if golden == DBERROR:
+                results.append((sql, "REJECT", f"{type(e).__name__} (ref rejects too)"))
+            else:
+                results.append((sql, "ERROR", f"{type(e).__name__}: {e}"))
+            continue
+        if golden == DBERROR:
+            results.append((sql, "RAN", f"{len(got)} rows (ref rejects)"))
             continue
         if golden is None:
             results.append((sql, "RAN", f"{len(got)} rows (no golden)"))
@@ -201,7 +221,7 @@ def run_corpus(spark, db):
 def test_asof_pushdown_corpus_golden(spark, corpus_db):
     results = run_corpus(spark, corpus_db)
     n = len(results)
-    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN"))
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
     for sql, status, info in results:
         if status != "PASS":
             print(f"{status}: {sql}\n    {info}")
@@ -364,3 +384,68 @@ def test_dataquerying_pytest_corpus(spark, pytest_corpus_db):
         if status != "RAN":
             print(f"{status}: {sql}\n    {info[:300]}")
     assert ok / len(results) >= 0.8, f"{ok}/{len(results)} ran"
+
+
+# ---------------------------------------------------------------------------
+# 14-JoinQueries pk-join const-condition corpus: 12 golden files over the
+# test_join_pk.py:68-74 fixture (sst: 2 child tables × 2 rows)
+# ---------------------------------------------------------------------------
+
+PK_FILES = [
+    "test_join_pk_inner_join_with_const_condition",
+    "test_join_pk_left_join_with_const_condition",
+    "test_join_pk_right_join_with_const_condition",
+    "test_join_pk_full_join_with_const_condition",
+    "test_join_pk_left_semi_with_const_condition",
+    "test_join_pk_right_semi_with_const_condition",
+    "test_join_pk_left_anti_with_const_condition",
+    "test_join_pk_right_anti_with_const_condition",
+    "test_join_pk_left_asof_with_const_condition",
+    "test_join_pk_right_asof_with_const_condition",
+    "test_join_pk_left_window_with_const_condition",
+    "test_join_pk_right_window_with_const_condition",
+]
+
+# '2023-08-07 13:30:56' Asia/Shanghai, epoch ms (matches the files'
+# 1691386256000 literals)
+SST_BASE_MS = 1691386256000
+
+
+@pytest.fixture(scope="module")
+def pk_corpus_db(spark):
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_pk_")
+    rows = [
+        (SST_BASE_MS + 0, 0, 1),
+        (SST_BASE_MS + 1000, 1, 1),
+        (SST_BASE_MS + 2000, 2, 2),
+        (SST_BASE_MS + 3000, 3, 2),
+    ]
+    pdf = pd.DataFrame(rows, columns=["ts", "f", "t"])
+    pdf["ts2"] = pd.to_datetime(pdf["ts"], unit="ms").astype("datetime64[us]")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms").astype("datetime64[us]")
+    pdf["f"] = pdf["f"].astype("int32")
+    pdf["t"] = pdf["t"].astype("int32")
+    pdf[["ts", "ts2", "f", "t"]].to_parquet(f"{d}/sst.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", PK_FILES)
+def test_join_pk_const_condition_corpus(spark, pk_corpus_db, name):
+    in_file = f"{REF}/14-JoinQueries/in/{name}.in"
+    ans_file = f"{REF}/14-JoinQueries/ans/{name}.ans"
+    if not os.path.exists(in_file):
+        pytest.skip("corpus file missing")
+    results = run_corpus(spark, pk_corpus_db, in_file, ans_file)
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
+    for sql, status, info in results:
+        if status not in ("PASS", "REJECT"):
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert n >= 25, f"corpus too small: {n}"
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
