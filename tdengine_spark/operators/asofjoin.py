@@ -160,15 +160,35 @@ def _asof_join_k(
     # surrogate per-left-row id: the tolerance restore below must
     # re-identify exactly the left ROWS (not left values) that lost all
     # their matches — value-based anti-joins break on NULL columns
-    # (NULL never equals itself) and collapse duplicate left rows
+    # (NULL never equals itself) and collapse duplicate left rows.
+    # DETERMINISTIC id (vs monotonically_increasing_id, which is
+    # documented-nondeterministic under recomputation and could desync
+    # the two branches of the anti-join): row_number per key over
+    # (ts, row-hash); truly identical duplicate rows may swap ids,
+    # which is harmless — they are interchangeable. Key columns ride
+    # inside a struct so NULL keys still self-match in the anti-join.
     lcols = left.columns
-    l_tag = left.withColumn("_lid", F.monotonically_increasing_id()).select(
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in lcols]))
+    # numbering within (key, exact ts): groups are duplicates at one
+    # instant — tiny by construction, so this window adds no skew even
+    # for keyless joins
+    lnum = left.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy(*on, ts_col).orderBy(row_hash.asc())
+        ),
+    )
+    lid = F.struct(
+        *[F.col(c) for c in on], F.col(ts_col), F.col("_lrn")
+    ).alias("_lid")
+    lid_type = lnum.select(lid).schema["_lid"].dataType.simpleString()
+    l_tag = lnum.select(
         *on,
         F.col(ts_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("int").alias("_rn"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
-        F.col("_lid"),
+        lid,
     )
     r_tag = rnum.select(
         *on,
@@ -179,7 +199,7 @@ def _asof_join_k(
             left.select(F.struct(*[F.col(c) for c in lcols]).alias("x"))
             .schema["x"].dataType.simpleString()
         ).alias("_lpay"),
-        F.lit(None).cast("long").alias("_lid"),
+        F.lit(None).cast(lid_type).alias("_lid"),
     )
     u = l_tag.unionByName(r_tag)
 
@@ -281,8 +301,18 @@ def window_join(
         # JLIMIT ranks the matches of each left ROW — a (keys, ts) window
         # would make two left rows sharing (key, ts) but differing in
         # payload split one rank sequence; a surrogate id keeps each left
-        # row's k-budget its own
-        left = left.withColumn("_lid", F.monotonically_increasing_id())
+        # row's k-budget its own. Deterministic (row_number within
+        # (key, exact ts) ordered by row-hash) so the rank window
+        # survives nondeterministic recomputation, unlike
+        # monotonically_increasing_id; the numbering groups are
+        # same-instant duplicates — tiny, no skew even keyless.
+        row_hash = F.xxhash64(F.struct(*[F.col(c) for c in left.columns]))
+        left = left.withColumn(
+            "_lid",
+            F.row_number().over(
+                Window.partitionBy(*on, ts_col).orderBy(row_hash.asc())
+            ),
+        )
     lb = left.withColumn("_lb", F.floor((l_us + lo_us) / width)).alias("l")
     rcols = [c for c in right.columns if c not in on]
     rb = (
@@ -316,7 +346,9 @@ def window_join(
             for c in rcols
             if c != right_ts_col
         ]
-        w = Window.partitionBy("_lid").orderBy(*order)
+        # _lid numbers within (key, ts) — those columns complete the
+        # per-left-row identity
+        w = Window.partitionBy(*on, ts_col, "_lid").orderBy(*order)
         joined = (
             joined.withColumn("_jrn", F.row_number().over(w))
             .where(F.col("_jrn") <= jlimit)

@@ -72,6 +72,12 @@ def pair_cosine(a: Column, b: Column, round4: bool = False) -> Column:
 cosine = pair_cosine
 
 
+#: hard cap on the collected query side of cosine_topk — ~100k × 64-dim
+#: float64 ≈ 50 MB in the closure, the sane upper bound for
+#: broadcast-style shipping
+QUERY_SIDE_MAX_ROWS = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,7 +96,20 @@ def cosine_topk(
     are excluded when ids share a namespace.
     """
     qid = query_id_col or id_col
-    q_rows = queries.select(F.col(qid).alias("q"), F.col(vec_col).alias("v")).collect()
+    # the query side rides the task closure (broadcast-style); it must
+    # be small. Collect one row over the limit and fail loudly instead
+    # of silently OOMing the driver on a mis-sized call.
+    q_rows = (
+        queries.select(F.col(qid).alias("q"), F.col(vec_col).alias("v"))
+        .limit(QUERY_SIDE_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > QUERY_SIDE_MAX_ROWS:
+        raise ValueError(
+            f"cosine_topk query side exceeds {QUERY_SIDE_MAX_ROWS} rows — "
+            "it is broadcast into every task; pre-filter the queries or "
+            "batch them (the corpus side is the scalable side)"
+        )
     # id dtypes follow the input schemas — string/decimal ids work too
     qid_t = queries.schema[qid].dataType.simpleString()
     nid_t = corpus.schema[id_col].dataType.simpleString()

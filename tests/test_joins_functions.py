@@ -258,3 +258,34 @@ def test_window_join_jlimit_duplicate_left_ts(spark):
         per_left.setdefault(r.lv, []).append(r.r_rv)
     assert sorted(per_left[1.0]) == [10.0, 20.0]
     assert sorted(per_left[2.0]) == [10.0, 20.0]
+
+
+def test_jlimit_ids_survive_upstream_repartition(spark):
+    """The JLIMIT/tolerance surrogate row ids are deterministic
+    row_numbers, not monotonically_increasing_id — an upstream
+    repartition (which renumbers mono-ids arbitrarily) must not change
+    any result."""
+    left, right = _sides(spark)
+    # duplicate a left row at the same (key, ts) to exercise the
+    # per-instant numbering
+    left = left.union(
+        spark.createDataFrame(
+            [("a", ts("2024-01-01 00:00:10"), 99.0)],
+            "k string, ts timestamp, lv double",
+        )
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    for mangle in (lambda d: d, lambda d: d.repartition(7, "lv"),
+                   lambda d: d.repartition(13)):
+        l2 = mangle(left)
+        a = asof_join(l2, right, ["k"], "ts", jlimit=2, tolerance="6s")
+        w = window_join(l2, right, ["k"], "-10s", "10s", ts_col="ts", jlimit=2)
+        assert canon(a) == canon(
+            asof_join(left, right, ["k"], "ts", jlimit=2, tolerance="6s")
+        )
+        assert canon(w) == canon(
+            window_join(left, right, ["k"], "-10s", "10s", ts_col="ts", jlimit=2)
+        )

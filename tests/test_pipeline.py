@@ -240,3 +240,18 @@ def test_cosine_near_dup_exact_vs_lsh(spark):
     assert len(exact) == 60
     assert lsh <= exact
     assert len(lsh) / len(exact) >= 0.9  # near-identical vectors co-bucket
+
+
+def test_cosine_topk_oversized_query_side_raises(spark, monkeypatch):
+    import tdengine_spark.pipeline.similarity as simmod
+    import pytest as _pytest
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    # shrink the guard so the test stays cheap; the production default
+    # only changes the constant, not the failure mode
+    monkeypatch.setattr(simmod, "QUERY_SIDE_MAX_ROWS", 10, raising=True)
+    with _pytest.raises(ValueError, match="query side exceeds"):
+        simmod.cosine_topk(emb, emb)
