@@ -104,9 +104,94 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming": _bench_streaming(spark, sf_dir),
             }
         )
     )
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Trigger-to-sink latency for the stream operators (the reference's
+    TSBS stream harness measures delay percentiles the same way,
+    tools/tsbs-tdengine/src/doTest.py:33-50): replay events as 8
+    arriving files through interval / session / count triggers with
+    availableNow, and report per-micro-batch triggerExecution p50/p95
+    plus drain wall-clock and row throughput."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.streaming.stream import (
+        count_window_trigger,
+        interval_trigger,
+        read_stream,
+        session_trigger,
+    )
+
+    d = tempfile.mkdtemp(prefix="tds_bench_stream_")
+    try:
+        ev = Database(root=sf_dir).read(spark, "events")
+        # 8 arriving files → 8 micro-batches at maxFilesPerTrigger=1
+        ev.repartition(8).write.mode("overwrite").parquet(f"{d}/in")
+        schema = spark.read.parquet(f"{d}/in").schema
+
+        def src():
+            return read_stream(spark, f"{d}/in", schema, max_files_per_trigger=1)
+
+        cases = {
+            "interval_1h": lambda: interval_trigger(
+                src(), "ts", "1h", partition_by=["event_type"],
+                watermark="1 hour",
+                aggs=[F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+            ),
+            "session_30m": lambda: session_trigger(
+                src(), "ts", "30m", ["user_id"], "1 hour",
+                [F.count(F.lit(1)).alias("cnt")],
+            ),
+            "count_window_100": lambda: count_window_trigger(
+                src(), "ts", 100, "user_id", "value"
+            ),
+        }
+        out = {}
+        for name, build in cases.items():
+            t0 = time.time()
+            q = (
+                build()
+                .writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", f"{d}/ckpt_{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            wall = time.time() - t0
+            prog = [json.loads(p.json) for p in (q.recentProgress or [])]
+            durs = sorted(
+                p["durationMs"]["triggerExecution"]
+                for p in prog
+                if p.get("durationMs", {}).get("triggerExecution") is not None
+            )
+            rows = sum(p.get("numInputRows") or 0 for p in prog)
+            out[name] = {
+                "wall_sec": round(wall, 3),
+                "batches": len(durs),
+                "rows": rows,
+                "rows_per_sec": round(rows / wall, 1) if wall else None,
+                "trigger_ms_p50": (
+                    round(statistics.median(durs), 1) if durs else None
+                ),
+                "trigger_ms_p95": (
+                    round(durs[max(0, int(len(durs) * 0.95) - 1)], 1)
+                    if durs
+                    else None
+                ),
+            }
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

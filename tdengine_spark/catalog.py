@@ -276,9 +276,102 @@ def information_schema(
             "db_name string, stable_name string, tag_name string, "
             "tag_type string",
         )
+    if view == "ins_databases":
+        # db-level stats (systable.h TSDB_INS_TABLE_DATABASES): vgroups
+        # map to the session's shuffle parallelism, precision to our us
+        # storage
+        rows = [
+            (
+                name,
+                len(db.tables),
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                "us",
+                "ready",
+            )
+            for name, db in dbs.items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, ntables int, vgroups int, precision string, "
+            "status string",
+        )
+    if view == "ins_users":
+        # Spark delegates auth to the cluster manager — the session user
+        # is the one (super)user (TSDB_INS_TABLE_USERS)
+        return spark.createDataFrame(
+            [(spark.sparkContext.sparkUser(), 1, 1)],
+            "name string, super int, enable int",
+        )
+    if view == "ins_vgroups":
+        # vgroup ↔ the unit of storage parallelism: one row per parquet
+        # data file (TSDB_INS_TABLE_VGROUPS); serving from footers only
+        import os
+
+        rows = []
+        vgid = 0
+        for db_name, db in dbs.items():
+            for t in db.tables.values():
+                paths = [t.path]
+                if os.path.isdir(t.path):
+                    paths = [
+                        os.path.join(t.path, f)
+                        for f in sorted(os.listdir(t.path))
+                        if f.endswith(".parquet")
+                    ]
+                for p in paths:
+                    vgid += 1
+                    size = os.path.getsize(p) if os.path.exists(p) else 0
+                    rows.append((vgid, db_name, t.name, size, "ready"))
+        return spark.createDataFrame(
+            rows,
+            "vgroup_id int, db_name string, table_name string, "
+            "size_bytes long, status string",
+        )
+    if view == "ins_streams":
+        from tdengine_spark.streaming.create_stream import list_streams
+
+        rows = [
+            (
+                s.name,
+                "ready",
+                s.source,
+                s.into or "",
+                s.trigger,
+                ",".join(s.partition_by),
+            )
+            for s in list_streams()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "stream_name string, status string, source_table string, "
+            "target_table string, trigger string, partition_by string",
+        )
+    if view == "ins_configs":
+        rows = sorted(
+            (k, str(v)) for k, v in spark.sparkContext.getConf().getAll()
+        )
+        return spark.createDataFrame(rows, "name string, value string")
+    if view == "ins_cluster":
+        sc = spark.sparkContext
+        return spark.createDataFrame(
+            [(sc.applicationId, sc.master, sc.version)],
+            "id string, name string, version string",
+        )
+    if view == "ins_dnodes":
+        # dnodes ↔ executors; local mode reports the single driver-node
+        sc = spark.sparkContext
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+        rows = [
+            (i, infos[i].host(), "ready") for i in range(len(infos))
+        ]
+        return spark.createDataFrame(
+            rows, "id int, endpoint string, status string"
+        )
     raise ValueError(
         f"unknown information_schema view {view!r}; supported: "
-        "ins_tables, ins_stables, ins_columns, ins_tags"
+        "ins_tables, ins_stables, ins_columns, ins_tags, ins_databases, "
+        "ins_users, ins_vgroups, ins_streams, ins_configs, ins_cluster, "
+        "ins_dnodes"
     )
 
 

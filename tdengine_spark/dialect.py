@@ -459,6 +459,29 @@ def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
             db.read(spark, t).createOrReplaceTempView(t)
 
 
+_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(\w+)", re.IGNORECASE)
+
+
+def _resolve_information_schema(
+    spark: SparkSession, db: Database, sql: str
+) -> str:
+    """``information_schema.ins_*`` references → synthesized temp views
+    (reference sysscanoperator.c serves these from mnode metadata; here
+    they come from the Database catalog / Spark session)."""
+    views = {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(sql)}
+    if not views:
+        return sql
+    from tdengine_spark.catalog import information_schema
+
+    for name in _db_tables(db):
+        db.table(name)
+    for v in views:
+        information_schema(spark, {"db": db}, v).createOrReplaceTempView(
+            f"_is_{v}"
+        )
+    return _INFO_SCHEMA_RE.sub(lambda m: f"_is_{m.group(1).lower()}", sql)
+
+
 def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
     """A FROM operand: parquet table in ``db``, else a registered temp
     view (e.g. a translated subquery)."""
@@ -1047,6 +1070,7 @@ def translate(
     whose select list is plain avg/sum/count/min/max aggregates are
     transparently rewritten onto a compatible pre-aggregation — the
     reference's TSMA planner rewrite (SURVEY §4.3)."""
+    sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
     un = _split_top_union(sql)
     if un is not None:
@@ -1510,17 +1534,42 @@ def execute(
         )
         return delete_where(spark, f"{db.root}/{m.group('table')}.parquet", cond)
     if s.startswith("CREATE STREAM"):
-        from tdengine_spark.streaming.create_stream import parse_create_stream
+        from tdengine_spark.streaming.create_stream import (
+            parse_create_stream,
+            register_stream,
+        )
 
-        return parse_create_stream(sql)
+        return register_stream(parse_create_stream(sql))
+    if s.startswith("DROP STREAM"):
+        from tdengine_spark.streaming.create_stream import drop_stream
+
+        name = sql.split()[-1].rstrip(";")
+        return drop_stream(name)
     if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
         return translate_create_table(spark, db, sql)
-    if s.startswith("SHOW TABLES") or s.startswith("SHOW STABLES"):
+    sm = re.match(
+        r"^\s*SHOW\s+(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
+        r"CLUSTER|DNODES|VARIABLES)\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if sm:
         from tdengine_spark.catalog import information_schema
 
-        for name in _db_tables(db):
-            db.table(name)
-        view = "ins_stables" if "STABLES" in s else "ins_tables"
+        view = {
+            "TABLES": "ins_tables",
+            "STABLES": "ins_stables",
+            "DATABASES": "ins_databases",
+            "USERS": "ins_users",
+            "VGROUPS": "ins_vgroups",
+            "STREAMS": "ins_streams",
+            "CLUSTER": "ins_cluster",
+            "DNODES": "ins_dnodes",
+            "VARIABLES": "ins_configs",
+        }[sm.group(1).upper()]
+        if view in ("ins_tables", "ins_stables", "ins_databases", "ins_vgroups"):
+            for name in _db_tables(db):
+                db.table(name)
         return information_schema(spark, {"db": db}, view)
     dm = re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
     if dm:

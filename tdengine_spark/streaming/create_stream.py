@@ -176,6 +176,24 @@ def _event_thresholds(start: str, end: str, value_col: str):
     return float(ms.group(1)), float(me.group(1))
 
 
+#: session-level stream catalog (reference mnode stream registry,
+#: surfaced as information_schema.ins_streams / SHOW STREAMS)
+_STREAMS: "dict[str, StreamDef]" = {}
+
+
+def register_stream(defn: StreamDef) -> StreamDef:
+    _STREAMS[defn.name] = defn
+    return defn
+
+
+def drop_stream(name: str) -> bool:
+    return _STREAMS.pop(name, None) is not None
+
+
+def list_streams() -> "list[StreamDef]":
+    return [_STREAMS[k] for k in sorted(_STREAMS)]
+
+
 def parse_create_stream(sql: str) -> StreamDef:
     """Parse a CREATE STREAM statement into a StreamDef (raises on
     unrecognized syntax rather than silently mis-translating)."""

@@ -600,3 +600,53 @@ def test_time_function_rewrites(spark):
         spark, _db(), "SELECT 'now' AS w FROM events LIMIT 1"
     ).first().w
     assert lit == "now"
+
+
+def test_show_command_family(spark):
+    from tdengine_spark.dialect import execute
+
+    dbs = execute(spark, _db(), "SHOW DATABASES").collect()
+    assert len(dbs) == 1 and dbs[0].ntables >= 10
+    users = execute(spark, _db(), "SHOW USERS").collect()
+    assert len(users) == 1 and users[0].super == 1
+    assert execute(spark, _db(), "SHOW VGROUPS").count() >= 10
+    cluster = execute(spark, _db(), "SHOW CLUSTER").collect()
+    assert cluster[0].version.startswith("4.")
+    assert execute(spark, _db(), "SHOW DNODES").count() >= 1
+    cfg = {r.name for r in execute(spark, _db(), "SHOW VARIABLES").collect()}
+    assert "spark.sql.session.timeZone" in cfg
+
+
+def test_stream_registry_and_ins_streams(spark):
+    from tdengine_spark.dialect import execute
+
+    defn = execute(
+        spark,
+        _db(),
+        "CREATE STREAM isst INTERVAL(1h) FROM events INTO agg_isst "
+        "AS SELECT count(*) FROM events",
+    )
+    assert defn.name == "isst"
+    try:
+        rows = execute(spark, _db(), "SHOW STREAMS").collect()
+        assert any(r.stream_name == "isst" for r in rows)
+        got = translate(
+            spark,
+            _db(),
+            "select target_table from information_schema.ins_streams "
+            "where stream_name = 'isst'",
+        ).collect()
+        assert got[0].target_table == "agg_isst"
+    finally:
+        assert execute(spark, _db(), "DROP STREAM isst") is True
+
+
+def test_information_schema_in_query(spark):
+    out = translate(
+        spark,
+        _db(),
+        "select table_name from information_schema.ins_tables "
+        "where db_name = 'db' order by table_name",
+    ).collect()
+    names = [r.table_name for r in out]
+    assert "events" in names and "lineitem" in names
