@@ -372,17 +372,46 @@ def _rewrite_aggs(select: str, ts_col: str) -> str:
 
 _INTERP_RE = re.compile(
     r"""
-    ^\s*SELECT\s+.*?\binterp\s*\(\s*(?P<col>[A-Za-z_][\w]*)\s*\)
-    .*?\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    ^\s*SELECT\s+(?P<items>.*?\binterp\s*\(.*?)
+    \s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+PARTITION\s+BY\s+(?P<partition>.*?))?
-    \s+RANGE\s*\(\s*'(?P<lo>[^']+)'\s*,\s*'(?P<hi>[^']+)'\s*\)
-    \s+EVERY\s*\(\s*(?P<every>[^)]+)\s*\)
+    \s+RANGE\s*\(\s*(?P<range>[^)]*)\)
+    (?:\s+EVERY\s*\(\s*(?P<every>[^)]+)\))?
     (?:\s+FILL\s*\((?P<fill>[^)]*)\))?
+    (?:\s+SURROUND\s*\(\s*(?P<surround>[^)]*)\))?
+    (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?
     \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+_INTERP_ITEM_RE = re.compile(
+    r"^(?P<expr>_irowts_origin|_irowts|_isfilled"
+    r"|interp\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*(?:,\s*(?P<flag>[01])\s*)?\)"
+    r"|[A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _fill_scalar(tok: str) -> "float | None":
+    """A FILL default literal with the reference's C-cast-to-double
+    semantics: numbers pass through, true/false → 1/0, NULL → NULL,
+    non-numeric strings → 0 (atof)."""
+    tok = tok.strip()
+    if tok.upper() == "NULL":
+        return None
+    if tok.lower() == "true":
+        return 1.0
+    if tok.lower() == "false":
+        return 0.0
+    tok = tok.strip("'\"")
+    try:
+        return float(tok)
+    except ValueError:
+        return 0.0
 
 _ASOF_JOIN_RE = re.compile(
     r"""
@@ -758,29 +787,115 @@ def _translate_semi_anti(
 
 
 def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
-    """``SELECT interp(col) FROM t [WHERE..] [PARTITION BY..] RANGE(a,b)
-    EVERY(d) FILL(mode[, v])`` → operators.interp.interp (grammar
-    sql.y:3018-3026)."""
+    """``SELECT <items> FROM t [WHERE..] [PARTITION BY..]
+    RANGE(a,b[,tol]) EVERY(d) [FILL(mode[, defaults…])] [ORDER BY..]``
+    → operators.interp.interp (grammar sql.y:3018-3026; TimeSlice
+    executor). The select list mixes interp(col[, ignore_null]) calls
+    with the pseudo-columns _irowts/_isfilled/_irowts_origin and
+    partition columns, each with optional aliases; ignore_null is
+    accepted (the kernel always ignores NULL samples). FILL defaults
+    after the mode are positional per interp() expression."""
+    from tdengine_spark.operators import interp as iop
     from tdengine_spark.operators.interp import interp
 
     g = m.groupdict()
-    base = db.read(spark, g["table"])
+    base = _read_rel(spark, db, g["table"])
     if g["where"]:
         base = base.where(F.expr(_rewrite_ops(g["where"])))
     keys = [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+
+    rng = [p.strip().strip("'\"") for p in g["range"].split(",")]
+    if len(rng) == 1:
+        # RANGE(t): interp at the single instant t (no EVERY needed)
+        lo = hi = rng[0]
+        tol = None
+    else:
+        lo, hi = rng[0], rng[1]
+        tol = rng[2] if len(rng) > 2 else None
+
     # reference default is FILL_MODE_NONE (parTranslater.c
     # createDefaultFillNode): only exact-ts instants, no interpolation
     fill = (g["fill"] or "none").strip()
-    parts = [p.strip() for p in fill.split(",")]
-    mode, fval = parts[0].lower(), float(parts[1]) if len(parts) > 1 else None
-    alias = re.search(
-        r"\binterp\s*\(\s*\w+\s*\)\s+as\s+([A-Za-z_]\w*)", m.string, re.IGNORECASE
+    fparts = [p.strip() for p in _split_select(fill)]
+    mode = fparts[0].lower()
+    fill_args = [_fill_scalar(p) for p in fparts[1:]]
+
+    # SURROUND(tol, default): spelled-out tolerance + fallback (newer
+    # grammar form of RANGE's third argument)
+    if g.get("surround"):
+        sparts = [p.strip() for p in g["surround"].split(",")]
+        tol = sparts[0]
+        if len(sparts) > 1 and mode in ("prev", "next", "near"):
+            fill_args = [_fill_scalar(p) for p in sparts[1:]]
+
+    # classify the select list; output columns keep the statement order
+    items = []
+    vals = []  # (col, out_name) per interp() call
+    ignores = []  # interp(col[, ignore_null]) — reference default 0
+    need_origin = False
+    for raw in _split_select(g["items"]):
+        im = _INTERP_ITEM_RE.match(raw.strip())
+        if not im:
+            raise ValueError(f"unsupported interp select item: {raw!r}")
+        expr = im.group("expr").lower()
+        alias = im.group("alias")
+        if im.group("col"):
+            name = alias or f"interp({im.group('col')})"
+            vals.append((im.group("col"), name))
+            ignores.append(im.group("flag") == "1")
+            items.append(name)
+        elif expr == "_irowts":
+            items.append((iop.IROWTS, alias))
+        elif expr == "_isfilled":
+            items.append((iop.ISFILLED, alias))
+        elif expr == "_irowts_origin":
+            need_origin = True
+            items.append((iop.IROWTS_ORIGIN, alias))
+        else:
+            # partition col / tbname / tag: constants per group — ride
+            # the partitioning (tags not named in PARTITION BY group
+            # identically, reference timeslice tag projection)
+            name = im.group("expr")
+            if name not in keys:
+                keys.append(name)
+            items.append((name, alias))
+    if g["order"] and "_irowts_origin" in g["order"].lower():
+        need_origin = True
+
+    out = interp(
+        base, ts_col, vals, lo, hi, (g["every"] or "1s").strip(),
+        mode=mode, partition_by=keys,
+        fill_value=fill_args if mode == "value" else None,
+        tolerance=tol,
+        defaults=fill_args if mode in ("prev", "next", "near") else None,
+        with_origin=need_origin,
+        ignore_null=ignores,
     )
-    return interp(
-        base, ts_col, g["col"], g["lo"], g["hi"], g["every"].strip(),
-        mode=mode, partition_by=keys, fill_value=fval,
-        out_col=alias.group(1) if alias else g["col"],
-    )
+    if g["order"]:
+        # order refs may use source names or aliases; resolve against the
+        # pre-projection frame (Spark's Sort-through-Project handles the
+        # post-projection case)
+        out = out.orderBy(*_order_cols(_dealias_interp_order(g["order"], items)))
+    cols = [
+        F.col(n) if isinstance(n, str) else F.col(n[0]).alias(n[1] or n[0])
+        for n in items
+    ]
+    out = out.select(*cols)
+    if g["limit"]:
+        out = out.limit(int(g["limit"]))
+    return out
+
+
+def _dealias_interp_order(order: str, items) -> str:
+    """ORDER BY in interp statements may reference select aliases; map
+    them back to the operator's column names."""
+    mapping = {}
+    for it in items:
+        if isinstance(it, tuple) and it[1]:
+            mapping[it[1].lower()] = it[0]
+    def sub(mm):
+        return mapping.get(mm.group(0).lower(), mm.group(0))
+    return re.sub(r"[A-Za-z_]\w*", sub, order)
 
 
 def _split_conjuncts(cond: str) -> list[str]:

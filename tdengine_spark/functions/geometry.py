@@ -259,11 +259,12 @@ def _segs(g):
     return np.concatenate(segs) if segs else np.empty((0, 2, 2))
 
 
-def _segs_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
-    """Any segment of sa properly or improperly intersects any of sb —
-    one vectorized orientation test over the m×n pair grid."""
+def _segs_relate(sa: np.ndarray, sb: np.ndarray) -> "tuple[bool, bool]":
+    """(proper, touching): any segment of sa properly crosses any of sb
+    (interiors intersect transversally) / any endpoint lies on the other
+    segment — one vectorized orientation test over the m×n pair grid."""
     if not len(sa) or not len(sb):
-        return False
+        return False, False
     p1 = sa[:, None, 0]; p2 = sa[:, None, 1]
     q1 = sb[None, :, 0]; q2 = sb[None, :, 1]
 
@@ -288,7 +289,13 @@ def _segs_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
         on_seg(p1, p2, q1, d1) | on_seg(p1, p2, q2, d2)
         | on_seg(q1, q2, p1, d3) | on_seg(q1, q2, p2, d4)
     )
-    return bool((proper | touch).any())
+    return bool(proper.any()), bool(touch.any())
+
+
+def _segs_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """Any segment of sa properly or improperly intersects any of sb."""
+    proper, touch = _segs_relate(sa, sb)
+    return proper or touch
 
 
 def _vertices(g) -> np.ndarray:
@@ -402,10 +409,160 @@ def _binary_predicate(fn):
     return wrapper
 
 
-#: full-shape st_intersects / st_contains (builtins.c:5546, :5630) —
-#: point fast paths above stay expression-only; these handle all shapes
+def _pt_on_boundary(x: float, y: float, g) -> bool:
+    """Point lies on the geometry's boundary segments (polygon rings /
+    linestring path)."""
+    segs = _segs(g)
+    if not len(segs):
+        kind, data = g
+        return kind == "point" and x == data[0] and y == data[1]
+    proper, touch = _segs_relate(np.array([[[x, y], [x, y]]]), segs)
+    return proper or touch
+
+
+def _strictly_in_polygon(x: float, y: float, rings) -> bool:
+    return _pt_in_polygon(x, y, rings) and not _pt_on_boundary(
+        x, y, ("polygon", rings)
+    )
+
+
+def _ring_canon(r: np.ndarray) -> tuple:
+    """Rotation- and direction-invariant canonical form of a closed
+    ring (drop the closing duplicate, rotate to the lexicographic
+    minimum vertex, pick the smaller of the two directions)."""
+    pts = [tuple(p) for p in r]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if not pts:
+        return ()
+
+    def rot_min(seq):
+        i = min(range(len(seq)), key=lambda j: seq[j])
+        return tuple(seq[i:] + seq[:i])
+
+    return min(rot_min(pts), rot_min(list(reversed(pts))))
+
+
+def _geom_equals(a, b) -> "bool | None":
+    """Full-shape geometric equality (builtins.c st_equals — GEOS
+    Equals): same point set. Linestrings match either direction;
+    polygon rings match up to rotation and direction."""
+    if a is None or b is None:
+        return None
+    if a[0] != b[0]:
+        return False
+    if a[0] == "point":
+        return tuple(a[1]) == tuple(b[1])
+    if a[0] == "linestring":
+        fa = [tuple(p) for p in a[1]]
+        fb = [tuple(p) for p in b[1]]
+        return fa == fb or fa == list(reversed(fb))
+    ra = sorted(_ring_canon(r) for r in a[1])
+    rb = sorted(_ring_canon(r) for r in b[1])
+    return ra == rb
+
+
+def _geom_touches(a, b) -> "bool | None":
+    """Boundaries intersect, interiors do not (builtins.c st_touches —
+    GEOS Touches), at vertex/segment resolution for the supported
+    simple shapes."""
+    if a is None or b is None:
+        return None
+    if a[0] == "point" and b[0] == "point":
+        return False  # two points have no boundary to share
+    for pt, other in ((a, b), (b, a)):
+        if pt[0] == "point":
+            x, y = pt[1]
+            if other[0] == "polygon":
+                return _pt_on_boundary(x, y, other)
+            if other[0] == "linestring":
+                # a linestring's boundary is its two endpoints
+                return tuple(other[1][0]) == (x, y) or tuple(
+                    other[1][-1]
+                ) == (x, y)
+    proper, touch = _segs_relate(_segs(a), _segs(b))
+    if proper or not touch:
+        return False  # transversal crossing → interiors meet; or disjoint
+    if a[0] == "linestring" and b[0] == "linestring":
+        # collinear overlap = interior∩interior: a segment midpoint of
+        # one lying on the other (a midpoint is never its own boundary;
+        # T-junction endpoints don't trigger this)
+        for u, v in ((a, b), (b, a)):
+            mids = (_segs(u)[:, 0] + _segs(u)[:, 1]) / 2.0
+            if any(_pt_on_boundary(mx, my, v) for mx, my in mids):
+                return False
+    # boundary contact only — reject if either has a vertex strictly
+    # inside the other (interior overlap)
+    for outer, inner in ((a, b), (b, a)):
+        if outer[0] == "polygon":
+            for vx, vy in _vertices(inner):
+                if _strictly_in_polygon(vx, vy, outer[1]):
+                    return False
+    # coincident / covering polygons share their 2-D interior even when
+    # every vertex sits on a boundary (equal rings) — not touching
+    if a[0] == "polygon" and b[0] == "polygon" and (
+        _geom_covers(a, b) or _geom_covers(b, a)
+    ):
+        return False
+    return True
+
+
+def _geom_covers(a, b) -> "bool | None":
+    """No point of b outside a (builtins.c st_covers — GEOS Covers):
+    boundary contact allowed, unlike containsproperly."""
+    if a is None or b is None:
+        return None
+    if a[0] == "point":
+        return b[0] == "point" and tuple(a[1]) == tuple(b[1])
+    if a[0] == "linestring":
+        if b[0] == "point":
+            x, y = b[1]
+            return _pt_on_boundary(x, y, a)
+        if b[0] == "linestring":
+            # every vertex of b on a, no proper crossing
+            proper, _ = _segs_relate(_segs(a), _segs(b))
+            return not proper and all(
+                _pt_on_boundary(x, y, a) for x, y in b[1]
+            )
+        return False
+    if b[0] == "point":
+        return _pt_in_polygon(b[1][0], b[1][1], a[1])
+    proper, _ = _segs_relate(_segs(a), _segs(b))
+    if proper:
+        return False  # b's boundary exits a
+    verts = _vertices(b)
+    return bool(len(verts)) and all(
+        _pt_in_polygon(vx, vy, a[1]) for vx, vy in verts
+    )
+
+
+def _geom_containsproperly(a, b) -> "bool | None":
+    """Every point of b in a's INTERIOR — no boundary contact at all
+    (builtins.c st_containsproperly — GEOS ContainsProperly)."""
+    if a is None or b is None:
+        return None
+    if a[0] != "polygon":
+        return False  # only a polygon has a 2-D interior to contain into
+    if b[0] == "point":
+        return _strictly_in_polygon(b[1][0], b[1][1], a[1])
+    proper, touch = _segs_relate(_segs(a), _segs(b))
+    if proper or touch:
+        return False  # any boundary contact disqualifies
+    verts = _vertices(b)
+    return bool(len(verts)) and all(
+        _strictly_in_polygon(vx, vy, a[1]) for vx, vy in verts
+    )
+
+
+#: full-shape st_intersects / st_contains / st_equals / st_touches /
+#: st_covers / st_containsproperly (builtins.c:5546-5651) — point fast
+#: paths above stay expression-only; these handle all shapes
 geom_intersects = _binary_predicate(_geom_intersects)
 geom_contains = _binary_predicate(_geom_contains)
+geom_equals = _binary_predicate(_geom_equals)
+geom_touches = _binary_predicate(_geom_touches)
+geom_covers = _binary_predicate(_geom_covers)
+geom_containsproperly = _binary_predicate(_geom_containsproperly)
 
 
 def unsupported_shape(*_args, **_kwargs):

@@ -1,22 +1,33 @@
 """TimeSlice / interp — resample a series to exact instants.
 
-Reference: ``SELECT interp(col) ... RANGE(t1,t2) EVERY(d) FILL(mode)``
-(executor/src/timesliceoperator.c; grammar sql.y:3018-3026), with
-pseudo-columns ``_irowts`` (the instant) and ``_isfilled``.
+Reference: ``SELECT interp(col) ... RANGE(t1,t2[,tol]) EVERY(d) FILL(mode
+[, defaults…])`` (executor/src/timesliceoperator.c; grammar
+sql.y:3018-3026), with pseudo-columns ``_irowts`` (the instant),
+``_isfilled`` and ``_irowts_origin`` (the source sample's ts).
 
 Spark-first design — the union + ordered-window kernel shared with the
 as-of join (operators/asofjoin.py):
   1. generate the instant spine per group (``sequence`` + explode —
      a pure expression, no driver loop);
   2. union instants (side=1) with samples (side=0);
-  3. one window per key ordered by (ts, side) carries the previous
-     sample's (t, v) onto each instant; the reverse window carries the
-     next sample's. Samples sort before instants at equal ts, so an
-     exact-ts sample is seen by its instant (→ _isfilled = false).
+  3. ONE ascending (ts, side) sort serves both directions: the
+     previous-sample tracker uses an unboundedPreceding→current frame,
+     the next-sample tracker a current→unboundedFollowing frame over
+     the same ordering — a single Window node, one exchange, one sort.
+     Samples sort before instants at equal ts, so an exact-ts sample is
+     seen by the preceding frame (→ _isfilled = false) and not the
+     following one.
 
-Cost: one shuffle on the group keys + two ordered window passes over
+Cost: one shuffle on the group keys + one ordered window pass over
 |samples| + |instants| rows — the same asymptotics as the reference's
 single merge pass, and it parallelizes per key across executors.
+
+Edge semantics follow the reference's goldens
+(test/cases/09-DataQuerying/12-Interp/ans): PREV drops instants before
+the first sample, NEXT after the last, LINEAR outside both; NEAR / NULL
+/ VALUE keep every instant. ``RANGE(t1,t2,tol)`` bounds the fill
+distance — a candidate beyond ``tol`` yields the per-column default
+(``FILL(PREV, dflt…)``) or NULL.
 """
 
 from __future__ import annotations
@@ -28,43 +39,86 @@ from tdengine_spark.durations import Duration, parse_duration
 
 IROWTS = "_irowts"
 ISFILLED = "_isfilled"
+IROWTS_ORIGIN = "_irowts_origin"
 
 INTERP_MODES = ("prev", "next", "linear", "near", "null", "value", "none")
+
+
+def _as_list(x, n, fill=None):
+    if x is None:
+        return [fill] * n
+    if isinstance(x, (list, tuple)):
+        out = list(x) + [fill] * (n - len(x))
+        return out[:n]
+    return [x] * n
 
 
 def interp(
     df: DataFrame,
     ts_col: str,
-    val_col: str,
+    val_col,
     range_start,
     range_end,
     every: "str | int | Duration",
     mode: str = "linear",
     partition_by: "list[str] | None" = None,
-    fill_value: "float | None" = None,
+    fill_value=None,
     out_col: "str | None" = None,
     group_values: "list | DataFrame | None" = None,
+    tolerance: "str | int | Duration | None" = None,
+    defaults=None,
+    with_origin: bool = False,
+    ignore_null=True,
 ) -> DataFrame:
-    """Resample ``val_col`` to instants range_start, +every, ... ≤ range_end.
+    """Resample value column(s) to instants range_start, +every, ... ≤
+    range_end.
 
-    Returns (partition..., _irowts, <out_col>, _isfilled) ordered by
-    (partition, _irowts). NULL results outside the data range follow the
-    reference: PREV holds nothing before the first sample, NEXT nothing
-    after the last, LINEAR needs both sides, NEAR takes whichever exists.
+    ``val_col``: a column name, or a list of ``(col, out_name)`` pairs —
+    one interp() expression each, sharing the single window pass.
+    ``fill_value``: VALUE-mode constant(s), scalar or per-column list.
+    ``defaults``: out-of-tolerance fallback(s) for PREV/NEXT/NEAR.
+    ``tolerance``: RANGE's third argument — max distance to a usable
+    sample. ``with_origin``: emit ``_irowts_origin``. ``ignore_null``
+    (scalar or per-column): True skips NULL-valued samples (the
+    reference's ``interp(col, 1)``); False treats a NULL sample as a
+    real row — exact hits return NULL unfilled, prev/next can carry
+    NULL.
+
+    Returns (partition..., _irowts, <out cols…>, _isfilled
+    [, _irowts_origin]) ordered by (partition, _irowts).
 
     ``group_values``: the distinct partition-key values, as a list of
     tuples (single-key: scalars) or a DataFrame. When omitted they are
-    derived with ``df.select(keys).distinct()`` — a second scan of the
-    input. At scale, pass the known key set (tags usually live in a tiny
-    dimension table) so the fact table is scanned exactly once.
+    derived with ``df.select(keys).distinct()`` — a key-column-only
+    second scan. At scale, pass the known key set (tags usually live in
+    a tiny dimension table) so the fact table is scanned exactly once.
     """
     mode = mode.lower()
     if mode not in INTERP_MODES:
         raise ValueError(f"unknown interp fill mode {mode!r}")
     keys = list(partition_by or [])
-    out_col = out_col or val_col
+    if isinstance(val_col, str):
+        vals = [(val_col, out_col or val_col)]
+    else:
+        vals = [(c, o or c) for c, o in val_col]
+    nv = len(vals)
+    fvals = _as_list(fill_value, nv)
+    dflts = _as_list(defaults, nv)
     every_d = parse_duration(every)
+    tol_us = parse_duration(tolerance).microseconds if tolerance is not None else None
 
+    # RANGE(t1, t2) with t1 > t2 is an empty instant set in the
+    # reference (not an error); sequence() constant-folds and rejects a
+    # mismatched step sign at plan time, so clamp the bounds AND blank
+    # the source (empty source → empty group set → no instants)
+    import pandas as pd
+
+    try:
+        if pd.Timestamp(range_start) > pd.Timestamp(range_end):
+            range_end = range_start
+            df = df.where(F.lit(False))
+    except (ValueError, TypeError):
+        pass  # non-literal bounds: let sequence() decide
     lo = F.lit(range_start).cast("timestamp")
     hi = F.lit(range_end).cast("timestamp")
     step = F.expr(f"interval {every_d.interval_string()}")
@@ -92,79 +146,137 @@ def interp(
         *keys,
         F.col(ts_col).alias("_t"),
         F.lit(0).alias("_side"),
-        F.col(val_col).cast("double").alias("_v"),
+        *[
+            F.col(c).cast("double").alias(f"_v{i}")
+            for i, (c, _) in enumerate(vals)
+        ],
     )
-    u = samples.unionByName(spine.withColumn("_v", F.lit(None).cast("double")))
+    spine_nulls = spine
+    for i in range(nv):
+        spine_nulls = spine_nulls.withColumn(
+            f"_v{i}", F.lit(None).cast("double")
+        )
+    u = samples.unionByName(spine_nulls)
 
-    # both directions ride ONE (partition, asc-order) sort: the
-    # previous-sample tracker uses an unboundedPreceding→current frame,
-    # the next-sample tracker a current→unboundedFollowing frame over
-    # the SAME ordering — Spark evaluates both in a single Window node,
-    # so the plan has one exchange + one sort instead of two of each
-    # (the desc-ordered formulation forced a second sort pass)
     asc = Window.partitionBy(*keys).orderBy(
         F.col("_t").asc(), F.col("_side").asc()
     )
     fwd = asc.rowsBetween(Window.unboundedPreceding, 0)
     nxt = asc.rowsBetween(0, Window.unboundedFollowing)
     t_us = F.unix_micros(F.col("_t"))
-    # both trackers must be gated on value presence: a NULL-valued sample
-    # would otherwise advance _pt but not _pv, giving linear/near a
-    # mismatched (t, v) pair and an exact-ts NULL a stale "exact" hit.
-    # Equal-ts samples sort before instants (side 0 < 1), so an exact
-    # sample lands in the preceding frame and not the following one —
-    # the same tie rule the desc window encoded.
-    is_sample = (F.col("_side") == 0) & F.col("_v").isNotNull()
-    sample_t = F.when(is_sample, t_us)
-    sample_v = F.when(is_sample, F.col("_v"))
 
-    staged = u.select(
-        "*",
-        # one select → the optimizer collapses same-spec functions into
-        # two adjacent Window nodes (chained withColumn left four)
-        F.last(sample_t, ignorenulls=True).over(fwd).alias("_pt"),
-        F.last(sample_v, ignorenulls=True).over(fwd).alias("_pv"),
-        F.first(sample_t, ignorenulls=True).over(nxt).alias("_nt"),
-        F.first(sample_v, ignorenulls=True).over(nxt).alias("_nv"),
-    ).where(F.col("_side") == 1)
+    ignores = _as_list(ignore_null, nv, fill=True)
+    # per value column: the (ts, value) pair rides ONE struct so the two
+    # stay matched even when the value is NULL (ignore_null=False keeps
+    # NULL-valued samples as real rows). With ignore_null, gating the
+    # struct on value presence skips NULL samples entirely — the
+    # reference's interp(col, 1).
+    track = []
+    for i in range(nv):
+        is_sample = F.col("_side") == 0
+        if ignores[i]:
+            is_sample = is_sample & F.col(f"_v{i}").isNotNull()
+        pair = F.when(
+            is_sample, F.struct(t_us.alias("t"), F.col(f"_v{i}").alias("v"))
+        )
+        track += [
+            F.last(pair, ignorenulls=True).over(fwd).alias(f"_p{i}"),
+            F.first(pair, ignorenulls=True).over(nxt).alias(f"_n{i}"),
+        ]
+    staged = u.select("*", *track).where(F.col("_side") == 1)
 
-    pt, pv, nt, nv = (F.col(c) for c in ("_pt", "_pv", "_nt", "_nv"))
-    exact = pt == t_us
+    col_types = dict(df.dtypes)
+    out_cols, origin = [], F.lit(None).cast("timestamp")
+    for i, (cname, oname) in enumerate(vals):
+        pt, pv = F.col(f"_p{i}.t"), F.col(f"_p{i}.v")
+        nt, nvv = F.col(f"_n{i}.t"), F.col(f"_n{i}.v")
+        exact = pt == t_us
+        # the reference C-casts fill constants through the COLUMN type
+        # (3 on a bool column → true → 1), then we read back as double
+        ctype = col_types.get(cname, "double")
+        dflt = F.lit(dflts[i]).cast(ctype).cast("double")
+        prev_ok = pt.isNotNull() & (
+            F.lit(tol_us is None) | ((t_us - pt) <= F.lit(tol_us or 0))
+        )
+        next_ok = nt.isNotNull() & (
+            F.lit(tol_us is None) | ((nt - t_us) <= F.lit(tol_us or 0))
+        )
+        if mode == "prev":
+            val = F.when(exact, pv).when(prev_ok, pv).otherwise(dflt)
+            org = F.when(exact | prev_ok, F.timestamp_micros(pt))
+        elif mode == "next":
+            val = F.when(exact, pv).when(next_ok, nvv).otherwise(dflt)
+            org = F.when(exact, F.timestamp_micros(pt)).when(
+                next_ok, F.timestamp_micros(nt)
+            )
+        elif mode == "near":
+            use_prev = prev_ok & (
+                ~next_ok | ((t_us - pt) <= (nt - t_us))
+            )
+            val = (
+                F.when(exact, pv)
+                .when(use_prev, pv)
+                .when(next_ok, nvv)
+                .otherwise(dflt)
+            )
+            org = (
+                F.when(exact | use_prev, F.timestamp_micros(pt))
+                .when(next_ok, F.timestamp_micros(nt))
+            )
+        elif mode == "linear":
+            frac = (t_us - pt).cast("double") / (nt - pt).cast("double")
+            # interpolated values C-cast back through the column type
+            # (reference: linear over an int column truncates)
+            interp_v = (pv + (nvv - pv) * frac).cast(ctype).cast("double")
+            val = (
+                F.when(exact, pv)
+                .when(pt.isNull() | nt.isNull(), F.lit(None))
+                .when(
+                    ~prev_ok | ~next_ok, dflt
+                )
+                .otherwise(interp_v)
+            )
+            org = F.when(exact, F.timestamp_micros(pt))
+        elif mode in ("null", "none"):
+            val = F.when(exact, pv)
+            org = F.when(exact, F.timestamp_micros(pt))
+        else:  # value
+            val = F.when(exact, pv).otherwise(
+                F.lit(fvals[i]).cast(ctype).cast("double")
+            )
+            org = F.when(exact, F.timestamp_micros(pt))
+        out_cols.append(val.alias(oname))
+        if i == 0:
+            origin = org
+
+    pt0, nt0 = F.col("_p0.t"), F.col("_n0.t")
+    exact0 = pt0 == t_us
+    # reference edge semantics: no row at all where the mode's source
+    # side does not exist (goldens: PREV starts at the first sample,
+    # NEXT ends at the last, LINEAR needs both; NEAR/NULL/VALUE emit
+    # every instant)
     if mode == "prev":
-        val = pv
+        staged = staged.where(pt0.isNotNull())
     elif mode == "next":
-        val = nv
-    elif mode == "near":
-        val = (
-            F.when(exact, pv)
-            .when(pt.isNull(), nv)
-            .when(nt.isNull(), pv)
-            .when((t_us - pt) <= (nt - t_us), pv)
-            .otherwise(nv)
-        )
+        staged = staged.where((exact0 & pt0.isNotNull()) | nt0.isNotNull())
     elif mode == "linear":
-        frac = (t_us - pt).cast("double") / (nt - pt).cast("double")
-        val = (
-            F.when(exact, pv)
-            .when(pt.isNull() | nt.isNull(), F.lit(None))
-            .otherwise(pv + (nv - pv) * frac)
+        staged = staged.where(
+            (exact0 & pt0.isNotNull()) | (pt0.isNotNull() & nt0.isNotNull())
         )
-    elif mode in ("null", "none"):
-        val = F.when(exact, pv)
-    else:  # value
-        val = F.when(exact, pv).otherwise(F.lit(fill_value))
-
     if mode == "none":
         # reference FILL_MODE_NONE (parTranslater.c createDefaultFillNode):
         # emit ONLY instants that coincide with a sample — no filling
-        staged = staged.where(exact)
+        staged = staged.where(exact0)
 
+    extras = [(~exact0 | exact0.isNull()).alias(ISFILLED)]
+    if with_origin:
+        extras.append(origin.alias(IROWTS_ORIGIN))
     return (
         staged.select(
             *keys,
             F.col("_t").alias(IROWTS),
-            val.alias(out_col),
-            (~exact | exact.isNull()).alias(ISFILLED),
+            *out_cols,
+            *extras,
         )
         .orderBy(*keys, IROWTS)
     )

@@ -241,6 +241,7 @@ from tdengine_spark.operators.interp import interp  # noqa: E402
                  END + 0.0000001, 4) + 0) AS value,
            COALESCE(p.pt <> p._irowts, TRUE) AS _isfilled
     FROM prevj p JOIN nextj n ON p.user_id = n.user_id AND p._irowts = n._irowts
+    WHERE p.pt IS NOT NULL AND n.nt IS NOT NULL
     """,
 )
 def q_interp_linear(spark, sf_dir):
@@ -270,7 +271,7 @@ def q_interp_linear(spark, sf_dir):
     SELECT s.event_type, s._irowts,
            (ROUND(e.value + 0.0000001, 4) + 0) AS value,
            COALESCE(e.ts <> s._irowts, TRUE) AS _isfilled
-    FROM spine s ASOF LEFT JOIN ev e
+    FROM spine s ASOF JOIN ev e
       ON s.event_type = e.event_type AND s._irowts >= e.ts
     """,
 )

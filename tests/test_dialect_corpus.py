@@ -151,13 +151,15 @@ def _parse_ans(path):
 _TS_CELL = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}$")
 
 
-def _norm_golden(cell):
+def _norm_golden(cell, tz_shift_ms=SHANGHAI_OFFSET_MS):
     if cell == "NULL":
         return None
+    if cell in ("true", "false"):
+        return cell == "true"
     if _TS_CELL.match(cell):
         dt = datetime.strptime(cell, "%Y-%m-%d %H:%M:%S.%f")
         ms = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
-        return ms - SHANGHAI_OFFSET_MS
+        return ms - tz_shift_ms
     try:
         return int(cell)
     except ValueError:
@@ -181,12 +183,15 @@ def _key(row):
     return tuple((x is None, x) for x in row)
 
 
-def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE):
+def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE,
+               tz_shift_ms=SHANGHAI_OFFSET_MS):
     """(results, failures): per-statement PASS/MISMATCH/ERROR triage.
 
     A statement the reference itself rejects (DB error in the golden
     file) counts as REJECT when we also raise — parity — and as RAN when
-    we execute it (superset behavior, no golden to diff against)."""
+    we execute it (superset behavior, no golden to diff against).
+    ``tz_shift_ms``: goldens rendered in a non-UTC session shift by this
+    much; corpora whose fixtures store the same wall clock use 0."""
     answers = _parse_ans(ans_file)
     results = []
     for sql in _statements(in_file):
@@ -208,7 +213,9 @@ def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE):
         if golden is None:
             results.append((sql, "RAN", f"{len(got)} rows (no golden)"))
             continue
-        want = [tuple(_norm_golden(c) for c in r) for r in golden]
+        want = [
+            tuple(_norm_golden(c, tz_shift_ms) for c in r) for r in golden
+        ]
         if sorted(got, key=_key) == sorted(want, key=_key):
             results.append((sql, "PASS", f"{len(got)} rows"))
         else:
@@ -449,3 +456,204 @@ def test_join_pk_const_condition_corpus(spark, pk_corpus_db, name):
     for sql, status, info in results:
         if status == "MISMATCH":
             raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+# ---------------------------------------------------------------------------
+# 09-DataQuerying/12-Interp corpus: 169 golden interp statements over the
+# test_query_interp_fill.py fixtures (td32727 / td32861 / ts5941_child)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def interp_corpus_db(spark):
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_interp_")
+
+    # td32727: 3 rows at 2020-02-01 00:00:05/10/15 with every column = ts
+    # second value (test_query_interp_fill.py:62-64)
+    base = pd.Timestamp("2020-02-01 00:00:00")
+    v = [5, 10, 15]
+    td = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=s) for s in v],
+            "c0": pd.array(v, dtype="int8"),
+            "c1": pd.array(v, dtype="int16"),
+            "c2": pd.array(v, dtype="int32"),
+            "c3": pd.array(v, dtype="int64"),
+            "c4": pd.array([float(x) for x in v], dtype="float64"),
+            "c5": pd.array([float(x) for x in v], dtype="float32"),
+            "c6": True,
+            "c7": "varchar",
+            "c8": "nchar",
+            "c9": pd.array(v, dtype="int16"),
+            "c10": pd.array(v, dtype="int32"),
+            "c11": pd.array(v, dtype="int64"),
+            "c12": pd.array(v, dtype="int64"),
+            "tbname": "td32727",
+        }
+    )
+    td["ts"] = td["ts"].astype("datetime64[us]")
+    td.to_parquet(f"{d}/td32727.parquet", index=False)
+
+    # td32861: (ts, c1) at 2020-01-01 +0,1,3,6,10,15,21s (:66-75)
+    b2 = pd.Timestamp("2020-01-01 00:00:00")
+    s2 = [0, 1, 3, 6, 10, 15, 21]
+    t2 = pd.DataFrame(
+        {
+            "ts": [b2 + pd.Timedelta(seconds=s) for s in s2],
+            "c1": pd.array(s2, dtype="int32"),
+            "tbname": "td32861",
+        }
+    )
+    t2["ts"] = t2["ts"].astype("datetime64[us]")
+    t2.to_parquet(f"{d}/td32861.parquet", index=False)
+
+    # ts5941_child: (ts, c1, c2) tags(t1) (:76-78)
+    t3 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=s) for s in v],
+            "c1": pd.array(v, dtype="int32"),
+            "c2": pd.array(v, dtype="int32"),
+            "t1": "testts5941",
+            "tbname": "ts5941_child",
+        }
+    )
+    t3["ts"] = t3["ts"].astype("datetime64[us]")
+    t3.to_parquet(f"{d}/ts5941_child.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_interp_corpus_golden(spark, interp_corpus_db):
+    in_file = f"{REF}/09-DataQuerying/12-Interp/in/interp.in"
+    ans_file = f"{REF}/09-DataQuerying/12-Interp/ans/interp.csv"
+    if not os.path.exists(in_file):
+        pytest.skip("corpus file missing")
+    # fixture stores the goldens' wall clock verbatim → no tz shift
+    results = run_corpus(
+        spark, interp_corpus_db, in_file, ans_file, tz_shift_ms=0
+    )
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
+    for sql, status, info in results:
+        if status not in ("PASS", "REJECT"):
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert n >= 150, f"corpus too small: {n}"
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+@pytest.fixture(scope="module")
+def interp_ignore_null_db(spark):
+    """test_query_interp_fill.py:80-113: ntb + stb(ctb1, ctb2) with NULL
+    runs — the interp(c1, 0|1) ignore-null fixtures."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_inull_")
+    b = pd.Timestamp("2025-12-12 12:00:00")
+
+    def rows(spec):
+        ts = [b + pd.Timedelta(minutes=m) for m, _ in spec]
+        return ts, [v for _, v in spec]
+
+    ntb_spec = [(0, 1), (3, None), (4, None), (5, None), (8, 2),
+                (9, None), (10, None), (11, 3)]
+    ts, vs = rows(ntb_spec)
+    ntb = pd.DataFrame(
+        {"ts": ts, "c1": pd.array(vs, dtype="Int32"), "tbname": "ntb"}
+    )
+    ntb["ts"] = ntb["ts"].astype("datetime64[us]")
+    ntb.to_parquet(f"{d}/ntb.parquet", index=False)
+
+    ctb2_spec = [(13, None), (14, None), (15, None), (18, 2),
+                 (19, None), (20, 3)]
+    frames = []
+    for name, gid, spec in (("ctb1", 1, ntb_spec), ("ctb2", 2, ctb2_spec)):
+        ts, vs = rows(spec)
+        frames.append(pd.DataFrame(
+            {"ts": ts, "c1": pd.array(vs, dtype="Int32"),
+             "gid": gid, "tbname": name}
+        ))
+    stb = pd.concat(frames)
+    stb["ts"] = stb["ts"].astype("datetime64[us]")
+    stb.to_parquet(f"{d}/stb.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def interp_surround_db(spark):
+    """test_query_interp_fill.py:123-166: the SURROUND-clause fixtures
+    (daily rows with NULL runs across ntb + 3 child tables)."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_surr_")
+    b = pd.Timestamp("2026-01-01 12:00:00")
+
+    def mk(spec):
+        ts = [b + pd.Timedelta(days=dd) for dd, _ in spec]
+        return ts, [v for _, v in spec]
+
+    ntb_spec = [(0, 1), (1, None), (2, None), (5, 2), (6, None),
+                (7, None), (8, 3)]
+    c2 = [None, "a", "b", None, "c", None, None]
+    ts, vs = mk(ntb_spec)
+    ntb = pd.DataFrame(
+        {"ts": ts, "c1": pd.array(vs, dtype="Int32"), "c2": c2,
+         "tbname": "ntb"}
+    )
+    ntb["ts"] = ntb["ts"].astype("datetime64[us]")
+    ntb.to_parquet(f"{d}/ntb.parquet", index=False)
+
+    specs = {
+        "ctb1": (1, ntb_spec),
+        "ctb2": (2, [(0, None), (1, None), (2, 1), (3, 2), (6, 3),
+                     (7, None), (8, None)]),
+        "ctb3": (3, [(0, None), (1, 1), (2, None), (4, 2), (6, None),
+                     (7, 3), (8, None)]),
+    }
+    frames = []
+    for name, (gid, spec) in specs.items():
+        ts, vs = mk(spec)
+        frames.append(pd.DataFrame(
+            {"ts": ts, "c1": pd.array(vs, dtype="Int32"),
+             "gid": gid, "tbname": name}
+        ))
+    stb = pd.concat(frames)
+    stb["ts"] = stb["ts"].astype("datetime64[us]")
+    stb.to_parquet(f"{d}/stb.parquet", index=False)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _interp_corpus_check(spark, db, name, min_n):
+    in_file = f"{REF}/09-DataQuerying/12-Interp/in/{name}.in"
+    ans_file = f"{REF}/09-DataQuerying/12-Interp/ans/{name}.csv"
+    if not os.path.exists(in_file):
+        pytest.skip("corpus file missing")
+    results = run_corpus(spark, db, in_file, ans_file, tz_shift_ms=0)
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
+    for sql, status, info in results:
+        if status not in ("PASS", "REJECT"):
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert n >= min_n, f"corpus too small: {n}"
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+def test_interp_ignore_null_corpus_golden(spark, interp_ignore_null_db):
+    _interp_corpus_check(
+        spark, interp_ignore_null_db, "interp_fill_ignore_null", 35
+    )
+
+
+def test_interp_surround_corpus_golden(spark, interp_surround_db):
+    _interp_corpus_check(
+        spark, interp_surround_db, "interp_fill_surround", 30
+    )

@@ -221,3 +221,51 @@ def test_sm4_official_vector():
         np.frombuffer(ct, dtype=">u4").astype(np.uint32).reshape(-1, 4), rk[::-1]
     ).astype(">u4").tobytes()
     assert back == pt
+
+
+def test_geom_equals_touches_covers_containsproperly(spark):
+    from tdengine_spark.functions.geometry import (
+        geom_containsproperly,
+        geom_covers,
+        geom_equals,
+        geom_from_text,
+        geom_touches,
+    )
+
+    sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    rows = [
+        # (i, a, b) — expected (equals, touches, covers a⊇b, containsproperly)
+        (0, sq, "POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"),  # same ring rotated
+        (1, sq, "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"),  # same ring reversed
+        (2, sq, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"),  # shares edge x=4
+        (3, sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),  # strictly inside
+        (4, sq, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),  # inside, shares corner
+        (5, sq, "POINT (4 2)"),                          # on boundary
+        (6, sq, "POINT (2 2)"),                          # interior point
+        (7, sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),  # overlapping
+        (8, "LINESTRING (0 0, 2 2, 4 4)", "LINESTRING (4 4, 2 2, 0 0)"),  # reversed line
+        (9, "LINESTRING (0 0, 4 4)", "POINT (0 0)"),     # line endpoint
+    ]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    out = {
+        r.i: (r.eq, r.tc, r.cv, r.cp)
+        for r in df.select(
+            "i",
+            geom_equals(geom_from_text("a"), geom_from_text("b")).alias("eq"),
+            geom_touches(geom_from_text("a"), geom_from_text("b")).alias("tc"),
+            geom_covers(geom_from_text("a"), geom_from_text("b")).alias("cv"),
+            geom_containsproperly(
+                geom_from_text("a"), geom_from_text("b")
+            ).alias("cp"),
+        ).collect()
+    }
+    assert out[0] == (True, False, True, False)   # equal: covers, no touch
+    assert out[1] == (True, False, True, False)
+    assert out[2] == (False, True, False, False)  # edge-adjacent squares
+    assert out[3] == (False, False, True, True)   # proper containment
+    assert out[4] == (False, False, True, False)  # corner contact blocks proper
+    assert out[5] == (False, True, True, False)   # boundary point
+    assert out[6] == (False, False, True, True)   # interior point
+    assert out[7] == (False, False, False, False) # overlap: none of these
+    assert out[8] == (True, False, True, False)   # reversed linestring equal
+    assert out[9] == (False, True, True, False)   # endpoint touches line

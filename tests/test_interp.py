@@ -31,25 +31,27 @@ def _run(spark, mode, **kw):
 
 
 def test_interp_linear(spark):
+    # reference edge semantics (12-Interp goldens): LINEAR emits no row
+    # outside [first, last] sample — not NULL rows
     got = _run(spark, "linear")
-    assert got[("a", 0)] == (None, True)       # before first sample
+    assert ("a", 0) not in got                 # before first sample: dropped
     assert got[("a", 10)] == (10.0, False)     # exact sample
     assert got[("a", 20)] == (20.0, True)      # midpoint interpolation
     assert got[("a", 30)] == (30.0, False)
-    assert got[("a", 40)] == (None, True)      # after last sample
+    assert ("a", 40) not in got                # after last sample: dropped
     assert got[("b", 20)] == (5.0, False)
-    assert got[("b", 30)] == (None, True)
+    assert ("b", 30) not in got
 
 
 def test_interp_prev_next(spark):
     prev = _run(spark, "prev")
-    assert prev[("a", 0)] == (None, True)
+    assert ("a", 0) not in prev                # no prev sample: dropped
     assert prev[("a", 20)] == (10.0, True)
     assert prev[("a", 40)] == (30.0, True)
     nxt = _run(spark, "next")
     assert nxt[("a", 0)] == (10.0, True)
     assert nxt[("a", 20)] == (30.0, True)
-    assert nxt[("a", 40)] == (None, True)
+    assert ("a", 40) not in nxt                # no next sample: dropped
 
 
 def test_interp_near(spark):
@@ -75,4 +77,7 @@ def test_interp_global_no_partition(spark):
         "2024-01-01 00:00:00", "2024-01-01 00:00:40", "20s",
         mode="linear",
     ).collect()
-    assert len(out) == 3  # 00, 20, 40
+    # 00 (no prev) and 40 (no next) drop under reference edge
+    # semantics; only the interpolable instant remains
+    assert len(out) == 1
+    assert out[0]._irowts.second == 20 and out[0].v == 20.0
