@@ -1130,3 +1130,177 @@ def q_in_scalar_subquery(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 dialect surface: semi/anti joins, selection companions, interp
+# tolerance, geometry predicates, information_schema (§2.3/§2.4/§2.6/§2.9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "semi_join_first_match",
+    """
+    SELECT p.event_id, CAST(p.ts AS TIMESTAMP) AS ats,
+           CAST(min(c.ts) AS TIMESTAMP) AS bts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_semi_join_first(spark, sf_dir):
+    """Reference SEMI JOIN (joinoperator.c M_JOIN_SUBTYPE_SEMI): one row
+    per driving-side row carrying its FIRST match in the other side's
+    row order — projectable, unlike Spark's LEFT SEMI. First-by-ts ==
+    min(ts), which the oracle pins."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark,
+        Database(root=sf_dir),
+        "select a.event_id, a.ts ats, b.ts bts "
+        "from (select * from events where event_type = 'purchase') a "
+        "left semi join (select * from events where event_type = 'click') b "
+        "on a.user_id = b.user_id",
+    )
+
+
+@q(
+    "anti_join_null_extend",
+    """
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ats,
+           CAST(NULL AS TIMESTAMP) AS bts
+    FROM events e
+    WHERE e.event_type = 'click'
+      AND e.user_id NOT IN (
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 400
+      )
+    """,
+)
+def q_anti_join_null_extend(spark, sf_dir):
+    """Reference ANTI JOIN: driving rows with no match, other side
+    NULL-extended into the projection (not just filtered like Spark's
+    LEFT ANTI)."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark,
+        Database(root=sf_dir),
+        "select a.event_id, a.ts ats, b.ts bts "
+        "from (select * from events where event_type = 'click') a "
+        "left anti join (select * from events "
+        "where event_type = 'purchase' and value > 400) b "
+        "on a.user_id = b.user_id",
+    )
+
+
+@q(
+    "selection_mode_companion",
+    """
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS cnt, MIN(ts) AS fts
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(fts AS TIMESTAMP) AS ats, event_type AS "mode(event_type)"
+    FROM g ORDER BY cnt DESC, fts ASC LIMIT 1
+    """,
+)
+def q_selection_mode_companion(spark, sf_dir):
+    """Selection-function companion columns (builtins.c
+    FUNC_MGT_SELECT_FUNC): plain columns ride the selected row; mode
+    ties break to the earliest first occurrence."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark, Database(root=sf_dir),
+        "select ts ats, mode(event_type) from events",
+    )
+
+
+@q(
+    "interp_tolerance_default",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-10',
+             TIMESTAMP '2024-01-12', INTERVAL 6 HOUR)) AS _irowts
+    ), j AS (
+      SELECT s._irowts, e.ts AS pt, e.value AS pv
+      FROM spine s ASOF JOIN ev e ON s._irowts >= e.ts
+    )
+    SELECT _irowts, COALESCE(pt <> _irowts, TRUE) AS _isfilled,
+           CASE WHEN pt >= _irowts - INTERVAL 2 HOUR THEN pv
+                ELSE -1.0 END AS "interp(value)"
+    FROM j
+    """,
+)
+def q_interp_tolerance_default(spark, sf_dir):
+    """RANGE(t1,t2,tol) fill-distance tolerance with a FILL default
+    (timesliceoperator.c surrounding-range): a prev candidate farther
+    than 2h yields -1; instants before the first sample emit nothing."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark, Database(root=sf_dir),
+        "select _irowts, _isfilled, interp(value) from events "
+        "where event_type = 'purchase' "
+        "range('2024-01-10 00:00:00', '2024-01-12 00:00:00', 2h) "
+        "every(6h) fill(prev, -1)",
+    )
+
+
+@q(
+    "geometry_covers_points",
+    """
+    SELECT event_id,
+           (CAST(user_id % 10 AS DOUBLE) BETWEEN 2 AND 8
+            AND value / 50.0 BETWEEN 2 AND 8) AS covered
+    FROM events
+    """,
+)
+def q_geometry_covers(spark, sf_dir):
+    """st_covers over an axis-aligned POLYGON (builtins.c:5609) — the
+    numpy point-in-polygon kernel against a pure-SQL bounding-box
+    oracle (boundary inclusive on both sides)."""
+    from tdengine_spark.functions.geometry import geom_covers, geom_from_text
+
+    ev = t(spark, sf_dir, "events")
+    square = geom_from_text(
+        F.lit("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))")
+    )
+    pt = geom_from_text(
+        F.concat(
+            F.lit("POINT ("),
+            (F.col("user_id") % 10).cast("double").cast("string"),
+            F.lit(" "),
+            (F.col("value") / 50.0).cast("string"),
+            F.lit(")"),
+        )
+    )
+    return ev.select(
+        "event_id", geom_covers(square, pt).alias("covered")
+    )
+
+
+@q(
+    "information_schema_tables",
+    """
+    SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+      ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+      ('region'), ('supplier')) AS t(table_name)
+    """,
+)
+def q_information_schema_tables(spark, sf_dir):
+    """ins_tables via the dialect's information_schema view routing
+    (systable.h TSDB_INS_TABLE_TABLES; sysscanoperator.c)."""
+    from tdengine_spark.dialect import translate
+
+    return translate(
+        spark, Database(root=sf_dir),
+        "select table_name from information_schema.ins_tables "
+        "order by table_name",
+    )
