@@ -111,6 +111,18 @@ def _rewrite_ops(expr: str) -> str:
     expr = _outside_quotes(
         expr, lambda s: re.sub(r"\b_rowts\b", "ts", s)
     )
+    # CAST(<timestamp> AS BIGINT) is epoch-ms in the reference
+    # (convertImpl ts→int path); Spark's cast yields seconds — rewrite
+    # for ts-suffixed columns and the window pseudo-columns
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            rf"\bcast\s*\(\s*({_TS_NAME}|_wstart|_wend|_irowts)\s+as\s+bigint\s*\)",
+            r"unix_millis(\1)",
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
     # CAST(<int> AS TIMESTAMP) is epoch-in-db-precision in the reference
     # (ms by default); Spark's cast treats the int as seconds — rewrite
     expr = _outside_quotes(
@@ -148,6 +160,20 @@ def _rewrite_ops(expr: str) -> str:
         )
 
     expr = _rewrite_epoch_ts_literals(expr)
+    # bare integer arithmetic on a ts column (`ts + 1`) is
+    # ms-precision duration arithmetic in the reference (duration
+    # promotion, parTranslater.c); epoch comparisons were consumed above
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            rf"\b({_TS_NAME})\s*([+\-])\s*(\d+)(?![\w.])",
+            lambda m: (
+                f"{m.group(1)} {m.group(2)} "
+                f"make_dt_interval(0, 0, 0, {int(m.group(3)) / 1000:.6f})"
+            ),
+            s,
+        ),
+    )
     # epoch literal projected under a ts-suffixed alias (`1691386256000
     # ats`) — downstream time functions expect a timestamp, and the
     # reference promotes the int by its timestamp context
@@ -538,7 +564,7 @@ _SELECTION_STMT_RE = re.compile(
 )
 
 _SEL_FN_ITEM_RE = re.compile(
-    r"^(first|last|mode|unique)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+    r"^(first|last|mode|unique|min|max)\s*\(\s*([A-Za-z_]\w*)\s*\)"
     r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE,
 )
@@ -615,6 +641,20 @@ def _translate_selection(
         ]
         aggs.insert(fn_idx, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
         out = base.agg(*aggs)
+    elif fn in ("min", "max"):
+        # min/max are selection functions too: companions take their
+        # values from the extremal ROW (ts breaks value ties — first
+        # occurrence wins, builtins.c minmax row selection)
+        if fn == "min":
+            key = f"struct({col}, unix_micros({ts_col}))"
+        else:  # max with earliest-ts tie break: negate the ts component
+            key = f"struct({col}, -unix_micros({ts_col}))"
+        pick = "min_by" if fn == "min" else "max_by"
+        aggs = [
+            F.expr(f"{pick}({e}, {key})").alias(a) for e, a in companions()
+        ]
+        aggs.insert(fn_idx, F.expr(f"{fn}({col})").alias(fn_alias))
+        out = base.where(F.col(col).isNotNull()).agg(*aggs)
     else:
         aggs = [
             F.expr(f"min_by({e}, {ts_col})").alias(a) for e, a in companions()
@@ -784,6 +824,108 @@ def _translate_semi_anti(
         )
         out = j.where(F.col(f"{lal}._m").isNull())
     return out.selectExpr(*sel).drop("_m")
+
+
+_EXTWIN_TAIL_RE = re.compile(
+    r"^\s*(?:HAVING\s+(?P<having>.*?))?"
+    r"(?:\s*ORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\s*LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EXTWIN_HEAD_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+PARTITION\s+BY\s+(?P<partition>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _translate_external_window(
+    spark: SparkSession, db: Database, sql: str, em, ts_col: str
+) -> DataFrame:
+    """``SELECT <items> FROM fact [WHERE..] [PARTITION BY k]
+    EXTERNAL_WINDOW((<window query>) w) [HAVING..] [ORDER BY..]
+    [LIMIT n]`` → operators.externalwindow.external_window. Items mix
+    fact columns, ``w.<payload>`` refs (arithmetic allowed),
+    ``_wstart``/``_wend`` and aggregates; with aggregates present the
+    non-aggregate items become the per-window group keys."""
+    from tdengine_spark.operators.externalwindow import (
+        WID, WPREFIX, external_window,
+    )
+
+    hm = _EXTWIN_HEAD_RE.match(sql[: em.start()])
+    if not hm:
+        raise ValueError(f"unsupported external_window head: {sql!r}")
+    # balanced scan over EXTERNAL_WINDOW( ... )
+    depth, i = 1, em.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced EXTERNAL_WINDOW clause")
+    inner = sql[em.end() : i - 1]
+    sub_text, walias, rest = _take_operand(inner)
+    if rest.strip():
+        raise ValueError(f"unparsed external_window text: {rest!r}")
+    tm = _EXTWIN_TAIL_RE.match(sql[i:])
+    g, t = hm.groupdict(), tm.groupdict() if tm else {}
+
+    fact = _read_rel(spark, db, g["table"])
+    if g["where"]:
+        fact = fact.where(F.expr(_rewrite_ops(g["where"])))
+    keys = (
+        [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+    )
+    windows = translate(spark, db, _strip_outer_parens(sub_text), ts_col)
+    joined = external_window(fact, windows, ts_col=ts_col, corr_keys=keys)
+
+    walias = walias or "w"
+
+    def rw(expr: str) -> str:
+        # w.<col> → the prefixed window payload column; _wduration is
+        # the window's ms width (reference pseudo-column)
+        s = re.sub(rf"\b{re.escape(walias)}\.(\w+)", rf"{WPREFIX}\1", expr)
+        s = re.sub(
+            r"\b_wduration\b",
+            "(unix_millis(_wend) - unix_millis(_wstart))",
+            s,
+            flags=re.IGNORECASE,
+        )
+        return _rewrite_ops(s)
+
+    items, aliases, has_agg = [], [], False
+    for raw in _split_select(g["items"]):
+        am = _ITEM_ALIAS_RE.match(raw.strip())
+        expr, alias = am.group("expr"), am.group("alias")
+        expr = rw(expr)
+        name = alias or expr
+        items.append((expr, name))
+        if _has_agg(expr):
+            has_agg = True
+    if has_agg:
+        gcols = [
+            F.expr(e).alias(n) for e, n in items if not _has_agg(e)
+        ]
+        aggs = [F.expr(e).alias(n) for e, n in items if _has_agg(e)]
+        if t.get("having"):
+            # aggregate-typed boolean rides the agg list, filters, drops
+            aggs.append(F.expr(f"({rw(t['having'])})").alias("_hv"))
+        out = joined.groupBy(F.col(WID), *gcols).agg(*aggs)
+        if t.get("having"):
+            out = out.where(F.col("_hv")).drop("_hv")
+        out = out.drop(WID)
+    else:
+        out = joined.selectExpr(*[f"{e} AS `{n}`" for e, n in items])
+    if t.get("order"):
+        out = out.orderBy(*_order_cols(rw(t["order"])))
+    out = out.select(*[F.col(n) for _, n in items])
+    if t.get("limit"):
+        out = out.limit(int(t["limit"]))
+    return out
 
 
 def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:
@@ -1206,6 +1348,9 @@ def translate(
         # before subquery extraction: semi-join pick order depends on
         # the operand subqueries' own ORDER BY
         return _translate_semi_anti(spark, db, sql, jm, ts_col)
+    em = re.search(r"\bEXTERNAL_WINDOW\s*\(", sql, re.IGNORECASE)
+    if em:
+        return _translate_external_window(spark, db, sql, em, ts_col)
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect
@@ -1330,7 +1475,10 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
     wl = window.lower()
     agg_items = [it for it in items if it.strip() not in ("_wstart", "_wend")]
     aggs = [F.expr(it) for it in agg_items]
-    keep = ["_wstart"] + keys + _aliases(agg_items)
+    keep = ["_wstart"]
+    if any(it.strip() == "_wend" for it in items):
+        keep.append("_wend")
+    keep += keys + _aliases(agg_items)
 
     if wl.startswith("interval"):
         mm = re.match(
@@ -1371,7 +1519,7 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
                 _aliases(agg_items), fill_values=vals,
             )
             return out.select(*[c for c in keep if c in out.columns])
-        return out.select(*[c for c in keep if c in out.columns or c == "_wend"])
+        return out.select(*[c for c in keep if c in out.columns])
 
     from tdengine_spark.operators.eventwindow import window_agg
 

@@ -188,10 +188,14 @@ def test_window_join_sql(spark):
 
 
 def test_interp_sql(spark):
+    # select list projects exactly what's asked (reference: bare
+    # `select interp(c1)` yields a single column) — ask for the key and
+    # instant so the value map below can be keyed
     out = translate(
         spark,
         _db(),
-        "SELECT interp(value) as v FROM events PARTITION BY event_type "
+        "SELECT event_type, _irowts, interp(value) as v FROM events "
+        "PARTITION BY event_type "
         "RANGE('2024-01-01', '2024-01-02') EVERY(6h) FILL(linear)",
     )
     from tdengine_spark.operators.interp import interp
@@ -201,7 +205,10 @@ def test_interp_sql(spark):
         base, "ts", "value", "2024-01-01", "2024-01-02", "6h",
         mode="linear", partition_by=["event_type"], out_col="v",
     )
-    assert out.count() == expect.count() == 5 * 5  # 5 types x 5 instants
+    # ≤ 5 types × 5 instants: LINEAR drops instants outside each type's
+    # [first, last] sample (reference edge semantics, 12-Interp goldens)
+    n = out.count()
+    assert n == expect.count() and 0 < n <= 5 * 5
     got = {(r.event_type, str(r._irowts)): r.v for r in out.collect()}
     want = {(r.event_type, str(r._irowts)): r.v for r in expect.collect()}
     assert got == want

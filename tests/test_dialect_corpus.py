@@ -164,7 +164,9 @@ def _norm_golden(cell, tz_shift_ms=SHANGHAI_OFFSET_MS):
         return int(cell)
     except ValueError:
         try:
-            return float(cell)
+            # goldens print doubles at ~13 significant digits — compare
+            # at 6dp on both sides
+            return round(float(cell), 6)
         except ValueError:
             return cell
 
@@ -176,6 +178,8 @@ def _norm_spark(v):
         return int(v.replace(tzinfo=timezone.utc).timestamp() * 1000)
     if isinstance(v, float) and v.is_integer():
         return int(v)
+    if isinstance(v, float):
+        return round(v, 6)
     return v
 
 
@@ -183,8 +187,27 @@ def _key(row):
     return tuple((x is None, x) for x in row)
 
 
+_TS_LITERAL_RE = re.compile(
+    r"'(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'"
+)
+
+
+def _shift_ts_literals(sql: str, hours: int = -8) -> str:
+    """Shift quoted timestamp literals: the reference session parsed
+    them in Asia/Shanghai; our UTC session needs the UTC wall clock of
+    the same instant."""
+    def sub(m):
+        txt = m.group(1)
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in txt else "%Y-%m-%d %H:%M:%S"
+        dt = datetime.strptime(txt, fmt) + timedelta(hours=hours)
+        out = dt.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+        return f"'{out}'"
+
+    return _TS_LITERAL_RE.sub(sub, sql)
+
+
 def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE,
-               tz_shift_ms=SHANGHAI_OFFSET_MS):
+               tz_shift_ms=SHANGHAI_OFFSET_MS, preprocess=None):
     """(results, failures): per-statement PASS/MISMATCH/ERROR triage.
 
     A statement the reference itself rejects (DB error in the golden
@@ -196,10 +219,11 @@ def run_corpus(spark, db, in_file=IN_FILE, ans_file=ANS_FILE,
     results = []
     for sql in _statements(in_file):
         golden = answers.get(sql)
+        run_sql = preprocess(sql) if preprocess else sql
         try:
             got = [
                 tuple(_norm_spark(v) for v in r)
-                for r in dialect.translate(spark, db, sql).collect()
+                for r in dialect.translate(spark, db, run_sql).collect()
             ]
         except Exception as e:  # noqa: BLE001 — triage, not crash
             if golden == DBERROR:
@@ -657,3 +681,149 @@ def test_interp_surround_corpus_golden(spark, interp_surround_db):
     _interp_corpus_check(
         spark, interp_surround_db, "interp_fill_surround", 30
     )
+
+
+# ---------------------------------------------------------------------------
+# 13-TimeSeriesExt/08-ExternalWindow corpus: windows defined by rows of
+# another query (test_external.py fixtures, golden-diffed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def extwin_corpus_db(spark):
+    """test_external.py:292-375 (mock st1/st2 + ext_win_subq) and
+    :795-813 (ext_src/ext_win), :1730-1780 (ext_cx_*), replicated
+    insert-for-insert."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_extwin_")
+
+    def write(name, rows, schema):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in schema])
+        for c, typ in schema:
+            if typ == "ts":
+                pdf[c] = pd.to_datetime(pdf[c], unit="ms").astype(
+                    "datetime64[us]"
+                )
+            elif typ == "i":
+                pdf[c] = pdf[c].astype("int32")
+            elif typ == "f":
+                pdf[c] = pdf[c].astype("float32")
+        pdf.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    # mock st1/st2: ts increments ACROSS child tables (one global clock)
+    ts = 1589335200000
+    st1, st2 = [], []
+    for idx in range(1, 21):
+        for i in range(1, 101):
+            st1.append((ts, 100000 + idx * 1000 + i,
+                        float(100000 + idx * 1000 + i),
+                        f"dev_0{idx}", f"st1_{idx}"))
+            st2.append((ts, 200000 + idx * 1000 + i,
+                        float(200000 + idx * 1000 + i),
+                        f"dev_0{idx}", f"st2_{idx}"))
+            ts += 60000
+    st1_schema = [("ts", "ts"), ("v1", "i"), ("v2", "f"),
+                  ("dev", "s"), ("tbname", "s")]
+    write("st1_1", [r for r in st1 if r[4] == "st1_1"], st1_schema)
+    write("st2", [(t_, c1, c2, dv, tb) for t_, c1, c2, dv, tb in st2],
+          [("ts", "ts"), ("c1", "i"), ("c2", "f"), ("dev", "s"),
+           ("tbname", "s")])
+
+    # ext_win_subq children: generator at :345-374
+    mock_start = 1589212800000
+    mock_end = mock_start + (20 * 100 - 1) * 60000
+    common1 = (mock_start - 3600000, mock_start - 3540000)
+    common2 = (mock_end + 3540000, mock_end + 3600000)
+    subq = {}
+    for idx in range(1, 11):
+        rows, prev_end = [], None
+        for r in range(10):
+            if r == 0:
+                s, e = common1
+            elif r == 1:
+                s, e = common2
+            else:
+                base = common2[1] + idx * 3600000
+                s = base + (r - 2) * 180000
+                e = s + 60000
+            if prev_end is not None and s <= prev_end:
+                s = prev_end + 60000
+                e = s + 60000
+            rows.append((s, e, idx * 1000 + r, f"v2_{idx}_{r}", idx,
+                         f"t2_group_{(idx - 1) // 2}", f"ext_win_subq_{idx}"))
+            prev_end = e
+        subq[idx] = rows
+    write(
+        "ext_win_subq_1", subq[1],
+        [("ts", "ts"), ("endtime", "ts"), ("v1", "i"), ("v2", "s"),
+         ("t1", "i"), ("t2", "s"), ("tbname", "s")],
+    )
+
+    # ext_src / ext_win (:795-813)
+    t0 = 1700000000000
+    write("ext_win", [(t0, 1, 1, "ext_win_1")],
+          [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
+    # second ext_win row
+    import pyarrow.parquet  # noqa: F401
+    write("ext_win", [(t0, 1, 1, "ext_win_1"), (t0 + 600000, 1, 1, "ext_win_1")],
+          [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
+    write("ext_src", [(t0 + 60000, 10, 1, "ext_src_1"),
+                      (t0 + 120000, 11, 1, "ext_src_1"),
+                      (t0 + 660000, 20, 2, "ext_src_2")],
+          [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
+
+    # ext_cx_* (:1730-1780)
+    t0 = 1700400000000
+    write("ext_cx_win",
+          [(t0, t0 + 300000, 101), (t0 + 300000, t0 + 600000, 102),
+           (t0 + 600000, t0 + 900000, 103), (t0 + 900000, t0 + 1200000, 104)],
+          [("ts", "ts"), ("endtime", "ts"), ("mark", "i")])
+    write("ext_cx_win_part",
+          [(t0, 1, 1, "ext_cx_win_part_1"),
+           (t0 + 600000, 1, 1, "ext_cx_win_part_1"),
+           (t0 + 300000, 2, 2, "ext_cx_win_part_2"),
+           (t0 + 900000, 2, 2, "ext_cx_win_part_2")],
+          [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
+    cx1 = [(t0 + 60000, 10, 100, "a10"), (t0 + 120000, 11, 101, "a11"),
+           (t0 + 360000, 12, 102, "a12"), (t0 + 420000, 13, 103, "a13"),
+           (t0 + 660000, 14, 104, "a14"), (t0 + 960000, 15, 105, "a15")]
+    cx2 = [(t0 + 180000, 20, 200, "b20"), (t0 + 480000, 21, 201, "b21"),
+           (t0 + 540000, 22, 202, "b22"), (t0 + 780000, 23, 203, "b23"),
+           (t0 + 1020000, 24, 204, "b24")]
+    write("ext_cx_src",
+          [r + (1, "ext_cx_src_1") for r in cx1]
+          + [r + (2, "ext_cx_src_2") for r in cx2],
+          [("ts", "ts"), ("v", "i"), ("v2", "i"), ("s1", "s"),
+           ("t1", "i"), ("tbname", "s")])
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name,min_n", [
+    ("basic_query", 30),
+    ("complex_agg_and_filter", 12),
+    ("complex_partition_and_having", 10),
+])
+def test_external_window_corpus_golden(spark, extwin_corpus_db, name, min_n):
+    in_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/in/{name}.in"
+    ans_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/ans/{name}.ans"
+    if not os.path.exists(in_file):
+        pytest.skip("corpus file missing")
+    # the fixture stores true epoch instants; the statements' timestamp
+    # string literals were written for the reference's +8 session, so
+    # shift them to the UTC wall clock of the same instants
+    results = run_corpus(
+        spark, extwin_corpus_db, in_file, ans_file,
+        preprocess=_shift_ts_literals,
+    )
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
+    for sql, status, info in results:
+        if status not in ("PASS", "REJECT"):
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert n >= min_n, f"corpus too small: {n}"
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
