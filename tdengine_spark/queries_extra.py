@@ -1175,7 +1175,7 @@ def q_semi_join_first(spark, sf_dir):
     WHERE e.event_type = 'click'
       AND e.user_id NOT IN (
         SELECT user_id FROM events
-        WHERE event_type = 'purchase' AND value > 400
+        WHERE event_type = 'purchase' AND value > 300
       )
     """,
 )
@@ -1191,7 +1191,7 @@ def q_anti_join_null_extend(spark, sf_dir):
         "select a.event_id, a.ts ats, b.ts bts "
         "from (select * from events where event_type = 'click') a "
         "left anti join (select * from events "
-        "where event_type = 'purchase' and value > 400) b "
+        "where event_type = 'purchase' and value > 300) b "
         "on a.user_id = b.user_id",
     )
 
@@ -1303,4 +1303,46 @@ def q_information_schema_tables(spark, sf_dir):
         spark, Database(root=sf_dir),
         "select table_name from information_schema.ins_tables "
         "order by table_name",
+    )
+
+
+@q(
+    "external_window_agg",
+    """
+    WITH w AS (
+      SELECT CAST(ts AS TIMESTAMP) AS _wstart,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS _wend,
+             event_id AS wid
+      FROM events WHERE event_type = 'purchase' AND value > 300
+    )
+    SELECT w._wstart, w._wend, COUNT(*) AS c,
+           (ROUND(SUM(e.value) + 0.0000001, 4) + 0) AS sv
+    FROM w JOIN events e
+      ON e.ts >= w._wstart AND e.ts <= w._wend
+    GROUP BY 1, 2
+    """,
+)
+def q_external_window_agg(spark, sf_dir):
+    """EXTERNAL_WINDOW (13-TimeSeriesExt/08): per-window aggregates over
+    windows defined by the rows of another query — here each high-value
+    purchase opens a 30-minute window. Bucketed range join, no
+    nested-loop."""
+    from tdengine_spark.operators.externalwindow import external_window
+
+    ev = t(spark, sf_dir, "events")
+    wins = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    ).select(
+        F.col("ts").alias("_wstart"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("_wend"),
+        F.col("event_id").alias("wid"),
+    )
+    j = external_window(ev, wins, ts_col="ts")
+    return (
+        j.groupBy("_ext_wid", "_wstart", "_wend")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            (F.round(F.sum("value") + F.lit(1e-7), 4) + F.lit(0.0)).alias("sv"),
+        )
+        .drop("_ext_wid")
     )
