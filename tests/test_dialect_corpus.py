@@ -99,7 +99,11 @@ def _statements(path):
     out = []
     for line in open(path):
         line = line.strip()
-        if not line or line.lower().startswith(("use ", "explain")):
+        if (
+            not line
+            or line.startswith("#")
+            or line.lower().startswith(("use ", "explain"))
+        ):
             continue
         out.append(line.rstrip(";").strip())
     return out
@@ -768,10 +772,13 @@ def extwin_corpus_db(spark):
     import pyarrow.parquet  # noqa: F401
     write("ext_win", [(t0, 1, 1, "ext_win_1"), (t0 + 600000, 1, 1, "ext_win_1")],
           [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
-    write("ext_src", [(t0 + 60000, 10, 1, "ext_src_1"),
-                      (t0 + 120000, 11, 1, "ext_src_1"),
-                      (t0 + 660000, 20, 2, "ext_src_2")],
-          [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")])
+    src_schema = [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")]
+    src1 = [(t0 + 60000, 10, 1, "ext_src_1"),
+            (t0 + 120000, 11, 1, "ext_src_1")]
+    src2 = [(t0 + 660000, 20, 2, "ext_src_2")]
+    write("ext_src", src1 + src2, src_schema)
+    write("ext_src_1", src1, src_schema)
+    write("ext_src_2", src2, src_schema)
 
     # ext_cx_* (:1730-1780)
     t0 = 1700400000000
@@ -804,6 +811,8 @@ def extwin_corpus_db(spark):
     ("basic_query", 30),
     ("complex_agg_and_filter", 12),
     ("complex_partition_and_having", 10),
+    ("no_partition_in_subquery", 5),
+    ("partition_group_and_subquery", 5),
 ])
 def test_external_window_corpus_golden(spark, extwin_corpus_db, name, min_n):
     in_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/in/{name}.in"
