@@ -827,7 +827,8 @@ def _translate_semi_anti(
 
 
 _EXTWIN_TAIL_RE = re.compile(
-    r"^\s*(?:HAVING\s+(?P<having>.*?))?"
+    r"^\s*(?:FILL\s*\(\s*(?P<fill>[^)]*)\))?"
+    r"\s*(?:HAVING\s*(?P<having>\(.*?\)|.+?))?"
     r"(?:\s*ORDER\s+BY\s+(?P<order>.*?))?"
     r"(?:\s*LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -881,6 +882,10 @@ def _translate_external_window(
         [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
     )
     windows = translate(spark, db, _strip_outer_parens(sub_text), ts_col)
+    fill_parts = (
+        [p.strip() for p in _split_select(t["fill"])] if t.get("fill") else []
+    )
+    fill_mode = fill_parts[0].lower() if fill_parts else "none"
     joined = external_window(fact, windows, ts_col=ts_col, corr_keys=keys)
 
     walias = walias or "w"
@@ -906,7 +911,12 @@ def _translate_external_window(
         items.append((expr, name))
         if _has_agg(expr):
             has_agg = True
-    if has_agg:
+    if has_agg and fill_mode not in ("none",):
+        out = _extwin_fill_agg(
+            spark, db, fact, windows, items, fill_parts, fill_mode,
+            keys, ts_col, t, rw,
+        )
+    elif has_agg:
         gcols = [
             F.expr(e).alias(n) for e, n in items if not _has_agg(e)
         ]
@@ -926,6 +936,101 @@ def _translate_external_window(
     if t.get("limit"):
         out = out.limit(int(t["limit"]))
     return out
+
+
+def _extwin_fill_agg(
+    spark, db, fact, windows, items, fill_parts, fill_mode, keys, ts_col,
+    tail, rw,
+):
+    """EXTERNAL_WINDOW aggregate path with FILL: empty windows survive
+    (window frame LEFT JOIN the per-window aggregates) and their agg
+    columns fill per mode — NULL[_F] leaves NULLs, VALUE[_F] takes the
+    positional constants, PREV/NEXT copy the nearest non-empty window's
+    values in _wstart order (reference external fill,
+    ans/external_fill_basic.ans)."""
+    from pyspark.sql.window import Window as W
+
+    from tdengine_spark.operators.externalwindow import (
+        WID, external_window_frames,
+    )
+
+    joined, wkeyed = external_window_frames(
+        fact, windows, ts_col=ts_col, corr_keys=keys
+    )
+    agg_items = [(e, n) for e, n in items if _has_agg(e)]
+    aggs = [F.expr(e).alias(n) for e, n in agg_items]
+    per_win = joined.groupBy(F.col(WID), *keys).agg(
+        *aggs, F.lit(1).alias("_nonempty")
+    )
+    if keys:
+        # every (window × partition-key) combination is a fill slot —
+        # the key domain comes from the fact side (tiny distinct set),
+        # so a key with no data contributes no slots at all
+        wkeyed = wkeyed.crossJoin(fact.select(*keys).distinct())
+    elif not fill_mode.endswith("_f"):
+        # unpartitioned: an entirely empty source emits nothing — except
+        # under the FORCE variants (NULL_F/VALUE_F), which fill every
+        # window regardless (reference ext_fill_src_empty goldens)
+        wkeyed = wkeyed.crossJoin(
+            fact.select(F.lit(1).alias("_has")).limit(1)
+        ).drop("_has")
+    full = wkeyed.join(per_win, on=[WID, *keys], how="left")
+    # the reference's fill executor reports a FILLED (empty) window's
+    # _wend one ms past the definition's endtime; data-bearing windows
+    # keep it exact (extWinAppendAggFilledRow;
+    # ans/external_fill_edge_cases.ans pins both)
+    full = full.withColumn(
+        "_wend",
+        F.when(
+            F.col("_nonempty").isNull(),
+            F.timestamp_millis(F.unix_millis(F.col("_wend")) + 1),
+        ).otherwise(F.col("_wend")),
+    )
+
+    names = [n for _, n in agg_items]
+    empty = F.col("_nonempty").isNull()
+    if fill_mode in ("value", "value_f"):
+        consts = [
+            _fill_scalar(p) for p in fill_parts[1:]
+        ] + [None] * len(names)
+        for n, c in zip(names, consts):
+            full = full.withColumn(
+                n, F.when(empty, F.lit(c)).otherwise(F.col(n))
+            )
+    elif fill_mode in ("prev", "next"):
+        ordw = W.partitionBy(*keys).orderBy(F.col("_wstart").asc())
+        if fill_mode == "prev":
+            frame = ordw.rowsBetween(W.unboundedPreceding, 0)
+            pick = F.last
+        else:
+            frame = ordw.rowsBetween(0, W.unboundedFollowing)
+            pick = F.first
+        for n in names:
+            src = F.when(~empty, F.col(n))
+            full = full.withColumn(
+                n,
+                F.when(empty, pick(src, ignorenulls=True).over(frame))
+                .otherwise(F.col(n)),
+            )
+    elif fill_mode not in ("null", "null_f"):
+        raise ValueError(f"unsupported external fill mode {fill_mode!r}")
+    full = full.drop("_nonempty")
+
+    out_cols = []
+    for e, n in items:
+        if _has_agg(e):
+            out_cols.append(F.col(n))
+        else:
+            out_cols.append(F.expr(e).alias(n))
+    out = full.select(*out_cols, F.col(WID))
+    if tail.get("having"):
+        # post-fill HAVING: aggregate expressions are already computed
+        # columns — map each agg item's text to its output name
+        hv = rw(tail["having"])
+        for e, n in agg_items:
+            hv = hv.replace(e, f"`{n}`")
+        out = out.where(F.expr(hv))
+    return out.drop(WID)
 
 
 def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:

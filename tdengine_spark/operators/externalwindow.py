@@ -32,6 +32,33 @@ WID = "_ext_wid"
 WPREFIX = "_w_"
 
 
+def external_window_frames(
+    fact: DataFrame,
+    windows: DataFrame,
+    ts_col: str = "ts",
+    corr_keys: "list[str] | None" = None,
+):
+    """(joined, window_frame): the joined fact×window rows AND the keyed
+    window-definition frame (_ext_wid, _wstart, _wend, _w_<payload>…) —
+    FILL modes need the empty windows the inner join drops."""
+    joined = external_window(fact, windows, ts_col, corr_keys)
+    wcols = windows.columns
+    if WSTART in wcols and WEND in wcols:
+        start_c, end_c = WSTART, WEND
+    else:
+        start_c, end_c = wcols[0], wcols[1]
+    payload = [c for c in wcols if c not in (start_c, end_c)]
+    wkeyed = windows.withColumn(
+        WID, F.row_number().over(Window.orderBy(*[F.col(c) for c in wcols]))
+    ).select(
+        F.col(WID),
+        F.col(start_c).alias(WSTART),
+        F.col(end_c).alias(WEND),
+        *[F.col(c).alias(f"{WPREFIX}{c}") for c in payload],
+    )
+    return joined, wkeyed
+
+
 def external_window(
     fact: DataFrame,
     windows: DataFrame,

@@ -813,6 +813,7 @@ def extwin_corpus_db(spark):
     ("complex_partition_and_having", 10),
     ("no_partition_in_subquery", 5),
     ("partition_group_and_subquery", 5),
+    ("fill_regression", 5),
 ])
 def test_external_window_corpus_golden(spark, extwin_corpus_db, name, min_n):
     in_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/in/{name}.in"
@@ -836,3 +837,211 @@ def test_external_window_corpus_golden(spark, extwin_corpus_db, name, min_n):
     for sql, status, info in results:
         if status == "MISMATCH":
             raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+@pytest.fixture(scope="module")
+def extfill_corpus_db(spark):
+    """test_external_fill.py:18-55: windows + sparse/empty sources for
+    the FILL-over-external-windows suites."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_extfill_")
+    t0 = 1701000000000
+
+    def write(name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in cols])
+        for c, typ in cols:
+            if typ == "ts":
+                pdf[c] = pd.to_datetime(pdf[c], unit="ms").astype(
+                    "datetime64[us]"
+                )
+            elif typ == "i":
+                pdf[c] = pdf[c].astype("int32")
+        pdf.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    write(
+        "ext_fill_win",
+        [(t0, t0 + 600000, 101), (t0 + 600000, t0 + 1200000, 102),
+         (t0 + 1200000, t0 + 1800000, 103), (t0 + 1800000, t0 + 2400000, 104)],
+        [("ts", "ts"), ("endtime", "ts"), ("mark", "i")],
+    )
+    sch = [("ts", "ts"), ("v", "i"), ("v2", "i"), ("t1", "i"),
+           ("tbname", "s")]
+    s1 = [(t0 + 60000, 10, 100, 1, "ext_fill_src_1"),
+          (t0 + 120000, 12, 120, 1, "ext_fill_src_1"),
+          (t0 + 1260000, 30, 300, 1, "ext_fill_src_1"),
+          (t0 + 1860000, 40, 400, 1, "ext_fill_src_1")]
+    s2 = [(t0 + 660000, 21, 210, 2, "ext_fill_src_2"),
+          (t0 + 1920000, 41, 410, 2, "ext_fill_src_2")]
+    write("ext_fill_src_1", s1, sch)
+    write("ext_fill_src_2", s2, sch)
+    write("ext_fill_src", s1 + s2, sch)
+    write("ext_fill_src_empty", [], sch)
+
+    # having/order suite tables (test_external_fill.py:408-437)
+    b2 = 1701600000000
+    write(
+        "win",
+        [(b2 + i * 60000, b2 + (i + 1) * 60000, 301 + i) for i in range(5)],
+        [("ts", "ts"), ("endtime", "ts"), ("mark", "i")],
+    )
+    hsch = [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")]
+    h1 = [(b2 + 61000, 10, 1, "src_1"), (b2 + 181000, 30, 1, "src_1")]
+    h2 = [(b2 + 1000, 20, 2, "src_2"), (b2 + 241000, 40, 2, "src_2")]
+    write("src_1", h1, hsch)
+    write("src_2", h2, hsch)
+    write("src", h1 + h2, hsch)
+    write("src_empty", [], hsch)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def extfill_multi_db(spark):
+    """test_external_fill.py:2342-2373 (test_ext_fill_multi): 6 windows,
+    src_1 data in windows 0/2/5, src_2 only window 1 — the extended and
+    multi-vgroup suites."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_extfillm_")
+    t = 1701000000000
+
+    def write(name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in cols])
+        for c, typ in cols:
+            if typ == "ts":
+                pdf[c] = pd.to_datetime(pdf[c], unit="ms").astype(
+                    "datetime64[us]"
+                )
+            elif typ == "i":
+                pdf[c] = pdf[c].astype("int32")
+            elif typ == "f":
+                pdf[c] = pdf[c].astype("float32")
+        pdf.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    write(
+        "win",
+        [(t + i * 600000, t + (i + 1) * 600000, 200 + i) for i in range(6)],
+        [("ts", "ts"), ("endtime", "ts"), ("mark", "i")],
+    )
+    sch = [("ts", "ts"), ("v", "i"), ("v2", "f"), ("t1", "i"),
+           ("tbname", "s")]
+    s1 = [(t + 60000, 10, 1.5, 1, "src_1"), (t + 120000, 12, 2.5, 1, "src_1"),
+          (t + 1260000, 30, 3.5, 1, "src_1"), (t + 3060000, 50, 5.5, 1, "src_1")]
+    s2 = [(t + 660000, 21, 10.0, 2, "src_2")]
+    write("src_1", s1, sch)
+    write("src_2", s2, sch)
+    write("src", s1 + s2, sch)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def extfill_mvg_db(spark):
+    """test_external_fill.py:2838-2865 (test_ext_fill_mvg): 4 windows;
+    src_a data in windows 0/2, src_b window 1, src_c empty."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_extfillv_")
+    t = 1703000000000
+
+    def write(name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in cols])
+        for c, typ in cols:
+            if typ == "ts":
+                pdf[c] = pd.to_datetime(pdf[c], unit="ms").astype(
+                    "datetime64[us]"
+                )
+            elif typ == "i":
+                pdf[c] = pdf[c].astype("int32")
+        pdf.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    write(
+        "win",
+        [(t + i * 60000, t + (i + 1) * 60000, 501 + i) for i in range(4)],
+        [("ts", "ts"), ("endtime", "ts"), ("mark", "i")],
+    )
+    sch = [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")]
+    sa = [(t + 1000, 10, 1, "src_a"), (t + 121000, 30, 1, "src_a")]
+    sb = [(t + 61000, 20, 2, "src_b")]
+    write("src_a", sa, sch)
+    write("src_b", sb, sch)
+    write("src_c", [], sch)
+    write("src", sa + sb, sch)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def extfill_edge_db(spark):
+    """test_external_fill.py:2615-2645: 5 windows; src_late has data only
+    in the last window, src_first only in the first."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="tds_corpus_extfille_")
+    t = 1702000000000
+
+    def write(name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in cols])
+        for c, typ in cols:
+            if typ == "ts":
+                pdf[c] = pd.to_datetime(pdf[c], unit="ms").astype(
+                    "datetime64[us]"
+                )
+            elif typ == "i":
+                pdf[c] = pdf[c].astype("int32")
+        pdf.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    write(
+        "win",
+        [(t + i * 60000, t + (i + 1) * 60000, 401 + i) for i in range(5)],
+        [("ts", "ts"), ("endtime", "ts"), ("mark", "i")],
+    )
+    sch = [("ts", "ts"), ("v", "i"), ("t1", "i"), ("tbname", "s")]
+    late = [(t + 241000, 99, 10, "src_late")]
+    first = [(t + 1000, 11, 20, "src_first")]
+    write("src_late", late, sch)
+    write("src_first", first, sch)
+    write("src", late + first, sch)
+    yield Database(root=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_extwin_file(spark, db, name, min_n):
+    in_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/in/{name}.in"
+    ans_file = f"{REF}/13-TimeSeriesExt/08-ExternalWindow/ans/{name}.ans"
+    if not os.path.exists(in_file):
+        pytest.skip("corpus file missing")
+    results = run_corpus(
+        spark, db, in_file, ans_file, preprocess=_shift_ts_literals
+    )
+    n = len(results)
+    passed = sum(1 for _, s, _ in results if s in ("PASS", "RAN", "REJECT"))
+    for sql, status, info in results:
+        if status not in ("PASS", "REJECT"):
+            print(f"{status}: {sql}\n    {info[:300]}")
+    assert n >= min_n, f"corpus too small: {n}"
+    assert passed / n >= 0.8, f"{passed}/{n} green"
+    for sql, status, info in results:
+        if status == "MISMATCH":
+            raise AssertionError(f"golden mismatch: {sql}\n{info}")
+
+
+@pytest.mark.parametrize("name,min_n", [
+    ("external_fill_basic", 15),
+    ("external_fill_having_order", 15),
+])
+def test_external_fill_corpus_golden(spark, extfill_corpus_db, name, min_n):
+    _run_extwin_file(spark, extfill_corpus_db, name, min_n)
+
+
+def test_external_fill_extended_corpus_golden(spark, extfill_multi_db):
+    _run_extwin_file(spark, extfill_multi_db, "external_fill_extended", 5)
+
+
+def test_external_fill_mvg_corpus_golden(spark, extfill_mvg_db):
+    _run_extwin_file(spark, extfill_mvg_db, "external_fill_multi_vgroup", 3)
+
+
+def test_external_fill_edge_corpus_golden(spark, extfill_edge_db):
+    _run_extwin_file(spark, extfill_edge_db, "external_fill_edge_cases", 5)
