@@ -166,7 +166,7 @@ def _rewrite_ops(expr: str) -> str:
     expr = _outside_quotes(
         expr,
         lambda s: re.sub(
-            rf"\b({_TS_NAME})\s*([+\-])\s*(\d+)(?![\w.])",
+            rf"\b({_TS_PROMOTE_NAME})\s*([+\-])\s*(\d+)(?![\w.])",
             lambda m: (
                 f"{m.group(1)} {m.group(2)} "
                 f"make_dt_interval(0, 0, 0, {int(m.group(3)) / 1000:.6f})"
@@ -217,6 +217,17 @@ def _rewrite_ops(expr: str) -> str:
 # ending in `ts` (_rowts, ats, bts …) — suffix heuristic matching the
 # reference's convention of naming every primary timestamp column *ts
 _TS_NAME = r"(?:[A-Za-z_]\w*\.)?(?:[A-Za-z_]\w*)?ts"
+
+# names eligible for bare-integer DURATION PROMOTION (`ts + 1` = +1ms).
+# Deliberately narrower than _TS_NAME: ordinary integer columns like
+# `counts`/`accounts` end in "ts" too, and promoting them silently turns
+# plain arithmetic into interval arithmetic. Accepted: exact `ts`
+# (optionally alias-qualified), the window/interp pseudo-columns, and
+# the `ts<digits>` / `*_ts` naming conventions.
+_TS_PROMOTE_NAME = (
+    r"(?:[A-Za-z_]\w*\.)?"
+    r"(?:ts\d*|_rowts|_irowts(?:_origin)?|_wstart|_wend|[A-Za-z_]\w*_ts)"
+)
 
 _EPOCH_CMP_RE = re.compile(
     rf"""\b(?P<col>{_TS_NAME})(?:\s*(?P<adjop>[+-])\s*(?P<adj>\d{{1,9}})(?![\w.]))?\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{12,19}})(?![\w.])
@@ -489,19 +500,34 @@ def _dequalify_tables(sql: str, db: Database) -> str:
     """Strip db qualifiers from table references: ``db1.st1`` → ``st1``
     when ``st1`` is a table in ``db`` and ``db1`` is not (the reference
     addresses tables as ``<db>.<tbl>``; our Database is single-level).
-    Column refs like ``alias.col`` are untouched — their suffix is not a
-    table."""
+
+    Only (prefix, table) pairs that actually appear as FROM/JOIN
+    operands are rewritten, and only outside string literals — so
+    ``WHERE s = 'db1.events'`` and alias-qualified column refs that
+    happen to collide with a table name (``o.part``) stay untouched."""
     import os
 
+    # db-qualifier pairs observed in FROM/JOIN operand position
+    pairs = set()
+    for t in _table_names(sql):
+        if "." in t:
+            pre, suf = t.split(".", 1)
+            if os.path.exists(f"{db.root}/{suf}.parquet") and not os.path.exists(
+                f"{db.root}/{pre}.parquet"
+            ):
+                pairs.add((pre.lower(), suf.lower()))
+    if not pairs:
+        return sql
+
     def sub(m):
-        pre, suf = m.group(1), m.group(2)
-        if os.path.exists(f"{db.root}/{suf}.parquet") and not os.path.exists(
-            f"{db.root}/{pre}.parquet"
-        ):
-            return suf
+        if (m.group(1).lower(), m.group(2).lower()) in pairs:
+            return m.group(2)
         return m.group(0)
 
-    return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", sub, sql)
+    return _outside_quotes(
+        sql,
+        lambda s: re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", sub, s),
+    )
 
 
 def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
@@ -575,6 +601,38 @@ _ITEM_ALIAS_RE = re.compile(
 )
 
 
+_CLAUSE_TAIL_RE = re.compile(
+    r"""\b(?:GROUP\s+BY|PARTITION\s+BY|HAVING|SLIMIT
+         |INTERVAL\s*\(|SESSION\s*\(|STATE_WINDOW\s*\(
+         |EVENT_WINDOW\b|COUNT_WINDOW\s*\(|ANOMALY_WINDOW\s*\(
+         |FILL\s*\()""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _has_clause_tail(text: str) -> bool:
+    """True when ``text`` holds a depth-0, unquoted window/grouping
+    clause keyword — i.e. _SELECTION_STMT_RE's lazy WHERE capture
+    swallowed a clause that the _CLAUSE_RE path must handle."""
+    depth, i, n = 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _CLAUSE_TAIL_RE.match(text, i)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                return True
+        i += 1
+    return False
+
+
 def _match_selection_stmt(sql: str):
     """(clause-match, parsed-items, fn-index) when ``sql`` is a
     selection-function statement with companion items, else None.
@@ -586,6 +644,12 @@ def _match_selection_stmt(sql: str):
     m = _SELECTION_STMT_RE.match(sql)
     if not m:
         return None
+    # grouped / windowed statements belong to the clause path — a lazy
+    # WHERE capture can swallow their tail (GROUP BY / PARTITION BY /
+    # INTERVAL(...) …), which would route garbage into F.expr
+    for grp in ("where", "order"):
+        if m.group(grp) and _has_clause_tail(m.group(grp)):
+            return None
     items = _split_select(m.group("items"))
     if len(items) < 2:
         return None
@@ -1025,12 +1089,44 @@ def _extwin_fill_agg(
     out = full.select(*out_cols, F.col(WID))
     if tail.get("having"):
         # post-fill HAVING: aggregate expressions are already computed
-        # columns — map each agg item's text to its output name
-        hv = rw(tail["having"])
-        for e, n in agg_items:
-            hv = hv.replace(e, f"`{n}`")
-        out = out.where(F.expr(hv))
+        # columns — substitute each aggregate CALL in the HAVING text
+        # with its output column, matching on whitespace/case-normalized
+        # text (not raw str.replace, which misses any spelling drift)
+        out = out.where(F.expr(_subst_agg_refs(rw(tail["having"]), agg_items)))
     return out.drop(WID)
+
+
+def _subst_agg_refs(hv: str, agg_items) -> str:
+    """Replace aggregate-call expressions in ``hv`` with backticked
+    output-column refs. Matching is on normalized text (lowercase,
+    whitespace stripped) over balanced-paren call spans, so ``SUM( x )``
+    in HAVING matches select item ``sum(x)``."""
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", "", s).lower()
+
+    wanted = {norm(e): n for e, n in agg_items}
+    out, i, n_ = [], 0, len(hv)
+    while i < n_:
+        m = re.match(r"[A-Za-z_]\w*\s*\(", hv[i:])
+        if m and (i == 0 or not (hv[i - 1].isalnum() or hv[i - 1] == "_")):
+            # capture the balanced-paren call span
+            j, depth = i + m.end(), 1
+            while j < n_ and depth:
+                if hv[j] == "(":
+                    depth += 1
+                elif hv[j] == ")":
+                    depth -= 1
+                j += 1
+            span = hv[i:j]
+            col = wanted.get(norm(span))
+            if col is not None:
+                out.append(f"`{col}`")
+                i = j
+                continue
+        out.append(hv[i])
+        i += 1
+    return "".join(out)
 
 
 def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> DataFrame:

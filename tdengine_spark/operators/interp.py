@@ -117,6 +117,10 @@ def interp(
         if pd.Timestamp(range_start) > pd.Timestamp(range_end):
             range_end = range_start
             df = df.where(F.lit(False))
+            # an explicit group_values spine would still emit one instant
+            # (sequence(lo, lo)) per provided group — blank it too so the
+            # result is empty regardless of how groups were supplied
+            group_values = [] if keys else None
     except (ValueError, TypeError):
         pass  # non-literal bounds: let sequence() decide
     lo = F.lit(range_start).cast("timestamp")

@@ -112,3 +112,92 @@ def test_dialect_rewrite_nested_and_literals():
     assert s2 == "'spread(x)' as lit, (max(v) - min(v)) as sp"
     s3 = _rewrite_aggs("apercentile(v, 95) as p", "ts")
     assert s3 == "percentile_approx(v, 0.95) as p"
+
+
+# --- round-8 ADVICE fixes ---------------------------------------------------
+
+
+def test_selection_stmt_rejects_clause_tails():
+    """_SELECTION_STMT_RE's lazy WHERE must not swallow GROUP BY /
+    PARTITION BY / window-clause tails (r7 ADVICE high)."""
+    from tdengine_spark.dialect import _match_selection_stmt
+
+    grouped = [
+        "select max(value), event_type from events where value > 0 "
+        "group by event_type",
+        "select first(value), tbname from events where ts > 0 "
+        "partition by tbname interval(1d)",
+        "select last(value), user_id from events where v > 0 "
+        "session(ts, 30m)",
+        "select max(v), k from t where v > 0 having count(*) > 1",
+    ]
+    for sql in grouped:
+        assert _match_selection_stmt(sql) is None, sql
+    # plain selection statements still match
+    assert _match_selection_stmt(
+        "select max(value), event_type from events where value > 0"
+    ) is not None
+    # clause keywords inside string literals do not disqualify
+    assert _match_selection_stmt(
+        "select max(value), event_type from events "
+        "where note = 'group by x'"
+    ) is not None
+
+
+def test_dequalify_tables_scoped(tmp_path):
+    """_dequalify_tables must not rewrite inside string literals nor
+    alias-qualified column refs colliding with table names (r7 ADVICE
+    medium)."""
+    import os
+
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import _dequalify_tables
+
+    for t in ("events", "part", "orders"):
+        os.makedirs(tmp_path / f"{t}.parquet")
+    db = Database(str(tmp_path))
+    assert (
+        _dequalify_tables("select v from db1.events where s = 'db1.events'", db)
+        == "select v from events where s = 'db1.events'"
+    )
+    sql = "select o.part from orders o join part on o.p = part.p"
+    assert _dequalify_tables(sql, db) == sql
+
+
+def test_duration_promotion_not_on_counts():
+    """`counts + 5` is plain integer arithmetic, not ts-interval
+    promotion (r7 ADVICE low)."""
+    from tdengine_spark.dialect import _rewrite_ops
+
+    assert "make_dt_interval" not in _rewrite_ops("counts + 5")
+    assert "make_dt_interval" not in _rewrite_ops("accounts - 1")
+    assert "make_dt_interval" in _rewrite_ops("ts + 1")
+    assert "make_dt_interval" in _rewrite_ops("a.ts + 1")
+    assert "make_dt_interval" in _rewrite_ops("click_ts + 500")
+
+
+def test_interp_reversed_range_with_group_values(spark):
+    """RANGE(t1,t2) with t1 > t2 is empty even when group_values is
+    passed explicitly (r7 ADVICE low)."""
+    from tdengine_spark.operators.interp import interp
+
+    df = spark.createDataFrame(
+        [Row(k="a", ts="2024-01-01 01:00:00", v=1.0)]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = interp(
+        df, "ts", "v", "2024-01-02 00:00:00", "2024-01-01 00:00:00", "1h",
+        mode="prev", partition_by=["k"], group_values=["a"],
+    )
+    assert out.count() == 0
+
+
+def test_subst_agg_refs_normalized():
+    """HAVING aggregate substitution matches modulo whitespace/case
+    (r7 ADVICE low)."""
+    from tdengine_spark.dialect import _subst_agg_refs
+
+    items = [("sum(x)", "s"), ("count(*)", "c")]
+    assert _subst_agg_refs("SUM( x ) > 3 AND count(*) < 9", items) == (
+        "`s` > 3 AND `c` < 9"
+    )
+    assert _subst_agg_refs("avg(y) > 1", items) == "avg(y) > 1"
