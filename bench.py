@@ -71,9 +71,13 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    def run(name: str, reps: int = 2) -> float:
+    def run(name: str, reps: int = 3) -> float:
         # min-of-N: single-run scheduler noise can neither fake nor mask
-        # a regression (the min is the query's reproducible cost)
+        # a regression (the min is the query's reproducible cost).
+        # reps=3 because first-run codegen/worker warm-up leaks into
+        # min-of-2 for regex/UDF-heavy queries and produced phantom
+        # regressions (r7 verdict: quality_features 1.54s printed vs
+        # 0.58s steady-state).
         return min(run_once(name) for _ in range(reps))
 
     # warmup: prime JVM/codegen + parquet footer caches, and spin up the

@@ -48,6 +48,8 @@ def main():
         "slimit_first_groups",
         "over_clause_analytics",
         "diff_csum_mavg",
+        "external_window_agg",
+        "interp_prev_6h",
     ]
     violations = []
     print(f"{'query':32s} {'exch':>4s} {'sort':>4s} {'bhj':>3s} {'smj':>3s} {'bnlj':>4s} notes")
@@ -86,6 +88,17 @@ def main():
         if name == "window_join_5m" and exch > 3:
             violations.append(f"{name}: window join shuffles {exch}x")
             notes.append("EXTRA-SHUFFLE!")
+        if name in ("interp_linear_daily", "interp_prev_6h"):
+            # single-fact-scan contract: key spine from the catalog tag
+            # domain, not a second scan of events; ≤2 exchanges (window
+            # hash + output range sort)
+            scans = p.count("events.parquet")
+            if scans > 1:
+                violations.append(f"{name}: {scans} scans of events")
+                notes.append("DOUBLE-SCAN!")
+            if exch > 2:
+                violations.append(f"{name}: interp shuffles {exch}x")
+                notes.append("EXTRA-SHUFFLE!")
         print(f"{name:32s} {exch:4d} {sort:4d} {bhj:3d} {smj:3d} {bnlj:4d} {' '.join(notes)}")
 
     if violations:

@@ -32,6 +32,31 @@ WID = "_ext_wid"
 WPREFIX = "_w_"
 
 
+def _with_wid(windows: DataFrame, wcols: "list[str]") -> DataFrame:
+    """Deterministic per-window id that scales: the id IS the window row
+    (a struct of every window column) plus a duplicate sequence number.
+
+    Value-identity makes the id stable across independent recomputations
+    (external_window and external_window_frames must assign the SAME id
+    to the same window row), and the only window function involved
+    partitions by the full row — duplicate-row groups, each a handful of
+    rows — so no global, single-partition ordering exists anywhere, no
+    matter how many window rows the definition query yields (an
+    INTERVAL subquery over a year of 10s buckets stays distributed).
+    Duplicate window rows keep distinct ids (the reference emits
+    duplicated windows separately); which physical duplicate gets which
+    sequence number is immaterial because the rows are identical."""
+    dup = F.row_number().over(
+        Window.partitionBy(*[F.col(c) for c in wcols]).orderBy(
+            F.col(wcols[0])
+        )
+    )
+    return windows.withColumn(
+        WID,
+        F.struct(*[F.col(c) for c in wcols], dup.alias("_dup")),
+    )
+
+
 def external_window_frames(
     fact: DataFrame,
     windows: DataFrame,
@@ -48,9 +73,7 @@ def external_window_frames(
     else:
         start_c, end_c = wcols[0], wcols[1]
     payload = [c for c in wcols if c not in (start_c, end_c)]
-    wkeyed = windows.withColumn(
-        WID, F.row_number().over(Window.orderBy(*[F.col(c) for c in wcols]))
-    ).select(
+    wkeyed = _with_wid(windows, wcols).select(
         F.col(WID),
         F.col(start_c).alias(WSTART),
         F.col(end_c).alias(WEND),
@@ -90,15 +113,10 @@ def external_window(
         start_c, end_c = wcols[0], wcols[1]
     payload = [c for c in wcols if c not in (start_c, end_c)]
 
-    # deterministic window id: row_number over the full row ordering —
-    # duplicate window rows each stay their own window (the reference
-    # emits duplicated windows separately)
-    w = windows.withColumn(
-        WID,
-        F.row_number().over(
-            Window.orderBy(*[F.col(c) for c in wcols])
-        ),
-    )
+    # deterministic, distributed window id (see _with_wid) — duplicate
+    # window rows each stay their own window (the reference emits
+    # duplicated windows separately)
+    w = _with_wid(windows, wcols)
 
     s_us = F.unix_micros(F.col(start_c))
     e_us = F.unix_micros(F.col(end_c))

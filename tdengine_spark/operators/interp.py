@@ -132,11 +132,18 @@ def interp(
             groups = group_values.select(*keys)
         else:
             rows = [
-                v if isinstance(v, (tuple, list)) else (v,) for v in group_values
+                tuple(v) if isinstance(v, (tuple, list)) else (v,)
+                for v in group_values
             ]
-            groups = df.sparkSession.createDataFrame(
-                rows, df.select(*keys).schema
-            )
+            schema = df.select(*keys).schema
+            if rows:
+                # Arrow path (pandas) — a plain list createDataFrame
+                # round-trips through row-at-a-time pickling
+                groups = df.sparkSession.createDataFrame(
+                    pd.DataFrame(rows, columns=keys), schema
+                )
+            else:
+                groups = df.sparkSession.createDataFrame([], schema)
     elif keys:
         groups = df.select(*keys).distinct()
     else:
