@@ -48,6 +48,65 @@ class SuperTable:
     tbname_col: str = "tbname"
     tag_cols: tuple[str, ...] = ()
     version_col: str | None = None  # ingest version for keep-last dedup
+    #: a child table of a super table: tbname and every tag are
+    #: single-valued, so the planner may treat them as scan constants
+    child: bool = False
+
+    # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
+    # The reference records ALTERs as mnode metadata (schema version
+    # bump) without touching row data; the Spark analog is a metadata
+    # OVERLAY applied at scan time: added columns project as typed
+    # NULLs (old files simply lack them — parquet schema merging fills
+    # NULL), drops prune the projection, renames/retypes rewrite it.
+    # Persisted as a JSON sidecar next to the dataset so evolution
+    # survives the session. No data rewrite at any scale.
+
+    @property
+    def _overlay_path(self) -> str:
+        return f"{self.path}.schema.json"
+
+    def load_overlay(self) -> dict:
+        import json
+        import os
+
+        if os.path.exists(self._overlay_path):
+            with open(self._overlay_path) as f:
+                ov = json.load(f)
+            ov.setdefault("phys", {})
+            return ov
+        return {"add": [], "drop": [], "rename": {}, "retype": {}, "phys": {}}
+
+    def save_overlay(self, ov: dict) -> None:
+        import json
+
+        with open(self._overlay_path, "w") as f:
+            json.dump(ov, f)
+
+    def _apply_overlay(self, df: DataFrame) -> DataFrame:
+        import os
+
+        if not os.path.exists(self._overlay_path):
+            return df
+        ov = self.load_overlay()
+        for old, new in ov["rename"].items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        for c, t in ov["retype"].items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(t))
+        for c in ov["drop"]:
+            if c in df.columns:
+                df = df.drop(c)
+        # re-added columns live under a versioned physical name so the
+        # dropped generation's data stays masked (the reference bumps
+        # the column id — old values are unreachable)
+        for c, t in ov["add"]:
+            p = ov["phys"].get(c, c)
+            if p != c and p in df.columns:
+                df = df.withColumnRenamed(p, c)
+            elif c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(t))
+        return df
 
     def read(
         self,
@@ -70,7 +129,16 @@ class SuperTable:
         # default; the engine (like the reference, which stores epoch int64)
         # works in epoch-UTC TIMESTAMP — unix_micros() et al. require it
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(self.path)
+        import os as _os
+
+        # mergeSchema only for evolved datasets (overlay present): post-
+        # ALTER appends may carry columns the old files lack; unevolved
+        # reads keep the single-footer fast path
+        if _os.path.exists(self._overlay_path):
+            df = spark.read.option("mergeSchema", "true").parquet(self.path)
+            df = self._apply_overlay(df)
+        else:
+            df = spark.read.parquet(self.path)
         df = _ntz_to_utc_timestamp(df)
         ns_cols = _ns_timestamp_cols(self.path)
         if ts_range is not None and self.ts_col in df.columns:

@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tdengine_spark.catalog import Database
+from tdengine_spark.durations import parse_duration
+
+#: session-timezone UTC offset (µs) used for CALENDAR window arithmetic
+#: (month stepping + end-of-month clamping happen on the session's wall
+#: clock in the reference — taosTimeAdd uses the server timezone). UTC
+#: by default; a corpus replaying an Asia/Shanghai session sets +8h.
+CALENDAR_TZ_OFFSET_US = 0
 from tdengine_spark.operators import timewindow as tw
 from tdengine_spark.operators.eventwindow import (
     WINDOW_ID,
@@ -72,7 +79,7 @@ _CLAUSE_RE = re.compile(
     (?:\s+HAVING\s+(?P<having>.*?))?
     (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
     (?:\s+SLIMIT\s+(?P<slimit>\d+))?
-    (?:\s+LIMIT\s+(?P<limit>\d+))?
+    (?:\s+LIMIT\s+(?P<limit>\d+)(?:\s+OFFSET\s+(?P<offset>\d+))?)?
     \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -110,6 +117,23 @@ def _rewrite_ops(expr: str) -> str:
     # _rowts pseudo-column = the row's primary timestamp (parser TK_ROWTS)
     expr = _outside_quotes(
         expr, lambda s: re.sub(r"\b_rowts\b", "ts", s)
+    )
+    # `… IN ('2020-10-01 …', …)`: Spark resolves IN over mixed
+    # timestamp/string operands as STRING comparison (least common
+    # type), which never matches a timestamp LHS — tag date-shaped
+    # literals inside IN lists as timestamps (the reference parser
+    # types IN-list constants from the column)
+    def ts_in(m):
+        body = re.sub(
+            r"'(\d{4}-\d{2}-\d{2}(?: [^']*)?)'", r"timestamp'\1'", m.group(1)
+        )
+        return f"in ({body})"
+
+    expr = re.sub(
+        r"\bin\s*\(([^)]*'\d{4}-\d{2}-\d{2}[^)]*)\)",
+        ts_in,
+        expr,
+        flags=re.IGNORECASE,
     )
     # CAST(<timestamp> AS BIGINT) is epoch-ms in the reference
     # (convertImpl ts→int path); Spark's cast yields seconds — rewrite
@@ -563,15 +587,37 @@ def _resolve_information_schema(
     return _INFO_SCHEMA_RE.sub(lambda m: f"_is_{m.group(1).lower()}", sql)
 
 
+def _child_slice(spark: SparkSession, db: Database, name: str):
+    """A child table created via ``INSERT … USING stable`` has no dataset
+    of its own — its rows live in the super table's dataset under
+    ``tbname = name``. Returns that filtered slice, or None."""
+    import os
+
+    for st_tbl in list(db.tables.values()):
+        if st_tbl.name == name or not os.path.exists(st_tbl.path):
+            continue
+        df = st_tbl.read(spark)
+        if (
+            "tbname" in df.columns
+            and df.where(F.col("tbname") == name).limit(1).count()
+        ):
+            return df.where(F.col("tbname") == name)
+    return None
+
+
 def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
     """A FROM operand: parquet table in ``db``, else a registered temp
-    view (e.g. a translated subquery)."""
+    view (e.g. a translated subquery), else a child-table slice of a
+    super table."""
     import os
 
     if os.path.exists(f"{db.root}/{name}.parquet"):
         return db.read(spark, name)
     if _view_exists(spark, name):
         return spark.table(name)
+    child = _child_slice(spark, db, name)
+    if child is not None:
+        return child
     raise ValueError(f"unknown table or view {name!r}")
 
 
@@ -907,7 +953,8 @@ _EXTWIN_HEAD_RE = re.compile(
 
 
 def _translate_external_window(
-    spark: SparkSession, db: Database, sql: str, em, ts_col: str
+    spark: SparkSession, db: Database, sql: str, em, ts_col: str,
+    hint: "str | None" = None,
 ) -> DataFrame:
     """``SELECT <items> FROM fact [WHERE..] [PARTITION BY k]
     EXTERNAL_WINDOW((<window query>) w) [HAVING..] [ORDER BY..]
@@ -945,7 +992,40 @@ def _translate_external_window(
     keys = (
         [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
     )
-    windows = translate(spark, db, _strip_outer_parens(sub_text), ts_col)
+    sub_sql = _strip_outer_parens(sub_text)
+    windows = translate(spark, db, sub_sql, ts_col)
+    missing = [k for k in keys if k not in windows.columns]
+    if missing:
+        # partition-correlated external windows: each outer partition
+        # uses its own partition's windows (reference semantics — the
+        # r7 pk corpus and 09-WindowProjection mode goldens both depend
+        # on it). If the subquery partitions by the same keys but does
+        # not project them, re-translate with the keys appended so the
+        # join can correlate; otherwise the window set is shared, and
+        # per-partition duplicates collapse to a distinct rowset.
+        sub_keys_m = re.search(
+            r"\bpartition\s+by\s+(.*?)(?:\s+interval|\s+session"
+            r"|\s+state_window|\s+event_window|\s+count_window|\s*$)",
+            sub_sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        sub_keys = (
+            [c.strip() for c in sub_keys_m.group(1).split(",")]
+            if sub_keys_m
+            else []
+        )
+        if all(k in sub_keys for k in missing):
+            fm = re.search(r"\bfrom\b", sub_sql, re.IGNORECASE)
+            aug = (
+                sub_sql[: fm.start()]
+                + ", "
+                + ", ".join(missing)
+                + " "
+                + sub_sql[fm.start():]
+            )
+            windows = translate(spark, db, aug, ts_col)
+        else:
+            windows = windows.distinct()
     fill_parts = (
         [p.strip() for p in _split_select(t["fill"])] if t.get("fill") else []
     )
@@ -993,9 +1073,34 @@ def _translate_external_window(
             out = out.where(F.col("_hv")).drop("_hv")
         out = out.drop(WID)
     else:
-        out = joined.selectExpr(*[f"{e} AS `{n}`" for e, n in items])
+        agg_const = False
+        if hint == "AGG":
+            # AGG-hinted const-only projection: one row per (partition,
+            # window) — the window-operator aggregate implementation
+            # (golden: 09-WindowProjection mode external-window AGG rows)
+            st = db.tables.get(g["table"])
+            const = set(keys) | {"_wstart", "_wend", "_wduration"}
+            if st is not None and st.child:
+                const |= set(st.tag_cols) | {"tbname"}
+            elif "tbname" in keys:
+                const |= set(st.tag_cols if st else ())
+            agg_const = all(_refs_only_cols(e, const) for e, _ in items)
+        if agg_const:
+            gb = joined.groupBy(F.col(WID), *[F.col(k) for k in keys])
+            aggs2 = [
+                F.first(F.expr(e)).alias(n)
+                for e, n in items
+                if e.strip() not in keys
+            ]
+            out = gb.agg(*aggs2) if aggs2 else gb.agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+        else:
+            out = joined.selectExpr(*[f"{e} AS `{n}`" for e, n in items])
     if t.get("order"):
-        out = out.orderBy(*_order_cols(rw(t["order"])))
+        out = out.orderBy(
+            *_order_cols(rw(t["order"]), [n for _, n in items])
+        )
     out = out.select(*[F.col(n) for _, n in items])
     if t.get("limit"):
         out = out.limit(int(t["limit"]))
@@ -1316,15 +1421,19 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
     return out.selectExpr(*_split_select(_dealias(select, lal, ral, prefix)))
 
 
-def _order_cols(order: str) -> list:
-    """DESC-aware ORDER BY item list (shared by every translate path)."""
+def _order_cols(order: str, columns: "list[str] | None" = None) -> list:
+    """DESC-aware ORDER BY item list (shared by every translate path).
+
+    ``columns``: the output schema, used to resolve ordinal references
+    (``ORDER BY 1, 3`` — standard in the reference's test corpora)."""
     out = []
     for c in order.split(","):
         c = c.strip()
-        if c.lower().endswith(" desc"):
-            out.append(F.col(c.split()[0]).desc())
-        else:
-            out.append(F.col(c.split()[0]))
+        desc = c.lower().endswith(" desc")
+        name = c.split()[0]
+        if name.isdigit() and columns:
+            name = columns[int(name) - 1]
+        out.append(F.col(name).desc() if desc else F.col(name))
     return out
 
 
@@ -1551,6 +1660,15 @@ def translate(
     reference's TSMA planner rewrite (SURVEY §4.3)."""
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
+    # planner-mode hint (SELECT SCALAR .../SELECT AGG ... — the reference's
+    # debug tokens forcing the window operator's scalar/aggregate
+    # implementation, test/cases/13-TimeSeriesExt/09-WindowProjection):
+    # uppercase-only so a column named "agg" is untouched
+    hint = None
+    hm = re.match(r"(\s*select\s+)(SCALAR|AGG)\s+", sql)
+    if hm:
+        hint = hm.group(2)
+        sql = hm.group(1) + sql[hm.end():]
     un = _split_top_union(sql)
     if un is not None:
         parts, all_flags, tail = un
@@ -1572,7 +1690,7 @@ def translate(
         return _translate_semi_anti(spark, db, sql, jm, ts_col)
     em = re.search(r"\bEXTERNAL_WINDOW\s*\(", sql, re.IGNORECASE)
     if em:
-        return _translate_external_window(spark, db, sql, em, ts_col)
+        return _translate_external_window(spark, db, sql, em, ts_col, hint)
     sub = _extract_from_subquery(sql)
     if sub is not None:
         # translate the inner query first (it may itself use dialect
@@ -1622,8 +1740,12 @@ def translate(
         # FROM-subquery) — read the view instead of parquet
         base = spark.table(table)
     else:
-        # std-SQL table/view → Catalyst parses the whole query
-        return spark.sql(_rewrite_ops(sql))
+        child = _child_slice(spark, db, table)
+        if child is None:
+            # std-SQL table/view → Catalyst parses the whole query
+            return spark.sql(_rewrite_ops(sql))
+        base = child
+    base, g = _promote_floats(base, g)
     if g["where"]:
         base = base.where(F.expr(_rewrite_ops(g["where"])))
     keys = (
@@ -1642,9 +1764,15 @@ def translate(
         # PARTITION BY tags + window + GROUP BY residue: residual group
         # keys fold into the window partitioning (reference planner puts
         # both in the window operator's group list)
+        st = db.tables.get(table)
         out = _windowed(
             base, window, items, keys + gkeys_extra, g["fill"], ts_col,
             tsma_catalog=tsma_catalog,
+            hint=hint,
+            tag_cols=st.tag_cols if st else (),
+            is_child=st.child if st else False,
+            ts_bounds=_ts_bounds(g["where"], ts_col),
+            having=_rewrite_ops(g["having"]) if g["having"] else None,
         )
     elif indef_cols is not None:
         # row-indexed functions (diff/csum/…): PARTITION BY keys become
@@ -1660,14 +1788,16 @@ def translate(
         else:
             out = base.selectExpr(*items)
 
-    if g["having"]:
+    if g["having"] and not window:
         out = out.where(F.expr(_rewrite_ops(g["having"])))
     if g["slimit"] and keys:
         from tdengine_spark.operators.slimit import slimit as _slimit
 
         out = _slimit(out, keys, int(g["slimit"]))
     if g["order"]:
-        out = out.orderBy(*_order_cols(g["order"]))
+        out = out.orderBy(*_order_cols(g["order"], out.columns))
+    if g.get("offset"):
+        out = out.offset(int(g["offset"]))
     if g["limit"]:
         out = out.limit(int(g["limit"]))
     return out
@@ -1693,14 +1823,510 @@ def _parse_simple_aggs(items: list[str]):
     return out
 
 
-def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
+_SQL_KEYWORDS = {
+    "as", "and", "or", "not", "in", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "between", "like",
+    "float", "double", "int", "bigint", "string", "boolean", "cast",
+}
+
+
+def _refs_only_cols(item: str, allowed: set) -> bool:
+    """True when every column reference in ``item`` is in ``allowed`` —
+    used for the scalar/aggregate window-mode split: an expression over
+    only tags/tbname/partition keys is window-constant (reference planner
+    treats tag expressions as per-group constants)."""
+    txt = _QUOTED_RE.sub("''", item)
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", txt):
+        name = m.group(1)
+        if name.lower() in _SQL_KEYWORDS:
+            continue
+        if name not in allowed:
+            return False
+    return True
+
+
+def _promote_floats(base, g):
+    """Reference float semantics for dialect plans (sclConvertOp /
+    filter type conversion, source/libs/scalar):
+
+      - scalar expressions over FLOAT columns compute in DOUBLE (the
+        reference's scalar operators widen every numeric operand), so
+        ``ceil(phase * 100)`` sees 31.000001, not a float-rounded 31.0 —
+        we widen FLOAT columns to DOUBLE up front;
+      - a numeric literal compared against a FLOAT column is converted
+        to FLOAT first (the column's type), so ``current >= 1.9`` is
+        true for the stored float 1.9 — we wrap such literals in
+        ``cast(… as float)`` (then Spark widens both to the same double).
+
+    Returns (base-with-doubles, g-with-rewritten-clauses).
+    """
+    from pyspark.sql.types import FloatType
+
+    from pyspark.sql.types import IntegralType, TimestampType
+
+    # ts-vs-integer-COLUMN comparison: the reference compares the epoch
+    # value (filter type promotion) — Spark rejects timestamp vs int.
+    tcols = [
+        f.name
+        for f in base.schema.fields
+        if isinstance(f.dataType, TimestampType)
+    ]
+    icols = [
+        f.name
+        for f in base.schema.fields
+        if isinstance(f.dataType, IntegralType)
+    ]
+    if tcols and icols:
+        tnames = "|".join(re.escape(c) for c in tcols)
+        inames = "|".join(re.escape(c) for c in icols)
+        tvi = re.compile(
+            rf"\b({tnames})\b(\s*(?:>=|<=|<>|!=|==|=|<|>)\s*)\b({inames})\b"
+        )
+        ivt = re.compile(
+            rf"\b({inames})\b(\s*(?:>=|<=|<>|!=|==|=|<|>)\s*)\b({tnames})\b"
+        )
+        g = dict(g)
+        for k in ("where", "having"):
+            if g.get(k):
+                g[k] = tvi.sub(r"unix_millis(\1)\2\3", g[k])
+                g[k] = ivt.sub(r"\1\2unix_millis(\3)", g[k])
+
+    fcols = [
+        f.name for f in base.schema.fields if isinstance(f.dataType, FloatType)
+    ]
+    if not fcols:
+        return base, g
+    base = base.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in fcols else F.col(c)
+            for c in base.columns
+        ]
+    )
+    names = "|".join(re.escape(c) for c in fcols)
+    fwd = re.compile(
+        rf"\b({names})\b(\s*(?:>=|<=|<>|!=|==|=|<|>)\s*)(-?\d+(?:\.\d+)?)(?![\w.])"
+    )
+    rev = re.compile(
+        rf"(?<![\w.])(-?\d+(?:\.\d+)?)(\s*(?:>=|<=|<>|!=|==|=|<|>)\s*)\b({names})\b"
+    )
+
+    def rw(text):
+        if not text:
+            return text
+        text = fwd.sub(lambda m: f"{m.group(1)}{m.group(2)}cast({m.group(3)} as float)", text)
+        return rev.sub(lambda m: f"cast({m.group(1)} as float){m.group(2)}{m.group(3)}", text)
+
+    g = dict(g)
+    for k in ("where", "having", "window"):
+        g[k] = rw(g.get(k))
+    return base, g
+
+
+def _split_top_or(cond: str) -> "list[str]":
+    """Split on depth-0 OR (quote-aware)."""
+    parts, depth, buf, i, inq = [], 0, [], 0, False
+    low = cond.lower()
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and low.startswith(" or ", i):
+                parts.append("".join(buf))
+                buf = []
+                i += 4
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _ts_bounds(where: "str | None", ts_col: str, allow_in: bool = True):
+    """Half-open ``[lo_us, hi_us)`` epoch-us bounds the WHERE clause puts
+    on ``ts_col``, from its top-level AND conjuncts (either side None when
+    unbounded).  Used to size the FILL bucket spine: the reference fills
+    the WHERE time range, not just the data's bucket range
+    (tfill.c taosFillSetStartInfo — golden:
+    13-TimeSeriesExt/09-WindowProjection/ans/test_window_projection_fill)."""
+    if not where:
+        return None
+    from datetime import datetime as _dt
+
+    branches = _split_top_or(where)
+    if len(branches) > 1:
+        # OR of range branches: union — lo = min of branch los. The
+        # reference's range extraction handles OR of plain comparisons
+        # but gives up when a branch is an IN list (interval.csv
+        # goldens: or-of-ranges derive, or-with-IN falls back).
+        los, his = [], []
+        for b in branches:
+            sub = _ts_bounds(
+                _strip_outer_parens(b.strip()), ts_col, allow_in=False
+            )
+            if sub is None or sub[0] is None:
+                return None
+            los.append(sub[0])
+            his.append(sub[1])
+        return (
+            min(los),
+            None if any(h is None for h in his) else max(his),
+        )
+
+    lo = hi = None
+
+    def lit_us(tok: str) -> "int | None":
+        tok = tok.strip()
+        adj = 0
+        am = re.fullmatch(
+            r"(.*?)\s*([+-])\s*(\d+)([buasmhdwny])", tok, re.IGNORECASE
+        )
+        if am:
+            tok = am.group(1).strip()
+            d = parse_duration(am.group(3) + am.group(4).lower())
+            if not d.is_calendar:
+                adj = d.microseconds * (1 if am.group(2) == "+" else -1)
+        cm = re.fullmatch(
+            r"cast\(\s*(.+?)\s+as\s+timestamp\s*\)", tok, re.IGNORECASE
+        )
+        if cm:
+            tok = cm.group(1).strip()
+        if adj:
+            inner = lit_us(tok)
+            return None if inner is None else inner + adj
+        if tok.startswith("'") and tok.endswith("'"):
+            txt = tok[1:-1]
+            fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in txt else (
+                "%Y-%m-%d %H:%M:%S" if " " in txt else "%Y-%m-%d"
+            )
+            try:
+                d = _dt.strptime(txt, fmt)
+            except ValueError:
+                return None
+            return int((d - _dt(1970, 1, 1)).total_seconds() * 1_000_000)
+        if re.fullmatch(r"\d+", tok):
+            return int(int(tok) * _epoch_unit_us(tok))
+        return None
+
+    cmp_re = re.compile(
+        rf"^\s*{re.escape(ts_col)}\s*(>=|<=|>|<|=)\s*(.+?)\s*$"
+    )
+    in_re = re.compile(
+        rf"^\s*{re.escape(ts_col)}\s+in\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECASE
+    )
+    for conj in _split_conjuncts(where):
+        im = in_re.match(conj.strip())
+        if im:
+            if not allow_in:
+                return None
+            vals = [lit_us(v) for v in im.group(1).split(",")]
+            vals = [v for v in vals if v is not None]
+            if vals:
+                lo = min(vals) if lo is None else max(lo, min(vals))
+                cand = max(vals) + 1000
+                hi = cand if hi is None else min(hi, cand)
+            continue
+        m = cmp_re.match(conj.strip())
+        if not m:
+            continue
+        v = lit_us(m.group(2))
+        if v is None:
+            continue
+        op = m.group(1)
+        if op in (">=", ">", "="):
+            cand = v if op in (">=", "=") else v + 1000
+            lo = cand if lo is None else max(lo, cand)
+        if op in ("<", "<=", "="):
+            cand = v + 1000 if op in ("<=", "=") else v
+            hi = cand if hi is None else min(hi, cand)
+    if lo is None and hi is None:
+        return None
+    return (lo, hi)
+
+
+def _fill_range(ts_bounds, width, offset):
+    """Bucket-aligned (range_start, range_end) datetimes for the FILL
+    spine, from the WHERE ts bounds.  None sides fall back to the data's
+    bucket range inside the fill operator."""
+    if not ts_bounds:
+        return (None, None)
+    from datetime import datetime as _dt, timedelta as _td
+
+    w = parse_duration(width)
+    if w.is_calendar:
+        return (None, None)
+    wus = w.microseconds
+    off = parse_duration(offset).microseconds if offset else 0
+    lo_us, hi_us = ts_bounds
+
+    def bucket(us):
+        return _dt(1970, 1, 1) + _td(
+            microseconds=(us - off) // wus * wus + off
+        )
+
+    return (
+        bucket(lo_us) if lo_us is not None else None,
+        bucket(hi_us - 1) if hi_us is not None else None,
+    )
+
+
+def _assign_data_windows(base, wl, ts_col, keys):
+    """Dispatch a data-driven window clause (session/state/event/count/
+    anomaly) to its ``_wid`` assignment kernel. ``wl`` must have TRUE_FOR
+    already stripped."""
+    if wl.startswith("session"):
+        mm = re.match(r"session\s*\(\s*([^,]+),\s*([^)]+)\)", wl)
+        return assign_session_windows(
+            base, mm.group(1).strip(), mm.group(2).strip(), keys
+        )
+    if wl.startswith("state_window"):
+        mm = re.match(r"state_window\s*\(\s*([^)]+)\)", wl)
+        return assign_state_windows(base, ts_col, mm.group(1).strip(), keys)
+    if wl.startswith("event_window"):
+        mm = re.match(
+            r"event_window\s+start\s+with\s+(.*?)\s+end\s+with\s+(.*)$", wl
+        )
+        return assign_event_windows(
+            base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys
+        )
+    if wl.startswith("count_window"):
+        mm = re.match(r"count_window\s*\(\s*(\d+)(?:,\s*(\d+))?\)", wl)
+        return assign_count_windows(
+            base, ts_col, int(mm.group(1)),
+            int(mm.group(2)) if mm.group(2) else None, keys,
+        )
+    if wl.startswith("anomaly_window"):
+        # ANOMALY_WINDOW(col[, 'algo=ksigma|mad|iqr|grubbs|esd'])
+        # (anomalywindowoperator.c:138) — detected anomalies delimit
+        # the windows
+        from tdengine_spark.functions.analytics import anomaly_window
+
+        mm = re.match(
+            r"anomaly_window\s*\(\s*(\w+)\s*(?:,\s*'algo=(\w+)')?\s*\)", wl
+        )
+        return anomaly_window(
+            base, ts_col, mm.group(1), keys, algo=mm.group(2) or "ksigma"
+        )
+    raise ValueError(f"unsupported window clause: {wl}")
+
+
+def _strip_true_for(wl: str):
+    """(wl-without-TRUE_FOR, duration|None) — TRUE_FOR(d): minimum window
+    duration (state/event windows, sql.y TRUE_FOR clause)."""
+    tf = re.search(r"\s+true_for\s*\(\s*([^)]+)\s*\)\s*$", wl)
+    if tf:
+        return wl[: tf.start()], tf.group(1).strip()
+    return wl, None
+
+
+def _windowed_projection(
+    base, window, items, keys, fill_spec, ts_col, ts_bounds, having=None,
+    is_child=False,
+):
+    """Projection-mode window query: per-row pseudo-column labeling
+    (operators/windowproj.py; reference scalar-mode window operator,
+    goldens in test/cases/13-TimeSeriesExt/09-WindowProjection)."""
+    from pyspark.sql.types import TimestampType
+
+    from tdengine_spark.operators import windowproj as wp
+
+    wl, true_for = _strip_true_for(window.lower().strip())
+    fill_parts = None
+    if fill_spec:
+        fill_parts = [p.strip() for p in fill_spec.split(",")]
+        if fill_parts[0].lower() not in wp.PROJECTION_FILL_MODES:
+            # reference parser: FILL(PREV/NEXT/LINEAR/NEAR) needs an
+            # interpolatable aggregate — rejected in projection mode
+            raise ValueError(
+                f"FILL({fill_parts[0]}) is not allowed in a projection-mode"
+                " window query"
+            )
+
+    width = offset = None
+    if wl.startswith("interval"):
+        mm = re.match(
+            r"interval\s*\(\s*([^,)]+)(?:,\s*([^)]+))?\)"
+            r"(?:\s+sliding\s*\(\s*([^)]+)\s*\))?",
+            wl,
+        )
+        width = mm.group(1).strip()
+        offset = (mm.group(2) or "").strip() or None
+        sliding = (mm.group(3) or "").strip() or None
+        if sliding and parse_duration(sliding).microseconds != parse_duration(
+            width
+        ).microseconds:
+            raise ValueError(
+                "SLIDING in a projection-mode window query is unsupported"
+            )
+        labeled = wp.interval_projection(base, ts_col, width, offset, keys)
+    else:
+        if fill_parts and fill_parts[0].lower() != "none":
+            raise ValueError("FILL requires an INTERVAL window")
+        assigned = _assign_data_windows(base, wl, ts_col, keys)
+        labeled = wp.keyed_window_projection(assigned, ts_col, keys)
+    if true_for is not None:
+        dur_us = parse_duration(true_for).microseconds
+        labeled = labeled.where(
+            F.unix_micros(F.col("_wend")) - F.unix_micros(F.col("_wstart"))
+            >= dur_us
+        )
+
+    # projection-mode HAVING: a per-row filter over the labeled frame
+    # (all base columns are still visible here, so HAVING may reference
+    # columns outside the select list — golden-verified in
+    # 09-WindowProjection/ans/test_window_projection_small.ans)
+    filtered = labeled.where(F.expr(having)) if having else labeled
+    # indef functions (csum/diff/mavg/…) in a window projection compute
+    # per WINDOW: ordered analytic partitioned by (keys, window)
+    win_key = "_wstart" if wl.startswith("interval") else WINDOW_ID
+    indef_cols = _build_indef_items(items, keys + [win_key], ts_col)
+    if indef_cols is not None:
+        data = filtered.select(*indef_cols)
+    else:
+        data = filtered.selectExpr(*items)
+    if not fill_parts or fill_parts[0].lower() == "none":
+        return data
+
+    # FILL over projection interval: one generated row per empty bucket.
+    # "Empty" means no data row pre-HAVING (a bucket whose rows were all
+    # HAVING-filtered gets neither data nor fill rows — golden-verified).
+    mode = fill_parts[0].lower()
+    # fill granularity is the child-table stream: a partition spanning N
+    # child tables gets N generated rows per empty bucket (golden:
+    # fill.ans partition-by-groupid bucket 6 appears once per child)
+    spine_keys = list(keys)
+    if not is_child and "tbname" in labeled.columns and "tbname" not in keys:
+        spine_keys.append("tbname")
+    observed = labeled.select(*spine_keys, "_wstart").distinct()
+    rs, re_ = _fill_range(ts_bounds, width, offset)
+    empty = wp.projection_fill_rows(
+        base, observed, width, spine_keys, range_start=rs, range_end=re_
+    )
+    values = fill_parts[1:] if mode in ("value", "value_f") else []
+
+    def fill_lit(v, dtype):
+        if isinstance(dtype, TimestampType):
+            # a numeric fill constant for a timestamp column is an
+            # epoch literal in the table's precision (ms here)
+            return F.timestamp_millis(F.lit(int(float(v))))
+        return F.lit(float(v)).cast(dtype)
+
+    vi = 0
+    fexprs = []
+    dexprs = []
+    for it, fld in zip(items, data.schema.fields):
+        s = it.strip()
+        if s in wp.PSEUDO_COLS or s in keys:
+            fexprs.append(F.col(s).alias(fld.name))
+            dexprs.append(F.col(fld.name))
+            continue
+        if values:
+            v = values[vi] if vi < len(values) else values[-1]
+            vi += 1
+            lit = fill_lit(v, fld.dataType)
+            # VALUE fill also replaces NULL cells inside data rows
+            # (golden: d_null fill(value, …) rows)
+            dexprs.append(F.coalesce(F.col(fld.name), lit).alias(fld.name))
+        else:
+            lit = F.lit(None).cast(fld.dataType)
+            dexprs.append(F.col(fld.name))
+        fexprs.append(lit.alias(fld.name))
+    if values:
+        data = data.select(*dexprs)
+    filled = empty.select(*fexprs)
+    if having:
+        # generated rows pass through the same per-row HAVING; a filter
+        # on a NULL-filled column drops them all.  If the predicate
+        # references columns absent from the select list, no generated
+        # row can satisfy it — emit none.
+        try:
+            filled = filled.where(F.expr(having))
+        except Exception:  # noqa: BLE001 — unresolvable on filled schema
+            return data
+    return data.unionByName(filled)
+
+
+def _windowed(
+    base, window, items, keys, fill_spec, ts_col, tsma_catalog=None,
+    hint=None, tag_cols=(), is_child=False, ts_bounds=None, having=None,
+):
+    from tdengine_spark.operators.windowproj import PSEUDO_COLS, _with_duration
+
+    def fin(out):
+        # aggregate-mode HAVING: post-aggregation filter (projection mode
+        # handles it per-row inside _windowed_projection)
+        return out.where(F.expr(having)) if having else out
+
     wl = window.lower()
-    agg_items = [it for it in items if it.strip() not in ("_wstart", "_wend")]
-    aggs = [F.expr(it) for it in agg_items]
-    keep = ["_wstart"]
-    if any(it.strip() == "_wend" for it in items):
-        keep.append("_wend")
-    keep += keys + _aliases(agg_items)
+    pseudo = set(PSEUDO_COLS)
+    const_mode = False
+    non_pseudo = [it for it in items if it.strip() not in pseudo]
+    if non_pseudo and not any(_has_agg(it) for it in non_pseudo):
+        # no aggregate in the select list: the planner's scalar/aggregate
+        # mode split (reference parTranslater.c; goldens in
+        # 13-TimeSeriesExt/09-WindowProjection).  Row-varying columns (or
+        # the SCALAR hint) force per-row projection; a list of only
+        # window-constant items aggregates to one row per window.
+        # Window-constant: partition keys always; tags + tbname when the
+        # scan is a single child table (per-scan constants) or when
+        # partitioning by tbname (tags are functions of tbname); the
+        # STATE_WINDOW column (constant within a state run).
+        const = set(keys)
+        if is_child:
+            const |= set(tag_cols) | {"tbname"}
+        elif "tbname" in keys:
+            const |= set(tag_cols)
+        sm = re.match(r"state_window\s*\(\s*([A-Za-z_]\w*)\s*\)", wl)
+        if sm:
+            const.add(sm.group(1))
+        if hint == "SCALAR" or any(
+            not _refs_only_cols(it, const) for it in non_pseudo
+        ):
+            return _windowed_projection(
+                base, window, items, keys, fill_spec, ts_col, ts_bounds,
+                having=having, is_child=is_child,
+            )
+        const_mode = True
+        items = [
+            it
+            if it.strip() in pseudo or _is_plain_col(it, keys)
+            else f"first({it.strip()})"
+            for it in items
+        ]
+
+    agg_items = [it for it in items if it.strip() not in pseudo]
+    agg_exprs = [it for it in agg_items if not _is_plain_col(it, keys)]
+    # explicit aliases keep downstream selects name-safe: an unaliased
+    # item like count(*) gets a sanitized identifier instead of Spark's
+    # auto-name (which isn't selectable by string)
+    agg_names = []
+    aggs = []
+    for it in agg_exprs:
+        mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
+        if mm:
+            agg_names.append(mm.group(1))
+            aggs.append(F.expr(it))
+        else:
+            nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
+            agg_names.append(nm)
+            aggs.append(F.expr(it).alias(nm))
+    want_dur = any(it.strip() == "_wduration" for it in items)
+    # output columns in select-item order (golden row tuples compare
+    # positionally)
+    keep = []
+    ai = iter(agg_names)
+    for it in items:
+        s = it.strip()
+        if s in pseudo or _is_plain_col(it, keys):
+            keep.append(s)
+        else:
+            keep.append(next(ai))
+    if (want_dur or "_wend" in keep) and "_wstart" not in keep:
+        keep.insert(0, "_wstart")
 
     if wl.startswith("interval"):
         mm = re.match(
@@ -1714,7 +2340,7 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
             (mm.group(3) or "").strip() or None,
         )
         if tsma_catalog is not None and not (fill_spec or offset or sliding):
-            parsed = _parse_simple_aggs(agg_items)
+            parsed = _parse_simple_aggs(agg_exprs)
             if parsed:
                 metric_aggs: dict = {}
                 for op, metric, _ in parsed:
@@ -1725,7 +2351,27 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
                 for op, metric, alias in parsed:
                     if alias != f"{op}_{metric}":
                         out = out.withColumnRenamed(f"{op}_{metric}", alias)
-                return out.select(*[c for c in keep if c in out.columns])
+                return fin(out).select(*[c for c in keep if c in out.columns])
+        if offset and offset.lower() == "auto":
+            # INTERVAL(w, AUTO): origin = the WHERE range's start instant,
+            # else the first data row (reference AUTO offset,
+            # 13-TimeSeriesExt/03-TimeWindow)
+            if ts_bounds and ts_bounds[0] is not None:
+                origin_us = ts_bounds[0]
+            else:
+                # no derivable range start: AUTO falls back to plain
+                # session-timezone alignment (golden: interval.csv rows
+                # align to local midnight/hour when the WHERE clause has
+                # no plain ts lower bound)
+                origin_us = -CALENDAR_TZ_OFFSET_US
+            out = tw.interval_window_auto(
+                base, ts_col, width, origin_us, sliding=sliding,
+                partition_by=keys, aggs=aggs,
+                cal_tz_offset_us=CALENDAR_TZ_OFFSET_US,
+            )
+            if want_dur:
+                out = _with_duration(out)
+            return fin(out).select(*[c for c in keep if c in out.columns])
         out = tw.interval_window(
             base, ts_col, width, sliding=sliding, offset=offset,
             partition_by=keys, aggs=aggs,
@@ -1734,57 +2380,40 @@ def _windowed(base, window, items, keys, fill_spec, ts_col, tsma_catalog=None):
             parts = [p.strip() for p in fill_spec.split(",")]
             mode = parts[0].lower()
             vals = None
-            if mode == "value" and len(parts) > 1:
-                vals = {a: float(parts[1]) for a in _aliases(agg_items)}
+            aliases = agg_names
+            if mode in ("value", "value_f") and len(parts) > 1:
+                # positional: fill(value, v1, v2, …) maps to the select's
+                # aggregate items in order (tfill.c fill value list)
+                vals = {
+                    a: float(parts[1 + i] if 1 + i < len(parts) else parts[-1])
+                    for i, a in enumerate(aliases)
+                }
+            rs, re_ = _fill_range(ts_bounds, width, offset)
             out = _fill(
-                out.drop("_wend"), mode, width, keys,
-                _aliases(agg_items), fill_values=vals,
+                out.drop("_wend"), mode, width, keys, aliases,
+                fill_values=vals, range_start=rs, range_end=re_,
             )
-            return out.select(*[c for c in keep if c in out.columns])
-        return out.select(*[c for c in keep if c in out.columns])
+            if "_wend" in keep or want_dur:
+                out = out.withColumn(
+                    "_wend", tw.window_end(F.col("_wstart"), width, offset)
+                )
+            if want_dur:
+                out = _with_duration(out)
+            return fin(out).select(*[c for c in keep if c in out.columns])
+        if want_dur:
+            out = _with_duration(out)
+        return fin(out).select(*[c for c in keep if c in out.columns])
 
     from tdengine_spark.operators.eventwindow import window_agg
 
-    # TRUE_FOR(d): minimum window duration (state/event windows,
-    # sql.y TRUE_FOR clause) — stripped here, applied in window_agg
-    true_for = None
-    tf = re.search(r"\s+true_for\s*\(\s*([^)]+)\s*\)\s*$", wl)
-    if tf:
-        true_for = tf.group(1).strip()
-        wl = wl[: tf.start()]
-
-    if wl.startswith("session"):
-        mm = re.match(r"session\s*\(\s*([^,]+),\s*([^)]+)\)", wl)
-        assigned = assign_session_windows(base, mm.group(1).strip(), mm.group(2).strip(), keys)
-    elif wl.startswith("state_window"):
-        mm = re.match(r"state_window\s*\(\s*([^)]+)\)", wl)
-        assigned = assign_state_windows(base, ts_col, mm.group(1).strip(), keys)
-    elif wl.startswith("event_window"):
-        mm = re.match(
-            r"event_window\s+start\s+with\s+(.*?)\s+end\s+with\s+(.*)$", wl
-        )
-        assigned = assign_event_windows(
-            base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys
-        )
-    elif wl.startswith("count_window"):
-        mm = re.match(r"count_window\s*\(\s*(\d+)(?:,\s*(\d+))?\)", wl)
-        assigned = assign_count_windows(
-            base, ts_col, int(mm.group(1)),
-            int(mm.group(2)) if mm.group(2) else None, keys,
-        )
-    elif wl.startswith("anomaly_window"):
-        # ANOMALY_WINDOW(col[, 'algo=ksigma|mad|iqr|grubbs|esd'])
-        # (anomalywindowoperator.c:138) — detected anomalies delimit
-        # the windows
-        from tdengine_spark.functions.analytics import anomaly_window
-
-        mm = re.match(r"anomaly_window\s*\(\s*(\w+)\s*(?:,\s*'algo=(\w+)')?\s*\)", wl)
-        assigned = anomaly_window(
-            base, ts_col, mm.group(1), keys, algo=mm.group(2) or "ksigma"
-        )
-    else:
-        raise ValueError(f"unsupported window clause: {window}")
-    return window_agg(assigned, ts_col, aggs, keys, true_for=true_for)
+    wl, true_for = _strip_true_for(wl)
+    assigned = _assign_data_windows(base, wl, ts_col, keys)
+    out = window_agg(assigned, ts_col, aggs, keys, true_for=true_for)
+    if want_dur:
+        out = _with_duration(out)
+    if want_dur or const_mode:
+        return fin(out).select(*[c for c in keep if c in out.columns])
+    return fin(out)
 
 
 _INSERT_RE = re.compile(
@@ -1857,17 +2486,23 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
 
     schema = None
     if os.path.exists(path):
-        schema = spark.read.parquet(path).schema
+        # evolved (post-ALTER) schema: overlay columns are insertable
+        schema = db.table(target).read(spark).schema
 
     extra = {}
     if g["stable"]:
         extra["tbname"] = g["table"]
         tagvals = [_parse_literal(t) for t in _split_select(g["tags"])]
-        tagcols = (
-            [c.strip() for c in g["tagcols"].split(",")]
-            if g["tagcols"]
-            else [f"tag{i}" for i in range(len(tagvals))]
-        )
+        if g["tagcols"]:
+            tagcols = [c.strip() for c in g["tagcols"].split(",")]
+        else:
+            # positional: the super table's declared tag columns
+            declared = list(db.table(target).tag_cols)
+            tagcols = (
+                declared[: len(tagvals)]
+                if len(declared) >= len(tagvals)
+                else [f"tag{i}" for i in range(len(tagvals))]
+            )
         extra.update(dict(zip(tagcols, tagvals)))
 
     if cols is None:
@@ -1884,7 +2519,10 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         # VALUES literals against the table schema
         from pyspark.sql import types as T
 
-        out_fields = [f for f in schema if f.name in set(cols) | set(extra)]
+        # write the FULL table schema (absent columns as NULL): partial-
+        # width files would leave the dataset's merged schema dependent
+        # on file listing order
+        out_fields = list(schema)
         names = [f.name for f in out_fields]
         str_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
         str_rows = [
@@ -1894,6 +2532,15 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         df = spark.createDataFrame(str_rows, str_schema)
         for f in out_fields:
             df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        # evolved columns write to their PHYSICAL names: versioned
+        # generations, and renamed columns back to their on-disk name
+        ov = db.table(target).load_overlay()
+        for c, p in ov["phys"].items():
+            if c in df.columns:
+                df = df.withColumnRenamed(c, p)
+        for old, new in ov["rename"].items():
+            if new in df.columns:
+                df = df.withColumnRenamed(new, old)
     else:
         df = spark.createDataFrame(data)
         # create-on-first-insert: the reference's first column is always
@@ -1959,6 +2606,146 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     t.ts_col = cols[0][0]
     t.tag_cols = tuple(n for n, _ in tags)
     return name
+
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+(?:TABLE|STABLE|VTABLE)\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"(?P<rest>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: alter_table_clause alternatives (sql.y:1097-1117)
+_ALTER_CLAUSES = [
+    ("add_col", re.compile(
+        r"^ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)", re.IGNORECASE)),
+    ("drop_col", re.compile(r"^DROP\s+COLUMN\s+(\w+)\s*$", re.IGNORECASE)),
+    ("modify_col", re.compile(
+        r"^MODIFY\s+COLUMN\s+(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*$",
+        re.IGNORECASE)),
+    ("rename_col", re.compile(
+        r"^RENAME\s+COLUMN\s+(\w+)\s+(\w+)\s*$", re.IGNORECASE)),
+    ("add_tag", re.compile(
+        r"^ADD\s+TAG\s+(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*$", re.IGNORECASE)),
+    ("drop_tag", re.compile(r"^DROP\s+TAG\s+(\w+)\s*$", re.IGNORECASE)),
+    ("modify_tag", re.compile(
+        r"^MODIFY\s+TAG\s+(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*$",
+        re.IGNORECASE)),
+    ("rename_tag", re.compile(
+        r"^RENAME\s+TAG\s+(\w+)\s+(\w+)\s*$", re.IGNORECASE)),
+    ("set_tag", re.compile(
+        r"^SET\s+TAG\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL)),
+]
+
+
+def _spark_type(t: str) -> str:
+    base = re.sub(r"\s*\(.*\)", "", t).strip().upper()
+    return _TYPE_MAP.get(base, t.lower())
+
+
+def translate_alter_table(spark: SparkSession, db: Database, sql: str) -> str:
+    """ALTER TABLE / ALTER STABLE (sql.y:1091-1117): schema evolution.
+
+    ADD/DROP/MODIFY/RENAME COLUMN and the TAG family are metadata-only —
+    recorded in the table's schema overlay (catalog.SuperTable) and
+    applied at scan time, exactly like the reference's mnode schema
+    version bump (no data rewrite at any scale). ``SET TAG t = v``
+    touches data (tags are columns in this engine's model) and rewrites
+    only the target child table's dataset.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    m = _ALTER_RE.match(sql)
+    if not m:
+        raise ValueError(f"unrecognized ALTER statement: {sql!r}")
+    name = m.group("table").split(".")[-1]
+    rest = m.group("rest").strip()
+    t = db.table(name)
+    ov = t.load_overlay()
+    for kind, cre in _ALTER_CLAUSES:
+        cm = cre.match(rest)
+        if not cm:
+            continue
+        if kind in ("add_col", "add_tag"):
+            col, typ = cm.group(1), _spark_type(cm.group(2))
+            if col in ov["drop"]:
+                # re-add after drop: fresh column generation — store
+                # under a versioned physical name, old data stays masked
+                v = 2
+                while f"{col}__v{v}" in ov["phys"].values():
+                    v += 1
+                ov["phys"][col] = f"{col}__v{v}"
+            if all(c != col for c, _ in ov["add"]):
+                ov["add"].append([col, typ])
+            if kind == "add_tag" and col not in t.tag_cols:
+                t.tag_cols = (*t.tag_cols, col)
+        elif kind in ("drop_col", "drop_tag"):
+            col = cm.group(1)
+            if any(c == col for c, _ in ov["add"]):
+                ov["add"] = [a for a in ov["add"] if a[0] != col]
+                phys = ov["phys"].pop(col, None)
+                if phys:
+                    ov["drop"].append(phys)
+            elif col not in ov["drop"]:
+                ov["drop"].append(col)
+            if kind == "drop_tag":
+                t.tag_cols = tuple(c for c in t.tag_cols if c != col)
+        elif kind in ("modify_col", "modify_tag"):
+            ov["retype"][cm.group(1)] = _spark_type(cm.group(2))
+        elif kind in ("rename_col", "rename_tag"):
+            old, new = cm.group(1), cm.group(2)
+            ov["add"] = [[new if c == old else c, ty] for c, ty in ov["add"]]
+            if old not in [a[0] for a in ov["add"]]:
+                ov["rename"][old] = new
+            if kind == "rename_tag":
+                t.tag_cols = tuple(
+                    new if c == old else c for c in t.tag_cols
+                )
+        else:  # set_tag: rewrite the child table's (column-stored) tag
+            col, lit = cm.group(1), cm.group(2)
+            if not os.path.exists(t.path):
+                # child rows live in a super table's dataset (INSERT …
+                # USING): update only this child's partition
+                for st_tbl in list(db.tables.values()):
+                    if st_tbl.name == name or not os.path.exists(st_tbl.path):
+                        continue
+                    cand = st_tbl.read(spark)
+                    if (
+                        "tbname" in cand.columns
+                        and col in cand.columns
+                        and cand.where(F.col("tbname") == name).limit(1).count()
+                    ):
+                        t = st_tbl
+                        break
+                else:
+                    raise ValueError(f"unknown child table {name!r}")
+                base_df = t.read(spark)
+                df = base_df.withColumn(
+                    col,
+                    F.when(
+                        F.col("tbname") == name,
+                        F.expr(lit).cast(dict(base_df.dtypes).get(col)),
+                    ).otherwise(F.col(col)),
+                )
+            else:
+                df = t.read(spark).withColumn(
+                    col, F.expr(lit).cast(dict(t.read(spark).dtypes).get(col))
+                )
+            tmp = tempfile.mkdtemp(prefix="tds_settag_")
+            df.write.mode("overwrite").parquet(f"{tmp}/data")
+            back = spark.read.parquet(f"{tmp}/data")
+            back.count()  # materialize before replacing the source
+            if os.path.isdir(t.path):
+                shutil.rmtree(t.path)
+            else:
+                os.remove(t.path)
+            shutil.move(f"{tmp}/data", t.path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return name
+        t.save_overlay(ov)
+        return name
+    raise ValueError(f"unsupported ALTER clause: {rest!r}")
 
 
 _DELETE_RE = re.compile(
@@ -2032,6 +2819,8 @@ def execute(
         return drop_stream(name)
     if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
         return translate_create_table(spark, db, sql)
+    if s.startswith(("ALTER TABLE", "ALTER STABLE", "ALTER VTABLE")):
+        return translate_alter_table(spark, db, sql)
     sm = re.match(
         r"^\s*SHOW\s+(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
         r"CLUSTER|DNODES|VARIABLES)\s*;?\s*$",

@@ -62,17 +62,30 @@ def assign_state_windows(
     partition_by: "list[str] | None" = None,
 ) -> DataFrame:
     """STATE_WINDOW(expr): one window per run of equal state value. Adds
-    ``_wid`` and ``_state``."""
+    ``_wid`` and ``_state``.
+
+    NULL state values are skipped — they belong to no window and do not
+    split a run (reference statewindowoperator NULL-block handling,
+    test/cases/13-TimeSeriesExt/04-StateWindow null tests; golden:
+    09-WindowProjection d_null state_window rows absent)."""
     keys = _keyed(partition_by)
     state = F.col(state_col) if isinstance(state_col, str) else state_col
     w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev_rows = w.rowsBetween(Window.unboundedPreceding, -1)
     tagged = df.withColumn("_state", state)
-    prev = F.lag("_state").over(w)
-    change = F.when(prev.isNull() | (prev != F.col("_state")), 1).otherwise(0)
+    prev = F.last("_state", ignorenulls=True).over(prev_rows)
+    change = F.when(
+        F.col("_state").isNotNull()
+        & (prev.isNull() | (prev != F.col("_state"))),
+        1,
+    ).otherwise(0)
     run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return tagged.withColumn(WINDOW_ID, F.sum(change).over(run))
+    return tagged.withColumn(
+        WINDOW_ID,
+        F.when(F.col("_state").isNotNull(), F.sum(change).over(run)),
+    )
 
 
 def assign_event_windows(
@@ -87,15 +100,18 @@ def assign_event_windows(
     Reference semantics (eventwindowoperator.c): a window opens at a row
     satisfying start_cond (if none is open) and closes at the first
     subsequent row satisfying end_cond (inclusive). Rows outside any
-    window get ``_wid`` NULL.
+    window get ``_wid`` NULL.  A window that never sees its END condition
+    before the data runs out is DISCARDED — the reference emits nothing
+    for it (golden: 13-TimeSeriesExt/09-WindowProjection
+    test_window_projection_edge, unclosed d_single event window → empty).
 
     Kernel: running count of closed windows -> segment id; within a
-    segment, rows from the first start_cond row onward are in the window.
+    segment, rows from the first start_cond row onward are in the window;
+    a segment with no END row anywhere is the trailing unclosed window.
     """
     keys = _keyed(partition_by)
     order = Window.partitionBy(*keys).orderBy(ts_col)
     run_prev = order.rowsBetween(Window.unboundedPreceding, -1)
-    run_cur = order.rowsBetween(Window.unboundedPreceding, 0)
 
     df2 = df.withColumn("_s", start_cond.cast("int")).withColumn(
         "_e", end_cond.cast("int")
@@ -110,9 +126,15 @@ def assign_event_windows(
         Window.unboundedPreceding, 0
     )
     started = F.max("_s").over(seg_order)
+    # a segment is a real (closed) window only if an END row exists in it
+    seg_all = Window.partitionBy(*keys, "_seg")
+    closed = F.max("_e").over(seg_all)
     return (
         df2.withColumn(
-            WINDOW_ID, F.when(started == 1, F.col("_seg") + 1).otherwise(F.lit(None))
+            WINDOW_ID,
+            F.when((started == 1) & (closed == 1), F.col("_seg") + 1).otherwise(
+                F.lit(None)
+            ),
         )
         .drop("_s", "_e", "_seg")
     )

@@ -42,7 +42,11 @@ def bucket_spine(
     w = parse_duration(width)
     lo = F.lit(range_start).cast("timestamp") if range_start is not None else F.min(WSTART)
     hi = F.lit(range_end).cast("timestamp") if range_end is not None else F.max(WSTART)
-    per_group = agg.groupBy(*partition_by).agg(lo.alias("_lo"), hi.alias("_hi"))
+    # zero-bucket groups emit nothing: with an explicit range the lo/hi
+    # literals would otherwise fabricate a spine for an empty input
+    per_group = agg.groupBy(*partition_by).agg(
+        lo.alias("_lo"), hi.alias("_hi"), F.count(F.lit(1)).alias("_n")
+    ).where(F.col("_n") > 0)
     step = F.expr(f"interval {w.interval_string()}")
     return per_group.select(
         *partition_by,

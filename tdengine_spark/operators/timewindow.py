@@ -135,3 +135,116 @@ def _agg_names(aggs: list[Column]) -> list[str]:
         m = re.search(r"\s+AS\s+`?([A-Za-z_][\w]*)`?\s*$", jc, re.IGNORECASE)
         names.append(m.group(1) if m else jc)
     return names
+
+
+def interval_window_auto(
+    df: DataFrame,
+    ts_col: str,
+    width: "str | int | Duration",
+    origin_us: int,
+    sliding: "str | int | Duration | None" = None,
+    partition_by: "list[str] | None" = None,
+    aggs: "list[Column] | None" = None,
+    cal_tz_offset_us: int = 0,
+) -> DataFrame:
+    """``INTERVAL(w, AUTO)``: windows aligned to an *origin instant*
+    instead of the epoch — the reference's AUTO offset anchors the
+    window origin to the query's time-range start (or the first data
+    row when the range has no lower bound); goldens in
+    ``test/cases/13-TimeSeriesExt/03-TimeWindow/ans/interval.csv``.
+
+    Fixed widths reduce to the epoch-aligned kernel with the origin as
+    offset.  Calendar widths (n/y) step whole months from the origin
+    instant (day-of-month/time-of-day preserved, end-of-month clamped —
+    same as the reference's taosTimeAdd).  SLIDING with AUTO explodes
+    rows into their covering windows (origin + j*slide), like the
+    reference's hopping scan.
+    """
+    partition_by = partition_by or []
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = parse_duration(width)
+    s = parse_duration(sliding) if sliding is not None else None
+    t_us = F.unix_micros(F.col(ts_col))
+    origin = F.timestamp_micros(F.lit(origin_us))
+
+    if not w.is_calendar:
+        wus = w.microseconds
+        if s is None or s.microseconds == wus:
+            start_us = (
+                F.floor((t_us - origin_us) / wus).cast("long") * wus + origin_us
+            )
+            ws = F.timestamp_micros(start_us)
+            out = (
+                df.groupBy(ws.alias(WSTART), *partition_by)
+                .agg(*aggs)
+                .withColumn(
+                    WEND,
+                    F.timestamp_micros(F.unix_micros(F.col(WSTART)) + wus),
+                )
+            )
+            return out.orderBy(*partition_by, WSTART)
+        sus = s.microseconds
+        # window j covers [origin + j*s, origin + j*s + w):
+        # (t-o-w)/s < j <= (t-o)/s
+        j_hi = F.floor((t_us - origin_us) / sus).cast("long")
+        j_lo = (F.floor((t_us - origin_us - wus) / sus) + 1).cast("long")
+        exploded = df.withColumn("_j", F.explode(F.sequence(j_lo, j_hi)))
+        start_us = (F.col("_j") * sus + origin_us).cast("long")
+        out = (
+            exploded.groupBy(
+                F.timestamp_micros(start_us).alias(WSTART), *partition_by
+            )
+            .agg(*aggs)
+            .withColumn(
+                WEND, F.timestamp_micros(F.unix_micros(F.col(WSTART)) + wus)
+            )
+        )
+        return out.orderBy(*partition_by, WSTART)
+
+    months = w.value * (12 if w.unit == "y" else 1)
+    mon_iv = F.make_ym_interval(F.lit(0), F.lit(months))
+    off = cal_tz_offset_us
+
+    def to_wall(c):
+        return F.timestamp_micros(F.unix_micros(c) + off) if off else c
+
+    def from_wall(c):
+        return F.timestamp_micros(F.unix_micros(c) - off) if off else c
+
+    ts_w = to_wall(F.col(ts_col))
+    origin_w = F.timestamp_micros(F.lit(origin_us + off))
+    if s is None:
+        k0 = (
+            (F.year(ts_w) - F.year(origin_w)) * 12
+            + F.month(ts_w)
+            - F.month(origin_w)
+        )
+        idx = (F.floor(k0 / months) * months).cast("int")
+        cand = (origin_w + F.make_ym_interval(F.lit(0), idx)).cast("timestamp")
+        start_w = F.when(
+            ts_w < cand,
+            (origin_w + F.make_ym_interval(F.lit(0), idx - F.lit(months)))
+            .cast("timestamp"),
+        ).otherwise(cand)
+        end_w = (start_w + mon_iv).cast("timestamp")
+        out = (
+            df.withColumn(WSTART, from_wall(start_w))
+            .withColumn(WEND, from_wall(end_w))
+            .groupBy(WSTART, WEND, *partition_by)
+            .agg(*aggs)
+        )
+        return out.orderBy(*partition_by, WSTART)
+    sus = s.microseconds
+    # calendar width, fixed slide: candidate windows overestimated with a
+    # 32-day month, then exact-filtered against the calendar end
+    max_len_us = months * 32 * 86_400 * 1_000_000
+    j_hi = F.floor((t_us - origin_us) / sus).cast("long")
+    j_lo = (F.floor((t_us - origin_us - max_len_us) / sus) + 1).cast("long")
+    exploded = df.withColumn("_j", F.explode(F.sequence(j_lo, j_hi)))
+    start = F.timestamp_micros((F.col("_j") * sus + origin_us).cast("long"))
+    wend = from_wall((to_wall(start) + mon_iv).cast("timestamp"))
+    kept = exploded.withColumn(WSTART, start).withColumn(WEND, wend).where(
+        (F.col(ts_col) >= F.col(WSTART)) & (F.col(ts_col) < F.col(WEND))
+    )
+    out = kept.groupBy(WSTART, WEND, *partition_by).agg(*aggs)
+    return out.orderBy(*partition_by, WSTART)

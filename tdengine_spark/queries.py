@@ -527,12 +527,13 @@ def q_count_window(spark, sf_dir):
       FROM base
     ), op AS (
       SELECT *, MAX(s) OVER (PARTITION BY user_id, _seg ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS started
+                 ROWS UNBOUNDED PRECEDING) AS started,
+             MAX(e) OVER (PARTITION BY user_id, _seg) AS closed
       FROM seg
     )
     SELECT user_id, _seg + 1 AS _wid, min(ts) AS _wstart, max(ts) AS _wend,
            COUNT(*) AS n_rows
-    FROM op WHERE started = 1 GROUP BY user_id, _seg
+    FROM op WHERE started = 1 AND closed = 1 GROUP BY user_id, _seg
     """,
 )
 def q_event_window(spark, sf_dir):

@@ -1352,3 +1352,148 @@ def q_external_window_agg(spark, sf_dir):
         )
         .drop("_ext_wid")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: projection-mode windows, INTERVAL AUTO, ALTER evolution
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_projection_interval",
+    f"""
+    SELECT {bucket_sql(HOUR_US)} AS _wstart,
+           make_timestamp(CAST(floor(epoch_us({TS}) / {HOUR_US})
+             * {HOUR_US} + {HOUR_US} - 1000 AS BIGINT)) AS _wend,
+           CAST({HOUR_US // 1000} - 1 AS BIGINT) AS _wduration,
+           {TS} AS ts, event_id, value AS val
+    FROM events WHERE user_id < 20
+    """,
+)
+def q_window_projection_interval(spark, sf_dir):
+    """Projection-mode INTERVAL (scalar window operator,
+    13-TimeSeriesExt/09-WindowProjection): raw rows labeled with their
+    window's pseudo-columns — pure codegen projection, zero shuffle."""
+    from tdengine_spark.operators.windowproj import interval_projection
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return interval_projection(ev, "ts", "1h").select(
+        "_wstart", "_wend", "_wduration", "ts", "event_id",
+        F.col("value").alias("val"),
+    )
+
+
+@q(
+    "window_projection_session",
+    f"""
+    WITH base AS (
+      SELECT user_id, {TS} AS ts, value,
+             CASE WHEN epoch_us({TS}) - lag(epoch_us({TS}))
+                    OVER (PARTITION BY user_id ORDER BY ts)
+                  > 1800000000 OR lag(epoch_us({TS}))
+                    OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS nf
+      FROM events WHERE user_id < 10
+    ), wid AS (
+      SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS _wid
+      FROM base
+    )
+    SELECT user_id, min(ts) OVER w AS _wstart, max(ts) OVER w AS _wend,
+           ts, value AS val
+    FROM wid WINDOW w AS (PARTITION BY user_id, _wid)
+    """,
+)
+def q_window_projection_session(spark, sf_dir):
+    """Projection-mode SESSION window: every row labeled with its
+    session's [min ts, max ts] — single (user, ts) shuffle shared by the
+    id assignment and the min/max analytic."""
+    from tdengine_spark.operators.eventwindow import assign_session_windows
+    from tdengine_spark.operators.windowproj import keyed_window_projection
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    assigned = assign_session_windows(ev, "ts", "30m", ["user_id"])
+    return keyed_window_projection(assigned, "ts", ["user_id"]).select(
+        "user_id", "_wstart", "_wend", "ts", F.col("value").alias("val")
+    )
+
+
+@q(
+    "interval_auto_origin",
+    f"""
+    SELECT make_timestamp(CAST(
+             floor((epoch_us({TS}) - 1704067200000000 - 1043000000)
+                   / {HOUR_US}) * {HOUR_US}
+             + 1704067200000000 + 1043000000 AS BIGINT)) AS _wstart,
+           COUNT(*) AS n,
+           (ROUND(SUM(value) + 0.0000001, 4) + 0) AS sv
+    FROM events GROUP BY 1
+    """,
+)
+def q_interval_auto(spark, sf_dir):
+    """INTERVAL(1h, AUTO): windows aligned to the query range's origin
+    instant instead of the epoch (13-TimeSeriesExt/03-TimeWindow AUTO
+    offset) — here an odd origin 2024-01-01 00:17:23."""
+    origin_us = 1704067200000000 + 1043000000  # 2024-01-01 00:17:23 UTC
+    ev = t(spark, sf_dir, "events")
+    return tw.interval_window_auto(
+        ev, "ts", "1h", origin_us,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            _r4e(F.sum("value")).alias("sv"),
+        ],
+    ).select("_wstart", "n", "sv")
+
+
+@q(
+    "alter_table_schema_evolution",
+    f"""
+    WITH base AS (
+      SELECT event_id, {TS} AS ts, value FROM events
+      ORDER BY ts, event_id LIMIT 500
+    ), evolved AS (
+      SELECT event_id, ts, value AS val2, NULL::DOUBLE AS score FROM base
+      UNION ALL
+      SELECT 900001, TIMESTAMP '2024-02-01 00:00:00', 11.5, 0.75
+      UNION ALL
+      SELECT 900002, TIMESTAMP '2024-02-01 00:00:01', 12.5, 0.25
+    )
+    SELECT COUNT(*) AS n, COUNT(score) AS n_score,
+           (ROUND(SUM(val2) + 0.0000001, 4) + 0) AS sv,
+           (ROUND(SUM(score) + 0.0000001, 4) + 0) AS ss
+    FROM evolved
+    """,
+)
+def q_alter_evolution(spark, sf_dir):
+    """ALTER TABLE schema evolution end-to-end (sql.y:1091-1117): a
+    dataset is written, then ADD COLUMN + RENAME COLUMN evolve it
+    (metadata-only overlay, no data rewrite), new rows arrive with the
+    new column, and a query reads across both generations."""
+    import tempfile
+
+    from tdengine_spark import dialect
+    from tdengine_spark.catalog import Database as Db
+
+    d = tempfile.mkdtemp(prefix="tds_alter_gate_")
+    db = Db(root=d)
+    base = (
+        t(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(500)
+        .select("event_id", "ts", "value")
+    )
+    base.write.mode("overwrite").parquet(f"{d}/tb_alter.parquet")
+    dialect.execute(spark, db, "alter table tb_alter add column score double")
+    dialect.execute(spark, db, "alter table tb_alter rename column value val2")
+    dialect.execute(
+        spark, db,
+        "insert into tb_alter (event_id, ts, val2, score) values"
+        "(900001, '2024-02-01 00:00:00', 11.5, 0.75)"
+        "(900002, '2024-02-01 00:00:01', 12.5, 0.25)",
+    )
+    return dialect.translate(
+        spark, db,
+        "select count(*) as n, count(score) as n_score,"
+        " (round(sum(val2) + 0.0000001, 4) + 0) as sv,"
+        " (round(sum(score) + 0.0000001, 4) + 0) as ss from tb_alter",
+    )
