@@ -51,6 +51,10 @@ class SuperTable:
     #: a child table of a super table: tbname and every tag are
     #: single-valued, so the planner may treat them as scan constants
     child: bool = False
+    #: CREATE TABLE … USING parent TAGS(…): rows live in the parent's
+    #: dataset under tbname = this name, with these tag values
+    parent: "str | None" = None
+    tag_values: tuple = ()
 
     # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
     # The reference records ALTERs as mnode metadata (schema version
@@ -342,11 +346,18 @@ def information_schema(
     in-memory DataFrames, broadcastable into any introspection join.
     """
     if view == "ins_tables":
-        rows = [
-            (db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols))
-            for db_name, db in dbs.items()
-            for t in db.tables.values()
-        ]
+        # super tables (= tables that registered children point at) are
+        # listed by ins_stables, not ins_tables (systable.h separation)
+        rows = []
+        for db_name, db in dbs.items():
+            parents = {
+                t.parent for t in db.tables.values() if t.parent
+            }
+            rows.extend(
+                (db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols))
+                for t in db.tables.values()
+                if t.name not in parents
+            )
         return spark.createDataFrame(
             rows,
             "db_name string, table_name string, ts_col string, "

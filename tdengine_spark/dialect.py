@@ -78,7 +78,7 @@ _CLAUSE_RE = re.compile(
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
     (?:\s+HAVING\s+(?P<having>.*?))?
     (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
-    (?:\s+SLIMIT\s+(?P<slimit>\d+))?
+    (?:\s+SLIMIT\s+(?P<slimit>\d+)(?:\s+SOFFSET\s+(?P<soffset>\d+))?)?
     (?:\s+LIMIT\s+(?P<limit>\d+)(?:\s+OFFSET\s+(?P<offset>\d+))?)?
     \s*;?\s*$
     """,
@@ -254,7 +254,7 @@ _TS_PROMOTE_NAME = (
 )
 
 _EPOCH_CMP_RE = re.compile(
-    rf"""\b(?P<col>{_TS_NAME})(?:\s*(?P<adjop>[+-])\s*(?P<adj>\d{{1,9}})(?![\w.]))?\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{12,19}})(?![\w.])
+    rf"""\b(?P<col>{_TS_NAME})(?:\s*(?P<adjop>[+-])\s*(?P<adj>\d{{1,9}})(?![\w.]))?\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{12,19}})(?:\s*(?P<ladjop>[+-])\s*(?P<ladj>\d{{1,9}}))?(?![\w.])
       | (?P<lit2>\b\d{{12,19}})\s*(?P<op2>>=|<=|<>|!=|=|>|<)\s*(?P<col2>{_TS_NAME})\b
     """,
     re.VERBOSE,
@@ -309,7 +309,13 @@ def _rewrite_epoch_ts_literals(expr: str) -> str:
                     f"({col} {m.group('adjop')} "
                     f"make_dt_interval(0, 0, 0, {secs:.6f}))"
                 )
-            return f"{col} {m.group('op')} {_epoch_lit_sql(m.group('lit'))}"
+            lit = m.group("lit")
+            if m.group("ladjop"):
+                # fold `epoch + n` arithmetic into the literal (same
+                # precision ticks on both sides)
+                n = int(m.group("ladj"))
+                lit = str(int(lit) + (n if m.group("ladjop") == "+" else -n))
+            return f"{col} {m.group('op')} {_epoch_lit_sql(lit)}"
         return f"{_epoch_lit_sql(m.group('lit2'))} {m.group('op2')} {m.group('col2')}"
 
     def between(m):
@@ -428,6 +434,9 @@ def _rewrite_aggs(select: str, ts_col: str) -> str:
         lambda a: f"percentile_approx({a[0]}, {float(a[1]) / 100.0})",
     )
     s = _rewrite_call(s, "hyperloglog", lambda a: f"approx_count_distinct({a[0]})")
+    # the reference's stddev is POPULATION stddev (builtins.c stddevFunction:
+    # sum-of-squares/n), not Spark's default sample stddev
+    s = _rewrite_call(s, "stddev", lambda a: f"stddev_pop({a[0]})")
     return s
 
 
@@ -593,6 +602,12 @@ def _child_slice(spark: SparkSession, db: Database, name: str):
     ``tbname = name``. Returns that filtered slice, or None."""
     import os
 
+    reg = db.tables.get(name)
+    if reg is not None and reg.parent and os.path.exists(
+        f"{db.root}/{reg.parent}.parquet"
+    ):
+        df = db.table(reg.parent).read(spark)
+        return df.where(F.col("tbname") == name)
     for st_tbl in list(db.tables.values()):
         if st_tbl.name == name or not os.path.exists(st_tbl.path):
             continue
@@ -1660,6 +1675,9 @@ def translate(
     reference's TSMA planner rewrite (SURVEY §4.3)."""
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
+    # `_c0`: the reference's internal alias for the first (timestamp)
+    # column (parTranslater.c PK_TS_COL_INTERNAL_NAME)
+    sql = _outside_quotes(sql, lambda s: re.sub(r"\b_c0\b", ts_col, s))
     # planner-mode hint (SELECT SCALAR .../SELECT AGG ... — the reference's
     # debug tokens forcing the window operator's scalar/aggregate
     # implementation, test/cases/13-TimeSeriesExt/09-WindowProjection):
@@ -1700,7 +1718,8 @@ def translate(
         inner = translate(spark, db, _strip_outer_parens(inner_sql), ts_col)
         name = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
         inner.createOrReplaceTempView(name)
-        repl = f"{name} AS {alias}" if alias else name
+        # leading space: `from(select …)` is legal dialect spelling
+        repl = f" {name} AS {alias}" if alias else f" {name}"
         return translate(spark, db, sql[:lo] + repl + sql[hi:], ts_col)
     m = _INTERP_RE.match(sql)
     if m:
@@ -1731,11 +1750,26 @@ def translate(
     table = g["table"]
     import os
 
+    if "." in table:
+        # db-qualified FROM (`db.tb`): the prefix is the session db —
+        # resolve against the bare registry name
+        bare = table.split(".")[-1]
+        if bare in db.tables or os.path.exists(f"{db.root}/{bare}.parquet"):
+            table = bare
     if os.path.exists(f"{db.root}/{table}.parquet"):
         base = db.read(spark, table)
-    elif (g["window"] or g["partition"] or g["slimit"]) and _view_exists(
-        spark, table
-    ):
+    elif (
+        g["window"]
+        or g["partition"]
+        or g["slimit"]
+        or re.search(
+            r"(?i)\b(diff|csum|mavg|derivative|statecount|stateduration|"
+            r"twa|irate|top|bottom|sample|last_row|spread|elapsed|mode|"
+            r"tail|unique|histogram|percentile|apercentile|leastsquares)"
+            r"\s*\(",
+            g["select"],
+        )
+    ) and _view_exists(spark, table):
         # dialect clauses over a registered view (e.g. a translated
         # FROM-subquery) — read the view instead of parquet
         base = spark.table(table)
@@ -1752,6 +1786,34 @@ def translate(
         [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
     )
 
+    bare_star = g["window"] and re.search(
+        r"(?:^|,)\s*\*\s*(?:,|$)", g["select"]
+    )
+    if bare_star:
+        st0 = db.tables.get(table)
+        skip = {"tbname", *(st0.tag_cols if st0 else ())}
+        datacols = [c for c in base.columns if c not in skip]
+        g = dict(g)
+        g["select"] = re.sub(
+            r"(^|,)(\s*)\*(\s*)(?=,|$)",
+            lambda m: m.group(1) + m.group(2) + ", ".join(datacols) + m.group(3),
+            g["select"],
+        )
+    star = re.search(
+        r"\b(first|last|last_row)\s*\(\s*\*\s*\)", g["select"], re.IGNORECASE
+    )
+    if star:
+        # first(*)/last(*) expand to one call per data column (reference
+        # parser star expansion; tags/tbname are not part of *)
+        st0 = db.tables.get(table)
+        skip = {"tbname", *(st0.tag_cols if st0 else ())}
+        datacols = [c for c in base.columns if c not in skip]
+        g = dict(g)
+        g["select"] = re.sub(
+            r"\b(first|last|last_row)\s*\(\s*\*\s*\)",
+            lambda m: ", ".join(f"{m.group(1)}({c})" for c in datacols),
+            g["select"],
+        )
     select = _rewrite_aggs(_rewrite_ops(g["select"]), ts_col)
     items = _split_select(select)
 
@@ -1773,32 +1835,194 @@ def translate(
             is_child=st.child if st else False,
             ts_bounds=_ts_bounds(g["where"], ts_col),
             having=_rewrite_ops(g["having"]) if g["having"] else None,
+            plimit=int(g["limit"]) if (g["limit"] and keys) else None,
+            slimit=int(g["slimit"]) if (g["slimit"] and keys) else None,
         )
     elif indef_cols is not None:
         # row-indexed functions (diff/csum/…): PARTITION BY keys become
-        # the ordered-window partition, one row out per row in
-        out = base.select(*indef_cols)
+        # the ordered-window partition; rows where the function output
+        # is undefined are dropped (reference indef emission)
+        icols, iemit = indef_cols
+        if iemit is not None:
+            out = (
+                base.select(*icols, iemit.alias("_emit"))
+                .where(F.col("_emit"))
+                .drop("_emit")
+            )
+        else:
+            out = base.select(*icols)
+    elif (rs := _match_rowsel(items)) is not None:
+        out = _translate_rowsel(base, items, rs, keys, ts_col)
+    elif (
+        keys
+        and not g["group"]
+        and not any(_has_agg(it) for it in items)
+    ):
+        # PARTITION BY over a plain projection: no implicit aggregation —
+        # the row stream is emitted partition-grouped (reference
+        # partition-by scalar mode); LIMIT becomes per-partition
+        if g["slimit"]:
+            from tdengine_spark.operators.slimit import slimit as _slimit
+
+            base = _slimit(base, keys, int(g["slimit"]))
+        if g["limit"]:
+            from pyspark.sql.window import Window as _W
+
+            w = _W.partitionBy(*[F.expr(k) for k in keys]).orderBy(ts_col)
+            base = (
+                base.withColumn("_plim", F.row_number().over(w))
+                .where(F.col("_plim") <= int(g["limit"]))
+                .drop("_plim")
+            )
+        out = base.selectExpr(*items)
+        if g["order"]:
+            onames = [c.strip().split()[0] for c in g["order"].split(",")]
+            if all(n in out.columns or n.isdigit() for n in onames):
+                out = out.orderBy(*_order_cols(g["order"], out.columns))
+            else:
+                # ORDER BY a column outside the select list: sort the
+                # source rows, then project (row order is preserved)
+                out = base.orderBy(
+                    *_order_cols(g["order"], base.columns)
+                ).selectExpr(*items)
+        if g.get("offset"):
+            out = out.offset(int(g["offset"]))
+        return out
     elif keys or g["group"]:
         gkeys = keys + gkeys_extra
-        aggs = [F.expr(it) for it in items if not _is_plain_col(it, gkeys)]
-        out = base.groupBy(*gkeys).agg(*aggs)
+        base, items = _prepare_groupfns(base, items, gkeys, ts_col)
+
+        def _norm_txt(s: str) -> str:
+            return re.sub(r"\s+", "", s).lower()
+
+        # group keys may be expressions (GROUP BY abs(c1)) — alias each
+        # non-identifier key to a stable output column name
+        gk_alias, gb_cols = {}, []
+        for k in gkeys:
+            if re.match(r"^[A-Za-z_]\w*$", k.strip()):
+                gb_cols.append(F.col(k.strip()))
+                gk_alias[_norm_txt(k)] = k.strip()
+            else:
+                nm = re.sub(r"\W+", "_", k.strip()).strip("_") or "gkey"
+                if nm[0].isdigit():
+                    nm = "_" + nm
+                gb_cols.append(F.expr(k).alias(nm))
+                gk_alias[_norm_txt(k)] = nm
+        # output = the select list only, in order (the reference does
+        # NOT implicitly append group keys), groups ordered by key when
+        # no ORDER BY (reference group-ordered result blocks)
+        sel_cols, aggs, used = [], [], set()
+        agg_pairs = []
+        anchor = _sel_anchor(items, ts_col)
+        for it in items:
+            kn = gk_alias.get(_norm_txt(re.sub(
+                r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it)))
+            if kn is not None:
+                am = re.search(
+                    r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE
+                )
+                sel_cols.append(f"{kn} as {am.group(1)}" if am else kn)
+                continue
+            if anchor is not None and not _has_agg(it):
+                am = _ITEM_ALIAS_RE.match(it.strip())
+                body = am.group("expr")
+                nm = am.group("alias") or re.sub(
+                    r"\W+", "_", body.strip()).strip("_") or "expr"
+                if nm[0].isdigit():
+                    nm = "_" + nm
+                while nm in used:
+                    nm += "_"
+                aggs.append(
+                    F.expr(f"{anchor[0]}({body}, {anchor[1]})").alias(nm)
+                )
+                agg_pairs.append((body, nm))
+                used.add(nm)
+                sel_cols.append(nm)
+                continue
+            mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
+            if mm:
+                nm = mm.group(1)
+                aggs.append(F.expr(it))
+                agg_pairs.append((re.sub(
+                    r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it), nm))
+            else:
+                nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
+                if nm[0].isdigit():
+                    nm = "_" + nm
+                while nm in used:
+                    nm += "_"
+                aggs.append(F.expr(it).alias(nm))
+                agg_pairs.append((it, nm))
+            used.add(nm)
+            sel_cols.append(nm)
+        out = base.groupBy(*gb_cols).agg(*aggs)
+        if g["slimit"]:
+            # SLIMIT before the select-list projection: the group keys
+            # may not survive into the output columns
+            from tdengine_spark.operators.slimit import slimit as _slimit
+
+            out = _slimit(
+                out, [gk_alias[_norm_txt(k)] for k in gkeys],
+                int(g["slimit"]), int(g.get("soffset") or 0),
+            )
+            g = dict(g)
+            g["slimit"] = None
+        if g["order"]:
+            # resolve ORDER BY against the aggregated frame: ordinals →
+            # select positions, group-key expressions → their aliases,
+            # aggregate spellings → their output columns; items that
+            # resolve to nothing are dropped (the reference tolerates
+            # ordering grouped output by unrelated columns)
+            ocols = []
+            plain_names = [s.split()[0] for s in sel_cols]
+            for c in g["order"].split(","):
+                c = c.strip()
+                desc = c.lower().endswith(" desc")
+                body = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c)
+                if body.isdigit():
+                    body = plain_names[int(body) - 1]
+                nm = gk_alias.get(_norm_txt(body))
+                if nm is None:
+                    nm = next(
+                        (n for e, n in agg_pairs
+                         if _norm_txt(e) == _norm_txt(body)), None)
+                if nm is None and body in out.columns:
+                    nm = body
+                if nm is not None:
+                    ocols.append(F.col(nm).desc() if desc else F.col(nm))
+            if ocols:
+                out = out.orderBy(*ocols)
+            g = dict(g)
+            g["order"] = None
+        else:
+            # implicit group order: by key, NULL groups last (matches the
+            # reference's observed partition emission order in its suites)
+            out = out.orderBy(
+                *[F.col(gk_alias[_norm_txt(k)]).asc_nulls_last()
+                  for k in gkeys]
+            )
+        out = out.selectExpr(*sel_cols)
     else:
         if any(_has_agg(it) for it in items):
+            base, items = _prepare_groupfns(base, items, [], ts_col)
             out = base.agg(*[F.expr(it) for it in items])
         else:
             out = base.selectExpr(*items)
 
     if g["having"] and not window:
         out = out.where(F.expr(_rewrite_ops(g["having"])))
-    if g["slimit"] and keys:
+    if g["slimit"] and keys and not window:
         from tdengine_spark.operators.slimit import slimit as _slimit
 
-        out = _slimit(out, keys, int(g["slimit"]))
+        out = _slimit(
+            out, [k for k in keys if k in out.columns] or keys,
+            int(g["slimit"]), int(g.get("soffset") or 0),
+        )
     if g["order"]:
         out = out.orderBy(*_order_cols(g["order"], out.columns))
     if g.get("offset"):
         out = out.offset(int(g["offset"]))
-    if g["limit"]:
+    if g["limit"] and not (window and keys):
         out = out.limit(int(g["limit"]))
     return out
 
@@ -2049,25 +2273,18 @@ def _ts_bounds(where: "str | None", ts_col: str, allow_in: bool = True):
 
 
 def _fill_range(ts_bounds, width, offset):
-    """Bucket-aligned (range_start, range_end) datetimes for the FILL
+    """Bucket-aligned (range_start, range_end) Columns for the FILL
     spine, from the WHERE ts bounds.  None sides fall back to the data's
-    bucket range inside the fill operator."""
+    bucket range inside the fill operator.  Bucketing happens Spark-side
+    via window_start so calendar widths (1n/1y) truncate in the SESSION
+    timezone, exactly like the window assignment itself."""
     if not ts_bounds:
         return (None, None)
-    from datetime import datetime as _dt, timedelta as _td
-
-    w = parse_duration(width)
-    if w.is_calendar:
-        return (None, None)
-    wus = w.microseconds
-    off = parse_duration(offset).microseconds if offset else 0
-    lo_us, hi_us = ts_bounds
 
     def bucket(us):
-        return _dt(1970, 1, 1) + _td(
-            microseconds=(us - off) // wus * wus + off
-        )
+        return tw.window_start(F.timestamp_micros(F.lit(us)), width, offset)
 
+    lo_us, hi_us = ts_bounds
     return (
         bucket(lo_us) if lo_us is not None else None,
         bucket(hi_us - 1) if hi_us is not None else None,
@@ -2094,7 +2311,28 @@ def _assign_data_windows(base, wl, ts_col, keys):
             base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys
         )
     if wl.startswith("count_window"):
-        mm = re.match(r"count_window\s*\(\s*(\d+)(?:,\s*(\d+))?\)", wl)
+        mm = re.match(
+            r"count_window\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?"
+            r"(?:,\s*([\w ,]+?)\s*)?\)",
+            wl,
+        )
+        if not mm:
+            raise ValueError(f"unsupported COUNT_WINDOW clause: {wl}")
+        if mm.group(3):
+            # COUNT_WINDOW(n, sliding, col…): a row participates when at
+            # least one named column is non-NULL (golden: 07-CountWindow
+            # Count0 — the all-NULL row is skipped, partial-NULL kept)
+            import functools
+            import operator
+
+            cond = functools.reduce(
+                operator.or_,
+                [
+                    F.col(c.strip()).isNotNull()
+                    for c in mm.group(3).split(",")
+                ],
+            )
+            base = base.where(cond)
         return assign_count_windows(
             base, ts_col, int(mm.group(1)),
             int(mm.group(2)) if mm.group(2) else None, keys,
@@ -2167,7 +2405,9 @@ def _windowed_projection(
         if fill_parts and fill_parts[0].lower() != "none":
             raise ValueError("FILL requires an INTERVAL window")
         assigned = _assign_data_windows(base, wl, ts_col, keys)
-        labeled = wp.keyed_window_projection(assigned, ts_col, keys)
+        sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
+        ts_eff = sm2.group(1).strip() if sm2 else ts_col
+        labeled = wp.keyed_window_projection(assigned, ts_eff, keys)
     if true_for is not None:
         dur_us = parse_duration(true_for).microseconds
         labeled = labeled.where(
@@ -2185,7 +2425,14 @@ def _windowed_projection(
     win_key = "_wstart" if wl.startswith("interval") else WINDOW_ID
     indef_cols = _build_indef_items(items, keys + [win_key], ts_col)
     if indef_cols is not None:
-        data = filtered.select(*indef_cols)
+        icols, iemit = indef_cols
+        data = filtered.select(*icols)
+        if iemit is not None:
+            data = (
+                filtered.select(*icols, iemit.alias("_emit"))
+                .where(F.col("_emit"))
+                .drop("_emit")
+            )
     else:
         data = filtered.selectExpr(*items)
     if not fill_parts or fill_parts[0].lower() == "none":
@@ -2253,16 +2500,115 @@ def _windowed_projection(
 def _windowed(
     base, window, items, keys, fill_spec, ts_col, tsma_catalog=None,
     hint=None, tag_cols=(), is_child=False, ts_bounds=None, having=None,
+    plimit=None, slimit=None,
 ):
+    from pyspark.sql.window import Window as _W
+
     from tdengine_spark.operators.windowproj import PSEUDO_COLS, _with_duration
+
+    def sel(out):
+        out = fin(out)
+        out = out.select(*[c for c in keep if c in out.columns])
+        for k, v in pseudo_alias.items():
+            if k in out.columns:
+                out = out.withColumnRenamed(k, v)
+        return out
 
     def fin(out):
         # aggregate-mode HAVING: post-aggregation filter (projection mode
-        # handles it per-row inside _windowed_projection)
-        return out.where(F.expr(having)) if having else out
+        # handles it per-row inside _windowed_projection). hv_expr is
+        # bound after the aggregate list is built: selected aggregates
+        # substitute to their output columns; HAVING-only aggregates are
+        # computed per window as the extra `_hv` boolean column.
+        if having:
+            out = out.where(F.expr(hv_expr))
+            if "_hv" in out.columns:
+                out = out.drop("_hv")
+        if slimit is not None and keys:
+            from tdengine_spark.operators.slimit import slimit as _slim
+
+            pk = [k for k in keys if k in out.columns]
+            if pk:
+                out = _slim(out, pk, slimit)
+        if plimit is not None and keys:
+            # LIMIT under PARTITION BY is per-partition in the reference
+            # (first n rows of each partition in window order)
+            okey = "_wstart" if "_wstart" in out.columns else ts_col
+            pk = [k for k in keys if k in out.columns]
+            if pk and okey in out.columns:
+                w = _W.partitionBy(*pk).orderBy(okey)
+                out = (
+                    out.withColumn("_plim", F.row_number().over(w))
+                    .where(F.col("_plim") <= plimit)
+                    .drop("_plim")
+                )
+        return out
 
     wl = window.lower()
     pseudo = set(PSEUDO_COLS)
+
+    def _q_expr(name: str) -> str:
+        # _qstart/_qend/_qduration: the QUERY's ts range (WHERE clause
+        # bounds; builtins.c:5211 translateTimePseudoColumn) — constants
+        # for the whole statement, NULL when unbounded
+        lo, hi = ts_bounds if ts_bounds else (None, None)
+        if name == "_qstart":
+            return (f"timestamp_micros({lo})" if lo is not None
+                    else "cast(null as timestamp)")
+        if name == "_qend":
+            return (f"timestamp_micros({hi})" if hi is not None
+                    else "cast(null as timestamp)")
+        if lo is not None and hi is not None:
+            return f"cast({(hi - lo) // 1000} as bigint)"
+        return "cast(null as bigint)"
+
+    items = [
+        re.sub(
+            r"(?i)^\s*(_qstart|_qend|_qduration)"
+            r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
+            lambda m: f"{_q_expr(m.group(1).lower())} as "
+                      f"{m.group(2) or m.group(1).lower()}",
+            it,
+        )
+        for it in items
+    ]
+    # `_wstart as s` / `_wstart s`: keep the pseudo-column, rename on
+    # output; `count(*) c1` bare aliases normalize to `… as c1`
+    pseudo_alias = {}
+    norm = []
+    for it in items:
+        pm = re.match(
+            r"(?i)^\s*(_wstart|_wend|_wduration)\s+(?:as\s+)?"
+            r"([A-Za-z_]\w*)\s*$",
+            it,
+        )
+        if pm:
+            pseudo_alias[pm.group(1).lower()] = pm.group(2)
+            norm.append(pm.group(1).lower())
+            continue
+        bm = re.match(r"^(.*\))\s+([A-Za-z_]\w*)\s*$", it.strip(), re.DOTALL)
+        if bm and not re.match(r"(?i)\s*as\s*$", bm.group(2)):
+            norm.append(f"{bm.group(1)} as {bm.group(2)}")
+            continue
+        norm.append(it)
+    items = norm
+    if any(_GROUPFN_CALL_RE.search(it) for it in items):
+        # twa()/irate() in a window query: the lag pre-pass partitions
+        # by (keys, window bucket). Interval tumbling buckets are pure
+        # ts expressions; data-driven windows fall back to keys only.
+        gbucket = None
+        if wl.startswith("interval") and "sliding" not in wl:
+            mg = re.match(r"interval\s*\(\s*([^,)]+)(?:,\s*([^)]+))?\)", wl)
+            if mg:
+                goff = (mg.group(2) or "").strip() or None
+                if goff and goff.lower() == "auto":
+                    goff = None
+                gbucket = tw.window_start(
+                    F.col(ts_col), mg.group(1).strip(), goff
+                )
+        base, items = _prepare_groupfns(
+            base, items, keys, ts_col, bucket=gbucket
+        )
     const_mode = False
     non_pseudo = [it for it in items if it.strip() not in pseudo]
     if non_pseudo and not any(_has_agg(it) for it in non_pseudo):
@@ -2286,10 +2632,29 @@ def _windowed(
         if hint == "SCALAR" or any(
             not _refs_only_cols(it, const) for it in non_pseudo
         ):
-            return _windowed_projection(
+            out = _windowed_projection(
                 base, window, items, keys, fill_spec, ts_col, ts_bounds,
                 having=having, is_child=is_child,
             )
+            if slimit is not None and keys:
+                from tdengine_spark.operators.slimit import slimit as _slim
+
+                pk = [k for k in keys if k in out.columns]
+                if pk:
+                    out = _slim(out, pk, slimit)
+            if plimit is not None and keys:
+                pk = [k for k in keys if k in out.columns]
+                okey = next(
+                    (c for c in (ts_col, "_wstart") if c in out.columns), None
+                )
+                if pk and okey:
+                    w = _W.partitionBy(*pk).orderBy(okey)
+                    out = (
+                        out.withColumn("_plim", F.row_number().over(w))
+                        .where(F.col("_plim") <= plimit)
+                        .drop("_plim")
+                    )
+            return out
         const_mode = True
         items = [
             it
@@ -2300,6 +2665,27 @@ def _windowed(
 
     agg_items = [it for it in items if it.strip() not in pseudo]
     agg_exprs = [it for it in agg_items if not _is_plain_col(it, keys)]
+    if not const_mode and any(not _has_agg(it) for it in agg_exprs):
+        # non-constant plain columns mixed with aggregates in a window:
+        # companion semantics when a selection anchor exists, else the
+        # first row's value (reference implicit-selection behavior)
+        wanchor = _sel_anchor(agg_exprs, ts_col)
+        fixed = []
+        for it in agg_exprs:
+            if _has_agg(it):
+                fixed.append(it)
+                continue
+            am = _ITEM_ALIAS_RE.match(it.strip())
+            body, al = am.group("expr"), am.group("alias")
+            wrapped = (
+                f"{wanchor[0]}({body}, {wanchor[1]})" if wanchor
+                else f"first({body})"
+            )
+            nm2 = al or re.sub(r"\W+", "_", body.strip()).strip("_") or "expr"
+            if nm2[0].isdigit():
+                nm2 = "_" + nm2
+            fixed.append(f"{wrapped} as {nm2}")
+        agg_exprs = fixed
     # explicit aliases keep downstream selects name-safe: an unaliased
     # item like count(*) gets a sanitized identifier instead of Spark's
     # auto-name (which isn't selectable by string)
@@ -2312,8 +2698,27 @@ def _windowed(
             aggs.append(F.expr(it))
         else:
             nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
+            if nm[0].isdigit():
+                nm = "_" + nm
+            while nm in agg_names:
+                nm += "_"
             agg_names.append(nm)
             aggs.append(F.expr(it).alias(nm))
+    hv_expr = None
+    hv_in_aggs = False
+    if having:
+        pairs = [
+            (re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", e), n2)
+            for e, n2 in zip(agg_exprs, agg_names)
+        ]
+        hv_expr = _subst_agg_refs(having, pairs)
+        if _has_agg(hv_expr):
+            # HAVING references aggregates outside the select list:
+            # evaluate the whole predicate during the per-window groupBy
+            # (grouping keys are legal inside agg expressions)
+            aggs.append(F.expr(f"({having})").alias("_hv"))
+            hv_expr = "`_hv`"
+            hv_in_aggs = True
     want_dur = any(it.strip() == "_wduration" for it in items)
     # output columns in select-item order (golden row tuples compare
     # positionally)
@@ -2339,7 +2744,9 @@ def _windowed(
             (mm.group(2) or "").strip() or None,
             (mm.group(3) or "").strip() or None,
         )
-        if tsma_catalog is not None and not (fill_spec or offset or sliding):
+        if tsma_catalog is not None and not (
+            fill_spec or offset or sliding or hv_in_aggs
+        ):
             parsed = _parse_simple_aggs(agg_exprs)
             if parsed:
                 metric_aggs: dict = {}
@@ -2351,7 +2758,7 @@ def _windowed(
                 for op, metric, alias in parsed:
                     if alias != f"{op}_{metric}":
                         out = out.withColumnRenamed(f"{op}_{metric}", alias)
-                return fin(out).select(*[c for c in keep if c in out.columns])
+                return sel(out)
         if offset and offset.lower() == "auto":
             # INTERVAL(w, AUTO): origin = the WHERE range's start instant,
             # else the first data row (reference AUTO offset,
@@ -2371,7 +2778,7 @@ def _windowed(
             )
             if want_dur:
                 out = _with_duration(out)
-            return fin(out).select(*[c for c in keep if c in out.columns])
+            return sel(out)
         out = tw.interval_window(
             base, ts_col, width, sliding=sliding, offset=offset,
             partition_by=keys, aggs=aggs,
@@ -2385,7 +2792,9 @@ def _windowed(
                 # positional: fill(value, v1, v2, …) maps to the select's
                 # aggregate items in order (tfill.c fill value list)
                 vals = {
-                    a: float(parts[1 + i] if 1 + i < len(parts) else parts[-1])
+                    a: _parse_literal(
+                        parts[1 + i] if 1 + i < len(parts) else parts[-1]
+                    )
                     for i, a in enumerate(aliases)
                 }
             rs, re_ = _fill_range(ts_bounds, width, offset)
@@ -2399,21 +2808,23 @@ def _windowed(
                 )
             if want_dur:
                 out = _with_duration(out)
-            return fin(out).select(*[c for c in keep if c in out.columns])
+            return sel(out)
         if want_dur:
             out = _with_duration(out)
-        return fin(out).select(*[c for c in keep if c in out.columns])
+        return sel(out)
 
     from tdengine_spark.operators.eventwindow import window_agg
 
     wl, true_for = _strip_true_for(wl)
     assigned = _assign_data_windows(base, wl, ts_col, keys)
-    out = window_agg(assigned, ts_col, aggs, keys, true_for=true_for)
+    # SESSION names its own time column (session(tt, 3d) over a
+    # subquery's aliased ts) — window bounds use it
+    sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
+    ts_eff = sm2.group(1).strip() if sm2 else ts_col
+    out = window_agg(assigned, ts_eff, aggs, keys, true_for=true_for)
     if want_dur:
         out = _with_duration(out)
-    if want_dur or const_mode:
-        return fin(out).select(*[c for c in keep if c in out.columns])
-    return fin(out)
+    return sel(out)
 
 
 _INSERT_RE = re.compile(
@@ -2433,7 +2844,25 @@ def _parse_literal(tok: str):
     tok = tok.strip()
     if tok.upper() == "NULL":
         return None
-    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+    nm = re.match(
+        r"(?i)^(now|today)(?:\(\))?\s*(?:([+-])\s*(\d+)([a-z]))?$", tok
+    )
+    if nm:
+        import time
+
+        ms = int(time.time() * 1000)
+        if nm.group(1).lower() == "today":
+            ms -= ms % 86_400_000
+        if nm.group(2):
+            d = parse_duration(nm.group(3) + nm.group(4).lower())
+            if not d.is_calendar:
+                ms += (d.microseconds // 1000) * (
+                    1 if nm.group(2) == "+" else -1
+                )
+        return ms
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
         return tok[1:-1]
     try:
         return int(tok)
@@ -2472,6 +2901,16 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
     with ``tbname`` = the child name and the tag columns set from TAGS —
     the reference's child-table→super-table row mapping.
     """
+    hm = re.match(r"(?is)^\s*INSERT\s+INTO\s+(.*)$", sql.strip().rstrip(";"))
+    if hm:
+        segs = _split_depth0_segments(hm.group(1))
+        if len(segs) > 1:
+            # multi-table insert (parInsertSql.c: one VALUES run per
+            # target): dispatch each segment independently
+            return sum(
+                translate_insert(spark, db, f"INSERT INTO {seg}")
+                for seg in segs
+            )
     m = _INSERT_RE.match(sql)
     if not m:
         raise ValueError(f"unrecognized INSERT statement: {sql!r}")
@@ -2480,7 +2919,19 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
     if not rows:
         raise ValueError("INSERT with no VALUES rows")
     cols = [c.strip() for c in g["cols"].split(",")] if g["cols"] else None
-    target = g["stable"] or g["table"]
+    # db-qualified targets (`db.tb0`): the db prefix is the session
+    # database in these statements — the registry keys bare names
+    target = (g["stable"] or g["table"]).split(".")[-1]
+    child_tags = {}
+    reg = db.tables.get(target)
+    if g["stable"] is None and reg is not None and reg.parent:
+        # pre-declared child (CREATE TABLE … USING): route to the parent
+        parent = db.table(reg.parent)
+        child_tags = {"tbname": target}
+        child_tags.update(
+            dict(zip(parent.tag_cols, reg.tag_values))
+        )
+        target = reg.parent
     path = f"{db.root}/{target}.parquet"
     import os
 
@@ -2489,9 +2940,9 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         # evolved (post-ALTER) schema: overlay columns are insertable
         schema = db.table(target).read(spark).schema
 
-    extra = {}
+    extra = dict(child_tags)
     if g["stable"]:
-        extra["tbname"] = g["table"]
+        extra["tbname"] = g["table"].split(".")[-1]
         tagvals = [_parse_literal(t) for t in _split_select(g["tags"])]
         if g["tagcols"]:
             tagcols = [c.strip() for c in g["tagcols"].split(",")]
@@ -2530,8 +2981,21 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
             for d in data
         ]
         df = spark.createDataFrame(str_rows, str_schema)
+        from pyspark.sql.types import TimestampType as _TsT
+
         for f in out_fields:
-            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            if isinstance(f.dataType, _TsT):
+                # bare integer VALUES literal for a timestamp column =
+                # epoch ms (reference parser, db precision ms)
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name).rlike(r"^-?\d+$"),
+                        F.timestamp_millis(F.col(f.name).cast("bigint")),
+                    ).otherwise(F.col(f.name).cast("timestamp")),
+                )
+            else:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         # evolved columns write to their PHYSICAL names: versioned
         # generations, and renamed columns back to their on-disk name
         ov = db.table(target).load_overlay()
@@ -2583,18 +3047,96 @@ def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
     return out
 
 
+_CREATE_CHILD_RE = re.compile(
+    r"""
+    ^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?
+    (?P<table>[A-Za-z_][\w.]*)\s+USING\s+(?P<stable>[A-Za-z_][\w.]*)
+    \s*(?:\(\s*(?P<tagcols>[^)]*?)\s*\))?
+    \s*TAGS\s*\(\s*(?P<tags>.*?)\s*\)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+_SEG_KEYWORDS = {"values", "tags", "using", "file"}
+
+
+def _split_depth0_segments(text: str) -> "list[str]":
+    """Split a multi-target tail — ``tb0 … (…) tb1 … (…)`` — into one
+    segment per target table (sql.y multi_create_clause /
+    parInsertSql.c multi-table VALUES). A new segment starts at a
+    depth-0 identifier whose previous non-space character is ``)``,
+    unless the identifier is a clause keyword (VALUES/TAGS/USING)."""
+    segs, start = [], 0
+    depth, in_str, prev = 0, False, ""
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and prev == ")" and (ch.isalpha() or ch == "_"):
+                m = re.match(r"[\w.]+", text[i:])
+                if m and m.group(0).lower() not in _SEG_KEYWORDS:
+                    segs.append(text[start:i].strip())
+                    start = i
+        if not ch.isspace():
+            prev = ch
+        i += 1
+    segs.append(text[start:].strip())
+    return [s for s in segs if s]
+
+
 def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     """``CREATE STABLE t (cols…) TAGS (tags…)`` (sql.y CREATE TABLE
     rules): registers the SuperTable descriptor (ts/tag columns) and
     materializes an empty parquet dataset with the declared schema so
     INSERT/SELECT see consistent types. Returns the table name."""
+    hm = re.match(
+        r"(?is)^\s*CREATE\s+(?:STABLE|TABLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?(.*)$",
+        sql.strip().rstrip(";"),
+    )
+    if hm and " using " in hm.group(1).lower():
+        segs = _split_depth0_segments(hm.group(1))
+        if len(segs) > 1:
+            # multi-child create: one child registration per segment
+            # (sql.y multi_create_clause)
+            last = ""
+            for seg in segs:
+                seg = re.sub(r"(?is)^if\s+not\s+exists\s+", "", seg)
+                last = translate_create_table(
+                    spark, db, f"CREATE TABLE {seg}"
+                )
+            return last
+    cm = _CREATE_CHILD_RE.match(sql)
+    if cm:
+        # child table: register the parent mapping + tag values; rows
+        # land in the parent's dataset (INSERT routes through it)
+        child = cm.group("table").split(".")[-1]
+        parent = cm.group("stable").split(".")[-1]
+        pt = db.table(parent)
+        tagvals = tuple(
+            _parse_literal(v) for v in _split_select(cm.group("tags"))
+        )
+        from tdengine_spark.catalog import SuperTable
+
+        db.tables[child] = SuperTable(
+            name=child, path=f"{db.root}/{child}.parquet",
+            ts_col=pt.ts_col, tag_cols=pt.tag_cols, child=True,
+            parent=parent, tag_values=tagvals,
+        )
+        return child
     m = _CREATE_TABLE_RE.match(sql)
     if not m:
         raise ValueError(f"unrecognized CREATE TABLE statement: {sql!r}")
     g = m.groupdict()
     cols = _parse_col_defs(g["cols"])
     tags = _parse_col_defs(g["tags"]) if g["tags"] else []
-    name = g["table"]
+    name = g["table"].split(".")[-1]
     fields = cols + tags + ([("tbname", "string")] if tags else [])
     schema_str = ", ".join(f"{n} {t}" for n, t in fields)
     import os
@@ -2870,18 +3412,33 @@ _INDEF_ITEM_RE = re.compile(
 
 
 def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
-    """Column list when ≥1 select item calls an indef function (diff,
-    csum, mavg, derivative, statecount, stateduration — reference
-    ``SELECT diff(v) FROM t PARTITION BY tag`` shape), else None.
-    Plain items pass through as expressions."""
+    """(columns, emit-condition) when ≥1 select item calls an indef
+    function (diff, csum, mavg, derivative, statecount, stateduration —
+    reference ``SELECT diff(v) FROM t PARTITION BY tag`` shape), else
+    None. Plain items pass through as expressions.
+
+    The emit condition reproduces the reference's row-dropping rules
+    (projectoperator.c indef output): diff drops the first row per
+    group; csum drops NULL-input rows; mavg drops NULL inputs and the
+    first k-1; derivative drops undefined outputs; statecount/
+    stateduration emit every row."""
+    from pyspark.sql.window import Window as _W
+
     from tdengine_spark.functions import indef
 
     def unq(s: str) -> str:
         s = s.strip()
         return s[1:-1] if len(s) >= 2 and s[0] == "'" and s[-1] == "'" else s
 
+    w = _W.partitionBy(*keys).orderBy(ts_col)
     any_indef = False
     cols = []
+    emit = None
+
+    def add_emit(c):
+        nonlocal emit
+        emit = c if emit is None else (emit & c)
+
     for it in items:
         m = _INDEF_ITEM_RE.match(it.strip())
         fn = m.group(1).lower() if m else None
@@ -2896,12 +3453,23 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
                 args[0], ts_col, keys,
                 ignore_negative=len(args) > 1 and args[1] in ("1", "3"),
             )
+            add_emit(F.lag(F.lit(0)).over(w).isNotNull())
         elif fn == "csum":
             c = indef.csum(args[0], ts_col, keys)
+            add_emit(F.col(args[0]).isNotNull())
         elif fn == "mavg":
             c = indef.mavg(args[0], int(args[1]), ts_col, keys)
+            add_emit(c.isNotNull() & F.col(args[0]).isNotNull())
         elif fn == "derivative":
-            c = indef.derivative(args[0], unq(args[1]), ts_col, keys)
+            # bare-integer time_interval = ticks in the db precision (ms)
+            unit = unq(args[1])
+            if re.fullmatch(r"\d+", unit):
+                unit += "a"
+            c = indef.derivative(
+                args[0], unit, ts_col, keys,
+                ignore_negative=len(args) > 2 and unq(args[2]) == "1",
+            )
+            add_emit(c.isNotNull())
         elif fn == "statecount":
             c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
         else:  # stateduration
@@ -2910,7 +3478,179 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
                 unq(args[3]) if len(args) > 3 else "1s", ts_col, keys,
             )
         cols.append(c.alias(alias))
-    return cols if any_indef else None
+    return (cols, emit) if any_indef else None
+
+
+def _sel_anchor(items, ts_col):
+    """Selection-function anchor for companion columns: plain columns
+    may accompany ONE min/max/first/last/last_row item (first/last are
+    already rewritten to min_by/max_by) and take their values from the
+    selected row (builtins.c FUNC_MGT_SELECT_FUNC row semantics).
+    Returns (pick_fn, key_sql) or None."""
+    for it in items:
+        body = re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip()
+        m2 = re.match(r"(?i)^(min|max)\s*\(\s*([A-Za-z_]\w*)\s*\)$", body)
+        if m2:
+            fn, col = m2.group(1).lower(), m2.group(2)
+            # rank field: non-null anchor rows always win, but an
+            # all-NULL group still yields a companion row (reference
+            # returns the row even when min/max itself is NULL)
+            if fn == "min":
+                return (
+                    "min_by",
+                    f"struct(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END,"
+                    f" {col}, unix_micros({ts_col}))",
+                )
+            return (
+                "max_by",
+                f"struct(CASE WHEN {col} IS NULL THEN 0 ELSE 1 END,"
+                f" {col}, -unix_micros({ts_col}))",
+            )
+        m3 = re.match(r"(?i)^(min_by|max_by)\s*\(", body)
+        if m3 and body.endswith(")"):
+            args = _split_select(body[m3.end():-1])
+            if len(args) == 2:
+                return (m3.group(1).lower(), args[1])
+    return None
+
+
+#: multi-row selection functions: each call EXPANDS to k rows per group
+#: (builtins.c FUNC_MGT_ROWS_FUNC family) — companion items take their
+#: values from the selected rows
+_ROWSEL_ITEM_RE = re.compile(
+    r"^(top|bottom|sample|tail|unique)\s*\(\s*(.*?)\s*\)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _match_rowsel(items):
+    """(index, match) when exactly one select item is a multi-row
+    selection call (top/bottom/sample/tail/unique), else None."""
+    found = None
+    for i, it in enumerate(items):
+        m = _ROWSEL_ITEM_RE.match(it.strip())
+        if m:
+            if found is not None:
+                return None
+            found = (i, m)
+    return found
+
+
+def _translate_rowsel(base, items, found, keys, ts_col):
+    """SELECT [companions,] top(c,k) [, companions] … PARTITION BY keys:
+    route through functions/selection.py row-expanding operators; the
+    companion items read from the selected rows."""
+    from tdengine_spark.functions import selection as S
+
+    idx, m = found
+    fn = m.group(1).lower()
+    args = [a.strip() for a in _split_select(m.group(2))]
+    alias = m.group(3)
+    if fn in ("top", "bottom"):
+        col = args[0]
+        df = (S.top if fn == "top" else S.bottom)(
+            base, col, int(args[1]), ts_col, keys
+        )
+    elif fn == "sample":
+        col = args[0]
+        df = S.sample(
+            base.where(F.col(col).isNotNull()), int(args[1]), keys
+        )
+    elif fn == "tail":
+        col = args[0]
+        df = S.tail(
+            base, int(args[1]),
+            int(args[2]) if len(args) > 2 else 0, ts_col, keys,
+        )
+    else:  # unique
+        col = args[0]
+        df = S.unique(base, col, ts_col, keys)
+    sel = []
+    for i, it in enumerate(items):
+        if i == idx:
+            sel.append(F.col(col).alias(alias or f"{fn}_{col}"))
+            continue
+        am = _ITEM_ALIAS_RE.match(it.strip())
+        e = F.expr(am.group("expr"))
+        sel.append(e.alias(am.group("alias")) if am.group("alias") else e)
+    return df.select(*sel)
+
+
+_GROUPFN_CALL_RE = re.compile(
+    r"(?i)\b(twa|irate)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+)
+
+
+def _prepare_groupfns(base, items, keys, ts_col, bucket=None):
+    """Rewrite twa()/irate() calls into plain aggregate expressions over
+    helper columns appended to ``base`` (builtins.c twaFunction:4008 /
+    irateFunction:3645). The helpers need one lag pre-pass partitioned
+    by (keys, window-bucket) in ts order; the rewritten item is then an
+    ordinary aggregate, freely combinable with avg/count/… in the same
+    groupBy. Returns (base, items) unchanged when no call is present."""
+    calls = sorted({
+        (m.group(1).lower(), m.group(2))
+        for it in items
+        for m in _GROUPFN_CALL_RE.finditer(it)
+    })
+    if not calls:
+        return base, items
+    from pyspark.sql.window import Window as _W
+
+    parts = [F.expr(k) for k in keys] if keys else []
+    if bucket is not None:
+        parts = parts + [bucket]
+    w = (_W.partitionBy(*parts) if parts else _W.partitionBy(F.lit(1))
+         ).orderBy(ts_col)
+    wprev = w.rowsBetween(_W.unboundedPreceding, -1)
+    t = F.unix_micros(F.col(ts_col)).cast("double")
+    newcols, mapping = [], {}
+    for i, (fn, col) in enumerate(calls):
+        v = F.col(col).cast("double")
+        tn = F.when(v.isNotNull(), t)
+        prev_t = F.last(tn, ignorenulls=True).over(wprev)
+        prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wprev)
+        if fn == "twa":
+            area = F.when(
+                v.isNotNull() & prev_t.isNotNull(),
+                (v + prev_v) / 2.0 * (t - prev_t),
+            ).otherwise(0.0)
+            newcols += [
+                tn.alias(f"_twa_t{i}"), v.alias(f"_twa_v{i}"),
+                area.alias(f"_twa_a{i}"),
+            ]
+            mapping[(fn, col)] = (
+                f"(CASE WHEN count(_twa_v{i}) = 0 THEN NULL "
+                f"WHEN max(_twa_t{i}) > min(_twa_t{i}) "
+                f"THEN sum(_twa_a{i}) / (max(_twa_t{i}) - min(_twa_t{i})) "
+                f"ELSE min_by(_twa_v{i}, _twa_t{i}) END)"
+            )
+        else:  # irate: rate from the last two non-null samples
+            s = F.when(
+                v.isNotNull(),
+                F.struct(
+                    t.alias("t"), v.alias("v"),
+                    prev_t.alias("pt"), prev_v.alias("pv"),
+                ),
+            )
+            newcols.append(s.alias(f"_ir{i}"))
+            sN = f"max_by(_ir{i}, _ir{i}.t)"
+            mapping[(fn, col)] = (
+                f"(CASE WHEN count(_ir{i}) = 0 THEN NULL "
+                f"WHEN {sN}.pt IS NULL THEN 0.0D "
+                f"ELSE (CASE WHEN {sN}.v >= {sN}.pv "
+                f"THEN {sN}.v - {sN}.pv ELSE {sN}.v END) "
+                f"/ (({sN}.t - {sN}.pt) / 1e6) END)"
+            )
+    base = base.select("*", *newcols)
+
+    def rep(it):
+        return _GROUPFN_CALL_RE.sub(
+            lambda m: mapping[(m.group(1).lower(), m.group(2))], it
+        )
+
+    return base, [rep(it) for it in items]
 
 
 def _view_exists(spark: SparkSession, name: str) -> bool:
@@ -2940,7 +3680,7 @@ def _split_select(select: str) -> list[str]:
 _AGG_RE = re.compile(
     r"\b(count|sum|avg|min|max|stddev|stddev_pop|stddev_samp|var_pop|var_samp|"
     r"percentile|percentile_approx|approx_count_distinct|max_by|min_by|corr|"
-    r"mode|collect_list|collect_set)\s*\(",
+    r"mode|collect_list|collect_set|twa|irate)\s*\(",
     re.IGNORECASE,
 )
 

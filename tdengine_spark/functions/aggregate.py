@@ -134,16 +134,30 @@ def twa(
     w = Window.partitionBy(*keys).orderBy(ts_col)
     t = F.unix_micros(F.col(ts_col)).cast("double")
     v = F.col(val_col).cast("double")
-    prev_t = F.lag(t).over(w)
-    prev_v = F.lag(v).over(w)
-    area = F.when(prev_t.isNull(), 0.0).otherwise((v + prev_v) / 2.0 * (t - prev_t))
-    staged = df.select(*keys, t.alias("_t"), v.alias("_v"), area.alias("_area"))
+    # NULL samples do not participate (reference skips them), but the
+    # group itself must survive all-NULL input (twa = NULL) — so link
+    # each non-null sample to the previous NON-NULL one instead of
+    # filtering rows out before the window pass
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wprev)
+    prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wprev)
+    area = F.when(
+        v.isNotNull() & prev_t.isNotNull(),
+        (v + prev_v) / 2.0 * (t - prev_t),
+    ).otherwise(0.0)
+    staged = df.select(
+        *keys,
+        F.when(v.isNotNull(), t).alias("_t"),
+        v.alias("_v"),
+        area.alias("_area"),
+    )
     return staged.groupBy(*keys).agg(
-        F.when(
+        F.when(F.count("_v") == 0, F.lit(None).cast("double"))
+        .when(
             F.max("_t") > F.min("_t"),
             F.sum("_area") / (F.max("_t") - F.min("_t")),
         )
-        .otherwise(F.first("_v"))
+        .otherwise(F.first("_v", ignorenulls=True))
         .alias(out_col)
     )
 

@@ -40,8 +40,13 @@ def bucket_spine(
     min/max ``_wstart``, as a DataFrame (group_cols..., _wstart)."""
     partition_by = partition_by or []
     w = parse_duration(width)
-    lo = F.lit(range_start).cast("timestamp") if range_start is not None else F.min(WSTART)
-    hi = F.lit(range_end).cast("timestamp") if range_end is not None else F.max(WSTART)
+    def _b(v):
+        # bounds arrive as Columns (Spark-side bucketing), datetimes or
+        # strings — normalize to a timestamp Column
+        return v if isinstance(v, Column) else F.lit(v).cast("timestamp")
+
+    lo = _b(range_start) if range_start is not None else F.min(WSTART)
+    hi = _b(range_end) if range_end is not None else F.max(WSTART)
     # zero-bucket groups emit nothing: with an explicit range the lo/hi
     # literals would otherwise fabricate a spine for an empty input
     per_group = agg.groupBy(*partition_by).agg(
@@ -88,11 +93,16 @@ def fill(
         out = joined
     elif mode == "value":
         fv = fill_values or {}
+        # fill constants coerce to the column's type (reference
+        # convertFillType): 6 → true for BOOL, '6' for VARCHAR, …
+        dtypes = {f.name: f.dataType for f in joined.schema.fields}
         out = joined.select(
             *partition_by,
             WSTART,
             *[
-                F.coalesce(F.col(c), F.lit(fv.get(c, 0))).alias(c)
+                F.coalesce(
+                    F.col(c), F.lit(fv.get(c, 0)).cast(dtypes[c])
+                ).alias(c)
                 for c in value_cols
             ],
         )
@@ -123,10 +133,18 @@ def _directional_fill(
         .orderBy(WSTART)
         .rowsBetween(0, Window.unboundedFollowing)
     )
+    from pyspark.sql.types import NumericType
+
+    dtypes = {f.name: f.dataType for f in joined.schema.fields}
     ts_us = F.unix_micros(F.col(WSTART))
     cols: list[Column] = []
     for c in value_cols:
         v = F.col(c)
+        if mode == "linear" and not isinstance(dtypes[c], NumericType):
+            # LINEAR cannot interpolate non-numeric columns — the
+            # reference fills NULL (tfill.c doLinearInterpolation)
+            cols.append(F.when(v.isNotNull(), v).alias(c))
+            continue
         prev_v = F.last(v, ignorenulls=True).over(wprev)
         next_v = F.first(v, ignorenulls=True).over(wnext)
         prev_t = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wprev)

@@ -45,18 +45,35 @@ def window_start(
     w = parse_duration(width)
     if w.is_calendar:
         months = w.value * (12 if w.unit == "y" else 1)
+        # calendar offset (INTERVAL(1n, 1w) / INTERVAL(1y, 6n)): shift,
+        # truncate, shift back — windows anchored at trunc+offset
+        # (reference taosTimeTruncate with interval offset)
+        shift = None
+        if offset is not None:
+            o = parse_duration(offset)
+            if o.is_calendar:
+                shift = F.make_ym_interval(
+                    F.lit(0), F.lit(o.value * (12 if o.unit == "y" else 1))
+                )
+            elif o.microseconds:
+                shift = F.expr(f"INTERVAL {o.microseconds} MICROSECOND")
+        tsx = ts - shift if shift is not None else ts
         if months == 1:
-            return F.date_trunc("month", ts)
-        if months == 12:
-            return F.date_trunc("year", ts)
-        # k-month buckets anchored at epoch (1970-01)
-        month_idx = (F.year(ts) - F.lit(1970)) * 12 + F.month(ts) - 1
-        bucket = F.floor(month_idx / months) * months
-        return F.to_timestamp(
-            F.make_date(
-                (bucket / 12).cast("int") + 1970, (bucket % 12).cast("int") + 1, F.lit(1)
+            trunc = F.date_trunc("month", tsx)
+        elif months == 12:
+            trunc = F.date_trunc("year", tsx)
+        else:
+            # k-month buckets anchored at epoch (1970-01)
+            month_idx = (F.year(tsx) - F.lit(1970)) * 12 + F.month(tsx) - 1
+            bucket = F.floor(month_idx / months) * months
+            trunc = F.to_timestamp(
+                F.make_date(
+                    (bucket / 12).cast("int") + 1970,
+                    (bucket % 12).cast("int") + 1,
+                    F.lit(1),
+                )
             )
-        )
+        return (trunc + shift).cast("timestamp") if shift is not None else trunc
     us = F.lit(w.microseconds)
     off = F.lit(parse_duration(offset).microseconds if offset is not None else 0)
     epoch_us = F.unix_micros(ts)

@@ -125,16 +125,13 @@ def projection_fill_rows(
     the reference's fill operator uses for generated rows."""
     keys = list(partition_by or [])
     w = parse_duration(width)
-    lo = (
-        F.lit(range_start).cast("timestamp")
-        if range_start is not None
-        else F.min(WSTART)
-    )
-    hi = (
-        F.lit(range_end).cast("timestamp")
-        if range_end is not None
-        else F.max(WSTART)
-    )
+    def _b(v):
+        # bounds arrive as Columns (Spark-side bucketing), datetimes or
+        # strings — normalize to a timestamp Column
+        return v if isinstance(v, Column) else F.lit(v).cast("timestamp")
+
+    lo = _b(range_start) if range_start is not None else F.min(WSTART)
+    hi = _b(range_end) if range_end is not None else F.max(WSTART)
     # a group with zero observed buckets emits nothing — the reference's
     # fill needs at least one data row in range (an all-empty WHERE range
     # returns an empty result, not a wall of filled rows)

@@ -17,7 +17,8 @@ def test_interval_partition_by(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT _wstart, count(*) as cnt, round(avg(value), 4) as avg_v "
+        "SELECT _wstart, event_type, count(*) as cnt, "
+        "round(avg(value), 4) as avg_v "
         "FROM events PARTITION BY event_type INTERVAL(1h)",
     )
     expect = (
@@ -33,7 +34,7 @@ def test_interval_fill_prev_sql(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT _wstart, round(avg(value),4) as v FROM events "
+        "SELECT _wstart, event_type, round(avg(value),4) as v FROM events "
         "PARTITION BY event_type INTERVAL(1h) FILL(prev)",
     )
     # filled spine: contiguous buckets per type
@@ -101,7 +102,8 @@ def test_last_first_rewrites(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT last(value) as lv, first(value) as fv, last_row(event_id) as le "
+        "SELECT user_id, last(value) as lv, first(value) as fv, "
+        "last_row(event_id) as le "
         "FROM events GROUP BY user_id",
     )
     base = Database(root=SF).read(spark, "events")
@@ -122,11 +124,15 @@ def test_order_slimit_limit(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT count(*) as n FROM events PARTITION BY user_id "
+        "SELECT user_id, count(*) as n FROM events PARTITION BY user_id "
         "SESSION(ts, 1h) SLIMIT 3 LIMIT 10",
     )
     rows = out.collect()
-    assert len(rows) <= 10
+    # LIMIT under PARTITION BY is per-partition (reference semantics)
+    assert len(rows) <= 30
+    from collections import Counter
+
+    assert max(Counter(r.user_id for r in rows).values()) <= 10
     assert out.select("user_id").distinct().count() <= 3
 
 
@@ -277,7 +283,7 @@ def test_partition_by_window_group_by_residue(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT _wstart, count(*) as cnt FROM events "
+        "SELECT _wstart, event_type, user_id, count(*) as cnt FROM events "
         "PARTITION BY event_type INTERVAL(1d) GROUP BY user_id",
     )
     # both keys present in the window grouping
@@ -396,14 +402,15 @@ def test_state_window_true_for(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT count(*) as n FROM events PARTITION BY user_id "
+        "SELECT _wstart, _wend, count(*) as n FROM events "
+        "PARTITION BY user_id "
         "STATE_WINDOW(event_type) TRUE_FOR(1h)",
     )
     base = translate(
         spark,
         _db(),
-        "SELECT count(*) as n FROM events PARTITION BY user_id "
-        "STATE_WINDOW(event_type)",
+        "SELECT _wstart, _wend, count(*) as n FROM events "
+        "PARTITION BY user_id STATE_WINDOW(event_type)",
     )
     # TRUE_FOR keeps only windows lasting ≥ 1h → strictly fewer rows
     n_tf, n_all = out.count(), base.count()
@@ -495,7 +502,8 @@ def test_dialect_tsma_rewrite(spark, tmp_path):
     )
     cat = TsmaCatalog()
     cat.register(spec)
-    sql = ("SELECT _wstart, avg(value) as avg_v, count(value) as n "
+    sql = ("SELECT _wstart, event_type, avg(value) as avg_v, "
+           "count(value) as n "
            "FROM events PARTITION BY event_type INTERVAL(6h)")
     rewritten = translate(spark, _db(), sql, tsma_catalog=cat)
     raw = translate(spark, _db(), sql)
@@ -540,11 +548,21 @@ def test_indef_functions_in_select(spark):
         "mavg(value, 3) AS m FROM events PARTITION BY user_id",
     )
     ev = Database(root=SF).read(spark, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    # dialect emission follows the reference's row-dropping rules:
+    # diff drops the first row per key; csum drops NULL inputs; mavg
+    # drops rows until k values are seen — the combined statement keeps
+    # the intersection
     expect = ev.select(
-        "user_id", "ts",
+        "user_id", "ts", "value",
         indef.diff("value", "ts", ["user_id"]).alias("d"),
         indef.csum("value", "ts", ["user_id"]).alias("c"),
         indef.mavg("value", 3, "ts", ["user_id"]).alias("m"),
+        F.lag(F.lit(0)).over(w).isNotNull().alias("_notfirst"),
+    ).where(
+        F.col("_notfirst") & F.col("value").isNotNull() & F.col("m").isNotNull()
     )
     a = {(r.user_id, r.ts): (r.d, r.c, r.m) for r in out.collect()}
     b = {(r.user_id, r.ts): (r.d, r.c, r.m) for r in expect.collect()}
@@ -566,7 +584,8 @@ def test_anomaly_window_dialect(spark):
     out = translate(
         spark,
         _db(),
-        "SELECT count(*) as n, round(avg(value), 4) as avg_v FROM events "
+        "SELECT _wstart, _wend, event_type, count(*) as n, "
+        "round(avg(value), 4) as avg_v FROM events "
         "PARTITION BY event_type ANOMALY_WINDOW(value, 'algo=mad')",
     )
     rows = out.collect()

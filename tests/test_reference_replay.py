@@ -1,0 +1,102 @@
+"""Run the reference's OWN 13-TimeSeriesExt pytest files on this engine.
+
+Each entry replays one reference test method verbatim through the
+tdSql shim (tests/reference_replay.py): its DDL/inserts build parquet
+fixtures, its queries go through dialect.translate, and its
+checkRows/checkData assertions are enforced — reference parity at the
+statement level for the TSDB-core window suites the golden-file corpora
+don't cover.
+"""
+
+import os
+
+import pytest
+
+from reference_replay import ReplayCheckError, TdSqlShim, load_reference_test
+
+REF = "/root/reference/test/cases/13-TimeSeriesExt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test tree not present"
+)
+
+
+def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
+            known=()):
+    """Replay ``methods`` of a reference test file. ``known``: substrings
+    of check-failure messages that are accepted (documented reference
+    quirks — e.g. statements the reference's own file marks
+    '# bug need fix'); any other failure raises."""
+    shim = TdSqlShim(spark, tz_shift_hours=tz_shift_hours, soft=bool(known))
+    try:
+        obj = load_reference_test(f"{REF}/{relpath}", shim)
+        for m in methods:
+            getattr(obj, m)()
+    finally:
+        shim.close()
+    unexpected = [
+        f for f in shim.failures if not any(k in f for k in known)
+    ]
+    assert not unexpected, unexpected[:5]
+    assert shim.stats["checks"] >= min_checks, shim.stats
+    return shim.stats
+
+
+def test_replay_fill_parser(spark):
+    """02-Fill/test_ts_fill.py ParserFill — tsim/parser/fill.sim
+    migration: VALUE/PREV/NULL/LINEAR/NONE fill over 5m intervals,
+    WHERE-range spines, error statements."""
+    stats = _replay(spark, "02-Fill/test_ts_fill.py", ["ParserFill"],
+                    min_checks=200)
+    print(stats)
+
+
+def test_replay_fill_stb(spark):
+    """02-Fill/test_ts_fill.py FillStb — super-table fill with partition
+    and group semantics."""
+    stats = _replay(spark, "02-Fill/test_ts_fill.py", ["FillStb"],
+                    min_checks=50)
+    print(stats)
+
+
+def test_replay_session(spark):
+    """06-SessionWindow/test_session.py — tsim/query/session.sim
+    migration: SESSION over ms gaps, child + super tables (wall-clock
+    string inserts → wall-to-wall compare)."""
+    stats = _replay(spark, "06-SessionWindow/test_session.py",
+                    ["test_session"], tz_shift_hours=0, min_checks=60)
+    print(stats)
+
+
+def test_replay_count_window(spark):
+    """07-CountWindow/test_count.py Count0+Count1 — COUNT_WINDOW
+    tumbling/sliding over epoch-ms fixtures."""
+    stats = _replay(spark, "07-CountWindow/test_count.py",
+                    ["Count0", "Count1"], min_checks=60)
+    print(stats)
+
+
+def test_replay_partitionby(spark):
+    """01-PartitionBy/test_ts_partitonby.py — PARTITION BY over plain
+    projections, tags, ordinary columns and expressions; companion
+    columns with max/top; twa/irate/sample/diff/csum/mavg grouped;
+    SLIMIT/SOFFSET; multi-table CREATE/INSERT. Known-tolerated:
+    the reference's own '# bug need fix' sample(c1,2) row count, and
+    its ORDER-BY+SLIMIT partition passthrough."""
+    stats = _replay(
+        spark, "01-PartitionBy/test_ts_partitonby.py",
+        ["test_ts_partitionby"], tz_shift_hours=0, min_checks=75,
+        known=(
+            "sample(c1,2)",
+            "slimit 5 soffset 0",
+        ),
+    )
+    print(stats)
+
+
+def test_replay_event_window(spark):
+    """05-EventWindow/test_event.py — EVENT_WINDOW start/end conditions
+    over mixed-type trigger columns."""
+    stats = _replay(spark, "05-EventWindow/test_event.py",
+                    ["test_event"], tz_shift_hours=0, min_checks=15)
+    print(stats)
