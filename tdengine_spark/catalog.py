@@ -38,6 +38,13 @@ TESTDATA_TABLES = (
 )
 
 
+#: engine session timezone (the reference's server `timezone` config,
+#: taos.cfg). Every catalog read pins the Spark session to this zone so
+#: literal parsing, calendar bucketing and rendering stay consistent;
+#: replays of the reference CI set "Asia/Shanghai" here.
+SESSION_TZ = "UTC"
+
+
 @dataclass
 class SuperTable:
     """Descriptor for a super table: where it lives and its key columns."""
@@ -55,6 +62,15 @@ class SuperTable:
     #: dataset under tbname = this name, with these tag values
     parent: "str | None" = None
     tag_values: tuple = ()
+    #: dialect-managed (created via CREATE TABLE/STABLE): reads dedup
+    #: keep-last on (tbname, ts) — the reference's overwrite-update on
+    #: duplicate-key INSERT. Driver testdata tables stay unmanaged, so
+    #: gate/bench scans pay no dedup aggregate.
+    managed: bool = False
+    #: COMPOSITE PRIMARY KEY (sql.y:3250 column_options PRIMARY KEY): a
+    #: second key column — rows are unique on (tbname, ts, pk_col), so
+    #: dedup-on-read, as-of picks and last_row tie-breaks key on it.
+    pk_col: "str | None" = None
 
     # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
     # The reference records ALTERs as mnode metadata (schema version
@@ -128,7 +144,7 @@ class SuperTable:
         # our factory — ns-precision parquet fails to read without the
         # legacy conf, and non-UTC sessions render timestamps shifted
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.session.timeZone", SESSION_TZ)
         # Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ by
         # default; the engine (like the reference, which stores epoch int64)
         # works in epoch-UTC TIMESTAMP — unix_micros() et al. require it
@@ -161,11 +177,19 @@ class SuperTable:
                     df = df.where(F.col(self.ts_col) < F.lit(hi).cast("timestamp"))
         df = _normalize_ns_timestamps(df, self.path, ns_cols)
         if dedup and self.ts_col in df.columns:
-            df = dedup_keep_last(
-                df,
-                keys=[c for c in (self.tbname_col, self.ts_col) if c in df.columns],
-                version_col=self.version_col,
-            )
+            keys = [
+                c
+                for c in (self.tbname_col, self.ts_col, self.pk_col)
+                if c and c in df.columns
+            ]
+            if self.version_col or "_version" in df.columns:
+                df = dedup_keep_last(df, keys=keys, version_col=self.version_col)
+            else:
+                # unversioned (dialect INSERT) dataset: duplicate-key
+                # rows come from re-inserts of the same logical row —
+                # any single winner reproduces the reference's
+                # overwrite-update visible state
+                df = df.dropDuplicates(keys)
         return df
 
 

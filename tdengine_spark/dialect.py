@@ -58,7 +58,7 @@ from tdengine_spark.operators.fill import fill as _fill
 _CLAUSE_RE = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.*?)
-    \s+FROM\s+(?P<table>[A-Za-z_][\w.]*)
+    \s*\bFROM\s+(?P<table>[A-Za-z_][\w.]*)
     (?:\s+(?:AS\s+)?
        (?!WHERE\b|PARTITION\b|INTERVAL\b|SESSION\b|STATE_WINDOW\b
          |EVENT_WINDOW\b|COUNT_WINDOW\b|ANOMALY_WINDOW\b|FILL\b|GROUP\b
@@ -408,16 +408,47 @@ def _rewrite_call(s: str, name: str, render) -> str:
     return "".join(out)
 
 
-def _rewrite_aggs(select: str, ts_col: str) -> str:
+def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
     """Dialect aggregate names → Spark equivalents (text level)."""
     s = select
+
+    def cols_fn(a):
+        # cols(sel_fn(c), expr): expr evaluated at the row the selection
+        # function picks (builtins.c colsFunction, v3.3.6)
+        m = re.match(
+            r"(?is)^\s*(first|last|last_row|min|max)\s*\(\s*(.+?)\s*\)\s*$",
+            a[0],
+        )
+        if not m or len(a) < 2:
+            return "cols(" + ", ".join(a) + ")"
+        fn, c = m.group(1).lower(), m.group(2)
+        if fn == "first":
+            pick, key = "min_by", f"CASE WHEN {c} IS NOT NULL THEN {ts_col} END"
+        elif fn == "last":
+            pick, key = "max_by", f"CASE WHEN {c} IS NOT NULL THEN {ts_col} END"
+        elif fn == "last_row":
+            pick, key = "max_by", ts_col
+        elif fn == "min":
+            pick = "min_by"
+            key = (f"struct(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END,"
+                   f" {c}, unix_micros({ts_col}))")
+        else:
+            pick = "max_by"
+            key = (f"struct(CASE WHEN {c} IS NULL THEN 0 ELSE 1 END,"
+                   f" {c}, -unix_micros({ts_col}))")
+        return f"{pick}({a[1]}, {key})"
+
+    s = _rewrite_call(s, "cols", cols_fn)
     s = _rewrite_call(s, "spread", lambda a: f"(max({a[0]}) - min({a[0]}))")
     s = _rewrite_call(
         s,
         "elapsed",
         lambda a: f"((max(unix_micros({a[0]})) - min(unix_micros({a[0]}))) / 1000.0)",
     )
-    s = _rewrite_call(s, "last_row", lambda a: f"max_by({a[0]}, {ts_col})")
+    # composite-pk tables: last_row ties on ts break on the larger pk
+    # (reference pk-aware row order, sql.y:3250 PRIMARY KEY option)
+    lr_key = f"struct({ts_col}, {pk_col})" if pk_col else ts_col
+    s = _rewrite_call(s, "last_row", lambda a: f"max_by({a[0]}, {lr_key})")
     s = _rewrite_call(
         s,
         "last",
@@ -606,7 +637,8 @@ def _child_slice(spark: SparkSession, db: Database, name: str):
     if reg is not None and reg.parent and os.path.exists(
         f"{db.root}/{reg.parent}.parquet"
     ):
-        df = db.table(reg.parent).read(spark)
+        parent = db.table(reg.parent)
+        df = parent.read(spark, dedup=parent.managed)
         return df.where(F.col("tbname") == name)
     for st_tbl in list(db.tables.values()):
         if st_tbl.name == name or not os.path.exists(st_tbl.path):
@@ -627,7 +659,10 @@ def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
     import os
 
     if os.path.exists(f"{db.root}/{name}.parquet"):
-        return db.read(spark, name)
+        reg0 = db.tables.get(name)
+        return db.read(
+            spark, name, dedup=bool(reg0 is not None and reg0.managed)
+        )
     if _view_exists(spark, name):
         return spark.table(name)
     child = _child_slice(spark, db, name)
@@ -1005,7 +1040,8 @@ def _translate_external_window(
     if g["where"]:
         fact = fact.where(F.expr(_rewrite_ops(g["where"])))
     keys = (
-        [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+        [c.strip() for c in _split_select(g["partition"])]
+        if g["partition"] else []
     )
     sub_sql = _strip_outer_parens(sub_text)
     windows = translate(spark, db, sub_sql, ts_col)
@@ -1673,6 +1709,26 @@ def translate(
     whose select list is plain avg/sum/count/min/max aggregates are
     transparently rewritten onto a compatible pre-aggregation — the
     reference's TSMA planner rewrite (SURVEY §4.3)."""
+    # reference NULL-on-error semantics are scoped to dialect plans:
+    # analysis (which bakes ANSI behavior into the expressions) happens
+    # eagerly inside this call, so flipping the conf around it leaves
+    # the rest of the session ANSI-strict
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        return _translate_inner(spark, db, sql, ts_col, tsma_catalog)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+
+def _translate_inner(
+    spark: SparkSession,
+    db: Database,
+    sql: str,
+    ts_col: str = "ts",
+    tsma_catalog=None,
+) -> DataFrame:
+    sql = _outside_quotes(sql, lambda s: s.replace("`", ""))
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
     # `_c0`: the reference's internal alias for the first (timestamp)
@@ -1720,7 +1776,27 @@ def translate(
         inner.createOrReplaceTempView(name)
         # leading space: `from(select …)` is legal dialect spelling
         repl = f" {name} AS {alias}" if alias else f" {name}"
-        return translate(spark, db, sql[:lo] + repl + sql[hi:], ts_col)
+        # primary-key tracking: the reference carries the pk role through
+        # projections — `_wstart as a` makes `a` the derived table's pk,
+        # so outer first/last/interp order by IT (parTranslater.c
+        # PRIMARY_KEY flag). Fall back to the inner's ts column.
+        outer_ts = ts_col
+        pm = re.search(
+            r"(?i)\b_wstart\b(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+            inner_sql,
+        )
+        if pm:
+            cand = pm.group(1) or "_wstart"
+            if cand in inner.columns:
+                outer_ts = cand
+        elif ts_col not in inner.columns:
+            tm2 = re.search(
+                rf"(?i)\b{re.escape(ts_col)}\s+(?:as\s+)?([A-Za-z_]\w*)",
+                inner_sql,
+            )
+            if tm2 and tm2.group(1) in inner.columns:
+                outer_ts = tm2.group(1)
+        return translate(spark, db, sql[:lo] + repl + sql[hi:], outer_ts)
     m = _INTERP_RE.match(sql)
     if m:
         return _translate_interp(spark, db, m, ts_col)
@@ -1757,7 +1833,10 @@ def translate(
         if bare in db.tables or os.path.exists(f"{db.root}/{bare}.parquet"):
             table = bare
     if os.path.exists(f"{db.root}/{table}.parquet"):
-        base = db.read(spark, table)
+        reg0 = db.tables.get(table)
+        base = db.read(
+            spark, table, dedup=bool(reg0 is not None and reg0.managed)
+        )
     elif (
         g["window"]
         or g["partition"]
@@ -1765,7 +1844,8 @@ def translate(
         or re.search(
             r"(?i)\b(diff|csum|mavg|derivative|statecount|stateduration|"
             r"twa|irate|top|bottom|sample|last_row|spread|elapsed|mode|"
-            r"tail|unique|histogram|percentile|apercentile|leastsquares)"
+            r"tail|unique|histogram|percentile|apercentile|leastsquares|"
+            r"first|last|interp)"
             r"\s*\(",
             g["select"],
         )
@@ -1783,7 +1863,8 @@ def translate(
     if g["where"]:
         base = base.where(F.expr(_rewrite_ops(g["where"])))
     keys = (
-        [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
+        [c.strip() for c in _split_select(g["partition"])]
+        if g["partition"] else []
     )
 
     bare_star = g["window"] and re.search(
@@ -1814,26 +1895,71 @@ def translate(
             lambda m: ", ".join(f"{m.group(1)}({c})" for c in datacols),
             g["select"],
         )
-    select = _rewrite_aggs(_rewrite_ops(g["select"]), ts_col)
+    st_pk = db.tables.get(table)
+    select = _rewrite_aggs(
+        _rewrite_ops(g["select"]), ts_col,
+        pk_col=st_pk.pk_col if st_pk else None,
+    )
     items = _split_select(select)
 
     window = (g["window"] or "").strip()
+    if window and keys and any(
+        not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys
+    ):
+        # PARTITION BY <expr> [AS alias] with a window clause: the
+        # window kernels partition by COLUMNS — materialize each
+        # expression key, rewrite the key list and any select item that
+        # spells the same expression (reference: partition by
+        # to_char(ts,'yyyymmdd') as ts state_window(…))
+        def _nrm(s):
+            return re.sub(r"\s+", "", s).lower()
+
+        new_keys = []
+        for i, k in enumerate(keys):
+            if re.fullmatch(r"[A-Za-z_]\w*", k):
+                new_keys.append(k)
+                continue
+            am = _ITEM_ALIAS_RE.match(k.strip())
+            kexpr = am.group("expr")
+            kalias = am.group("alias")
+            name = f"_pkey{i}"
+            base = base.withColumn(name, F.expr(_rewrite_ops(kexpr)))
+            new_keys.append(name)
+            fixed_items = []
+            for it in items:
+                im2 = _ITEM_ALIAS_RE.match(it.strip())
+                if im2 and _nrm(im2.group("expr")) == _nrm(kexpr):
+                    al = im2.group("alias") or kalias
+                    fixed_items.append(f"{name} as {al}" if al else name)
+                else:
+                    fixed_items.append(it)
+            items = fixed_items
+        keys = new_keys
     gkeys_extra = (
         [c.strip() for c in g["group"].split(",")] if g["group"] else []
     )
-    indef_cols = None if window else _build_indef_items(items, keys, ts_col)
+    ts_eff = ts_col
+    if ts_col not in base.columns:
+        # indef/groupfn ordering over a derived relation (subquery whose
+        # time column is _wstart or an alias)
+        from pyspark.sql.types import TimestampType as _TsTyp
+
+        ts_eff = "_wstart" if "_wstart" in base.columns else next(
+            (f.name for f in base.schema.fields
+             if isinstance(f.dataType, _TsTyp)), ts_col)
+    indef_cols = None if window else _build_indef_items(items, keys, ts_eff)
     if window:
         # PARTITION BY tags + window + GROUP BY residue: residual group
         # keys fold into the window partitioning (reference planner puts
         # both in the window operator's group list)
         st = db.tables.get(table)
         out = _windowed(
-            base, window, items, keys + gkeys_extra, g["fill"], ts_col,
+            base, window, items, keys + gkeys_extra, g["fill"], ts_eff,
             tsma_catalog=tsma_catalog,
             hint=hint,
             tag_cols=st.tag_cols if st else (),
             is_child=st.child if st else False,
-            ts_bounds=_ts_bounds(g["where"], ts_col),
+            ts_bounds=_ts_bounds(g["where"], ts_eff),
             having=_rewrite_ops(g["having"]) if g["having"] else None,
             plimit=int(g["limit"]) if (g["limit"] and keys) else None,
             slimit=int(g["slimit"]) if (g["slimit"] and keys) else None,
@@ -2004,8 +2130,22 @@ def translate(
         out = out.selectExpr(*sel_cols)
     else:
         if any(_has_agg(it) for it in items):
+            has_count = bool(
+                re.search(r"(?i)\bcount\s*\(", " ".join(items))
+            )
             base, items = _prepare_groupfns(base, items, [], ts_col)
             out = base.agg(*[F.expr(it) for it in items])
+            if not has_count:
+                # reference: non-count aggregates produce NO row for
+                # empty input (count/hyperloglog return 0 instead)
+                out = (
+                    base.agg(
+                        *[F.expr(it) for it in items],
+                        F.count(F.lit(1)).alias("_nrows"),
+                    )
+                    .where(F.col("_nrows") > 0)
+                    .drop("_nrows")
+                )
         else:
             out = base.selectExpr(*items)
 
@@ -2019,7 +2159,45 @@ def translate(
             int(g["slimit"]), int(g.get("soffset") or 0),
         )
     if g["order"]:
-        out = out.orderBy(*_order_cols(g["order"], out.columns))
+        def _apply_order(otext):
+            if not otext.strip():
+                return out
+            ocols = _order_cols(otext, out.columns)
+            if (
+                window
+                and "_wstart" in out.columns
+                and not re.search(r"(?i)\b_wstart\b", otext)
+            ):
+                # reference result blocks are (partition, _wstart)-
+                # ordered; an ORDER BY over partition keys keeps the
+                # per-partition window order as tie-break
+                ocols.append(F.col("_wstart"))
+            return out.orderBy(*ocols)
+
+        try:
+            # Spark resolves ORDER BY through pruned projections
+            # (ResolveMissingReferences) — try the literal spelling first
+            out = _apply_order(g["order"])
+        except Exception:  # noqa: BLE001 — unresolvable order column
+            otext = g["order"]
+            if re.search(rf"\b{re.escape(ts_col)}\b", otext):
+                # ORDER BY ts on an aggregated window output: the pk
+                # column became _wstart (or any window-monotone
+                # timestamp output)
+                from pyspark.sql.types import TimestampType as _OTs
+
+                cand = "_wstart" if "_wstart" in out.columns else next(
+                    (f.name for f in out.schema.fields
+                     if isinstance(f.dataType, _OTs)), None)
+                if cand:
+                    otext = re.sub(
+                        rf"\b{re.escape(ts_col)}\b", cand, otext)
+                else:
+                    otext = ",".join(
+                        c for c in otext.split(",")
+                        if not re.search(rf"\b{re.escape(ts_col)}\b", c)
+                    )
+            out = _apply_order(otext)
     if g.get("offset"):
         out = out.offset(int(g["offset"]))
     if g["limit"] and not (window and keys):
@@ -2291,7 +2469,7 @@ def _fill_range(ts_bounds, width, offset):
     )
 
 
-def _assign_data_windows(base, wl, ts_col, keys):
+def _assign_data_windows(base, wl, ts_col, keys, extend=0):
     """Dispatch a data-driven window clause (session/state/event/count/
     anomaly) to its ``_wid`` assignment kernel. ``wl`` must have TRUE_FOR
     already stripped."""
@@ -2301,8 +2479,31 @@ def _assign_data_windows(base, wl, ts_col, keys):
             base, mm.group(1).strip(), mm.group(2).strip(), keys
         )
     if wl.startswith("state_window"):
-        mm = re.match(r"state_window\s*\(\s*([^)]+)\)", wl)
-        return assign_state_windows(base, ts_col, mm.group(1).strip(), keys)
+        # balanced capture: the state expression may nest parens
+        # (state_window(cast(current as varchar(2))))
+        inner = wl[wl.index("(") + 1: wl.rindex(")")]
+        scols = _split_select(inner)
+        if len(scols) == 1:
+            # expression states (cast(current as varchar(2)), CASE WHEN …)
+            return assign_state_windows(
+                base, ts_col, F.expr(scols[0]), keys, extend=extend
+            )
+        # multi-column state (sql.y state_window column list): a new run
+        # starts when the TUPLE changes; rows with any NULL member are
+        # skipped like single-column NULL states
+        import functools as _ft
+        import operator as _op
+
+        sc = [F.expr(c) for c in scols]
+        nonnull = _ft.reduce(_op.and_, [c.isNotNull() for c in sc])
+        return assign_state_windows(
+            base, ts_col,
+            F.when(
+                nonnull,
+                F.struct(*[c.alias(f"_s{i}") for i, c in enumerate(sc)]),
+            ),
+            keys, extend=extend,
+        )
     if wl.startswith("event_window"):
         mm = re.match(
             r"event_window\s+start\s+with\s+(.*?)\s+end\s+with\s+(.*)$", wl
@@ -2350,6 +2551,34 @@ def _assign_data_windows(base, wl, ts_col, keys):
             base, ts_col, mm.group(1), keys, algo=mm.group(2) or "ksigma"
         )
     raise ValueError(f"unsupported window clause: {wl}")
+
+
+_STATE_OPT_RE = re.compile(
+    r"\s+(?:extend\s*\(\s*(?P<ext>\d+)\s*\)"
+    r"|zeroth_state\s*\((?P<zer>[^)]*)\))",
+    re.IGNORECASE,
+)
+
+
+def _strip_state_opts(wl: str):
+    """Strip STATE_WINDOW's EXTEND(n) / ZEROTH_STATE(v,…) options
+    (sql.y:2938-2940 state_window_opt). Returns (wl, extend, zeroth)
+    where zeroth is a list of literal-or-None (NO_ZEROTH → None)."""
+    extend, zeroth = 0, None
+
+    def grab(m):
+        nonlocal extend, zeroth
+        if m.group("ext") is not None:
+            extend = int(m.group("ext"))
+        else:
+            zeroth = [
+                None if t.strip().lower() == "no_zeroth"
+                else _parse_literal(t)
+                for t in _split_select(m.group("zer"))
+            ]
+        return ""
+
+    return _STATE_OPT_RE.sub(grab, wl), extend, zeroth
 
 
 def _strip_true_for(wl: str):
@@ -2404,7 +2633,10 @@ def _windowed_projection(
     else:
         if fill_parts and fill_parts[0].lower() != "none":
             raise ValueError("FILL requires an INTERVAL window")
-        assigned = _assign_data_windows(base, wl, ts_col, keys)
+        wl, p_extend, _ = _strip_state_opts(wl)
+        assigned = _assign_data_windows(
+            base, wl, ts_col, keys, extend=p_extend
+        )
         sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
         ts_eff = sm2.group(1).strip() if sm2 else ts_col
         labeled = wp.keyed_window_projection(assigned, ts_eff, keys)
@@ -2606,8 +2838,12 @@ def _windowed(
                 gbucket = tw.window_start(
                     F.col(ts_col), mg.group(1).strip(), goff
                 )
+                gbucket_end = tw.window_end(
+                    F.col(ts_col), mg.group(1).strip(), goff
+                )
         base, items = _prepare_groupfns(
-            base, items, keys, ts_col, bucket=gbucket
+            base, items, keys, ts_col, bucket=gbucket,
+            bucket_end=gbucket_end if gbucket is not None else None,
         )
     const_mode = False
     non_pseudo = [it for it in items if it.strip() not in pseudo]
@@ -2659,7 +2895,9 @@ def _windowed(
         items = [
             it
             if it.strip() in pseudo or _is_plain_col(it, keys)
-            else f"first({it.strip()})"
+            # ignore-nulls: window-constant columns stay constant even
+            # when EXTEND absorbs NULL-state rows into the window
+            else f"first({it.strip()}, true)"
             for it in items
         ]
 
@@ -2668,7 +2906,18 @@ def _windowed(
     if not const_mode and any(not _has_agg(it) for it in agg_exprs):
         # non-constant plain columns mixed with aggregates in a window:
         # companion semantics when a selection anchor exists, else the
-        # first row's value (reference implicit-selection behavior)
+        # first row's value (reference implicit-selection behavior).
+        # STATE-column companions always read the window's state value
+        # (non-null even when EXTEND absorbs NULL-state rows).
+        state_txts = set()
+        if wl.startswith("state_window"):
+            wl0, _, _ = _strip_state_opts(wl)
+            wl0, _ = _strip_true_for(wl0)
+            inner0 = wl0[wl0.index("(") + 1: wl0.rindex(")")]
+            state_txts = {
+                re.sub(r"\s+", "", c).lower()
+                for c in _split_select(inner0)
+            }
         wanchor = _sel_anchor(agg_exprs, ts_col)
         fixed = []
         for it in agg_exprs:
@@ -2677,9 +2926,18 @@ def _windowed(
                 continue
             am = _ITEM_ALIAS_RE.match(it.strip())
             body, al = am.group("expr"), am.group("alias")
+            if re.sub(r"\s+", "", body).lower() in state_txts:
+                nm2 = al or re.sub(
+                    r"\W+", "_", body.strip()).strip("_") or "expr"
+                if nm2[0].isdigit():
+                    nm2 = "_" + nm2
+                fixed.append(f"first({body}, true) as {nm2}")
+                continue
             wrapped = (
                 f"{wanchor[0]}({body}, {wanchor[1]})" if wanchor
-                else f"first({body})"
+                # ignore-nulls: extended state windows absorb NULL-state
+                # rows at the front; the companion reads the window value
+                else f"first({body}, true)"
             )
             nm2 = al or re.sub(r"\W+", "_", body.strip()).strip("_") or "expr"
             if nm2[0].isdigit():
@@ -2815,13 +3073,38 @@ def _windowed(
 
     from tdengine_spark.operators.eventwindow import window_agg
 
+    wl, st_extend, st_zeroth = _strip_state_opts(wl)
     wl, true_for = _strip_true_for(wl)
-    assigned = _assign_data_windows(base, wl, ts_col, keys)
+    assigned = _assign_data_windows(base, wl, ts_col, keys, extend=st_extend)
+    if st_zeroth:
+        # ZEROTH_STATE(v,…): windows whose state equals the zeroth value
+        # on every constrained column are suppressed (NO_ZEROTH = no
+        # constraint on that position)
+        conds = []
+        multi = len(st_zeroth) > 1
+        for i, v in enumerate(st_zeroth):
+            if v is None:
+                continue
+            fld = (
+                F.col("_state").getField(f"_s{i}")
+                if multi else F.col("_state")
+            )
+            conds.append(fld.eqNullSafe(F.lit(v)))
+        if conds:
+            import functools as _ft
+            import operator as _op
+
+            assigned = assigned.where(
+                ~_ft.reduce(_op.and_, conds)
+                | F.col("_state").isNull()
+            )
     # SESSION names its own time column (session(tt, 3d) over a
     # subquery's aliased ts) — window bounds use it
     sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
     ts_eff = sm2.group(1).strip() if sm2 else ts_col
-    out = window_agg(assigned, ts_eff, aggs, keys, true_for=true_for)
+    out = window_agg(
+        assigned, ts_eff, aggs, keys, true_for=true_for, extend=st_extend
+    )
     if want_dur:
         out = _with_duration(out)
     return sel(out)
@@ -3038,6 +3321,8 @@ _CREATE_TABLE_RE = re.compile(
 
 
 def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
+    """[(name, spark_type)] — column options (PRIMARY KEY, ENCODE/
+    COMPRESS, sql.y column_options) are consumed by _parse_pk_col."""
     out = []
     for item in _split_select(defs):
         parts = item.split()
@@ -3045,6 +3330,16 @@ def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
         ty = re.sub(r"\(.*\)", "", ty)  # VARCHAR(64) → VARCHAR
         out.append((name, _TYPE_MAP.get(ty, ty.lower())))
     return out
+
+
+def _parse_pk_col(defs: str) -> "str | None":
+    """The column carrying the COMPOSITE PRIMARY KEY option
+    (sql.y:3250 ``column_options ::= column_options PRIMARY KEY``) —
+    the second key after the timestamp; None when absent."""
+    for item in _split_select(defs):
+        if re.search(r"(?i)\bprimary\s+key\b", item):
+            return item.split()[0]
+    return None
 
 
 _CREATE_CHILD_RE = re.compile(
@@ -3147,6 +3442,8 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     t = db.table(name)
     t.ts_col = cols[0][0]
     t.tag_cols = tuple(n for n, _ in tags)
+    t.managed = True
+    t.pk_col = _parse_pk_col(g["cols"])
     return name
 
 
@@ -3321,6 +3618,22 @@ def execute(
     partition-rewrite + deleted count, CREATE STABLE/TABLE → typed
     dataset, CREATE STREAM → StreamDef, SHOW TABLES/STABLES / DESCRIBE /
     EXPLAIN → catalog and plan DataFrames."""
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        return _execute_inner(spark, db, sql, ts_col, tsma_catalog)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+
+def _execute_inner(
+    spark: SparkSession,
+    db: Database,
+    sql: str,
+    ts_col: str = "ts",
+    tsma_catalog=None,
+):
+    sql = _outside_quotes(sql, lambda t: t.replace("`", ""))
     s = sql.lstrip().upper()
     if s.startswith("EXPLAIN"):
         inner = sql.lstrip()[len("EXPLAIN"):].lstrip()
@@ -3361,6 +3674,36 @@ def execute(
         return drop_stream(name)
     if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
         return translate_create_table(spark, db, sql)
+    if s.startswith(("DROP TABLE", "DROP STABLE")):
+        import shutil as _sh
+
+        names = re.sub(
+            r"(?is)^drop\s+s?table\s+(?:if\s+exists\s+)?", "", sql
+        ).rstrip(";")
+        for nm in names.split(","):
+            nm = nm.strip().split(".")[-1]
+            if not nm:
+                continue
+            reg = db.tables.get(nm)
+            if reg is not None and reg.parent:
+                # child table: its rows live in the parent dataset
+                from tdengine_spark.operators.delete import delete_where
+
+                ppath = f"{db.root}/{reg.parent}.parquet"
+                import os as _os
+
+                if _os.path.exists(ppath):
+                    delete_where(spark, ppath, F.col("tbname") == nm)
+                db.tables.pop(nm, None)
+                continue
+            _sh.rmtree(f"{db.root}/{nm}.parquet", ignore_errors=True)
+            db.tables.pop(nm, None)
+            # children of a dropped super table go with it
+            for cn in [
+                c for c, t in db.tables.items() if t.parent == nm
+            ]:
+                db.tables.pop(cn, None)
+        return len(names.split(","))
     if s.startswith(("ALTER TABLE", "ALTER STABLE", "ALTER VTABLE")):
         return translate_alter_table(spark, db, sql)
     sm = re.match(
@@ -3406,7 +3749,7 @@ def execute(
 _INDEF_FNS = ("diff", "csum", "mavg", "derivative", "statecount", "stateduration")
 
 _INDEF_ITEM_RE = re.compile(
-    r"^(\w+)\s*\(\s*(.*?)\s*\)(?:\s+as\s+([A-Za-z_]\w*))?\s*$",
+    r"^(\w+)\s*\(\s*(.*?)\s*\)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -3582,7 +3925,8 @@ _GROUPFN_CALL_RE = re.compile(
 )
 
 
-def _prepare_groupfns(base, items, keys, ts_col, bucket=None):
+def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
+                      bucket_end=None):
     """Rewrite twa()/irate() calls into plain aggregate expressions over
     helper columns appended to ``base`` (builtins.c twaFunction:4008 /
     irateFunction:3645). The helpers need one lag pre-pass partitioned
@@ -3611,7 +3955,50 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None):
         tn = F.when(v.isNotNull(), t)
         prev_t = F.last(tn, ignorenulls=True).over(wprev)
         prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wprev)
-        if fn == "twa":
+        if fn == "twa" and bucket is not None and bucket_end is not None:
+            # windowed twa (twaFunction + interval): integrate over the
+            # WINDOW span, interpolating the series at window boundaries
+            # from the neighboring samples — the lag/lead pass crosses
+            # buckets (keys-only partition), the area is clipped to the
+            # bucket
+            wk = (_W.partitionBy(*[F.expr(k) for k in keys])
+                  if keys else _W.partitionBy(F.lit(1))).orderBy(ts_col)
+            wk_prev = wk.rowsBetween(_W.unboundedPreceding, -1)
+            wk_next = wk.rowsBetween(1, _W.unboundedFollowing)
+            p_t = F.last(tn, ignorenulls=True).over(wk_prev)
+            p_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_prev)
+            n_t = F.first(tn, ignorenulls=True).over(wk_next)
+            n_v = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_next)
+            ws = F.unix_micros(bucket).cast("double")
+            we = F.unix_micros(bucket_end).cast("double")
+            s = F.greatest(p_t, ws)
+            vs = p_v + (v - p_v) * (s - p_t) / (t - p_t)
+            area_in = F.when(
+                v.isNotNull() & p_t.isNotNull() & (t > p_t),
+                (vs + v) / 2.0 * (t - s),
+            ).otherwise(0.0)
+            tail = v.isNotNull() & n_t.isNotNull() & (n_t >= we)
+            ve = v + (n_v - v) * (we - t) / (n_t - t)
+            area_tail = F.when(tail & (n_t > t), (v + ve) / 2.0 * (we - t)
+                               ).otherwise(0.0)
+            start_pt = F.when(
+                v.isNotNull(), F.when(p_t.isNotNull(), s).otherwise(t))
+            end_pt = F.when(
+                v.isNotNull(), F.when(tail, we).otherwise(t))
+            newcols += [
+                v.alias(f"_twa_v{i}"),
+                (area_in + area_tail).alias(f"_twa_a{i}"),
+                start_pt.alias(f"_twa_s{i}"),
+                end_pt.alias(f"_twa_e{i}"),
+                tn.alias(f"_twa_t{i}"),
+            ]
+            mapping[(fn, col)] = (
+                f"(CASE WHEN count(_twa_v{i}) = 0 THEN NULL "
+                f"WHEN max(_twa_e{i}) > min(_twa_s{i}) "
+                f"THEN sum(_twa_a{i}) / (max(_twa_e{i}) - min(_twa_s{i})) "
+                f"ELSE min_by(_twa_v{i}, _twa_t{i}) END)"
+            )
+        elif fn == "twa":
             area = F.when(
                 v.isNotNull() & prev_t.isNotNull(),
                 (v + prev_v) / 2.0 * (t - prev_t),

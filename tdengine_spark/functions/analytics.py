@@ -65,6 +65,155 @@ def forecast_linear(
     )
 
 
+def forecast_arima(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    horizon_rows: int,
+    every: str,
+    partition_by: "list[str] | None" = None,
+    p: int = 1,
+    d: int = 1,
+    conf: float = 0.95,
+) -> DataFrame:
+    """forecast(col, 'algo=arima'): ARIMA(p,d,0) per key — conditional
+    least squares (CSS): difference ``d`` times, fit AR(p) on the lagged
+    differences by OLS (numpy lstsq), forecast ``horizon_rows`` steps by
+    the AR recursion, then integrate ``d`` times back to levels. The
+    same algo surface as the reference's TDgpt forecast
+    (include/common/tanalytics.h:28,110 — algo param routed by name),
+    with a deterministic public estimator instead of the model daemon.
+
+    Iterative per-key recursion → grouped applyInPandas (Arrow-batched;
+    keys are independent so the fit scales horizontally like every other
+    per-key analytic). Output: (keys..., ts, forecast_value,
+    forecast_low, forecast_high, is_forecast)."""
+    keys = list(partition_by or [])
+    step_us = parse_duration(every).microseconds
+    z = _norm_ppf(0.5 + conf / 2.0)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in keys
+    )
+    out_schema = (
+        (key_fields + ", " if key_fields else "")
+        + f"{ts_col} timestamp, forecast_value double, "
+        + "forecast_low double, forecast_high double, is_forecast boolean"
+    )
+    sel = df.select(*keys, ts_col, F.col(val_col).cast("double").alias("_v"))
+
+    def fit_group(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col)
+        y = g["_v"].to_numpy(dtype=np.float64)
+        y = y[~np.isnan(y)]
+        t1 = g[ts_col].max()
+        cols = [*keys, ts_col, "forecast_value", "forecast_low",
+                "forecast_high", "is_forecast"]
+        if len(y) == 0:
+            return pd.DataFrame(columns=cols)
+        # difference d times, remembering the boundary values for the
+        # integration step
+        tails = []
+        x = y.copy()
+        for _ in range(d):
+            if len(x) < 2:
+                break
+            tails.append(x[-1])
+            x = np.diff(x)
+        eff_d = len(tails)
+        if len(x) <= p or p < 1:
+            # not enough samples to fit: flat forecast from the mean
+            phi = np.zeros(max(p, 1))
+            c = float(x.mean()) if len(x) else 0.0
+            hist = x if len(x) else np.zeros(1)
+            sigma = 0.0
+        else:
+            # CSS: OLS of x_t on (1, x_{t-1..t-p})
+            rows = len(x) - p
+            X = np.ones((rows, p + 1))
+            for j in range(p):
+                X[:, 1 + j] = x[p - 1 - j: len(x) - 1 - j]
+            b, *_ = np.linalg.lstsq(X, x[p:], rcond=None)
+            c, phi = float(b[0]), b[1:]
+            resid = x[p:] - X @ b
+            sigma = float(np.std(resid, ddof=0))
+            hist = x
+        # AR recursion over the differenced series
+        buf = list(hist[-max(p, 1):])
+        dhat = []
+        for _ in range(horizon_rows):
+            v = c + sum(
+                phi[j] * buf[-1 - j] for j in range(min(p, len(buf)))
+            )
+            dhat.append(v)
+            buf.append(v)
+        # integrate back to levels
+        level = np.asarray(dhat, dtype=np.float64)
+        for tail in reversed(tails):
+            level = tail + np.cumsum(level)
+        if eff_d == 0:
+            level = np.asarray(dhat, dtype=np.float64)
+        hs = np.arange(1, horizon_rows + 1, dtype=np.float64)
+        band = z * sigma * np.sqrt(hs)
+        ts_out = pd.to_datetime(t1) + pd.to_timedelta(
+            hs * step_us, unit="us"
+        )
+        out = pd.DataFrame(
+            {
+                ts_col: ts_out,
+                "forecast_value": np.round(level, 4),
+                "forecast_low": np.round(level - band, 4),
+                "forecast_high": np.round(level + band, 4),
+                "is_forecast": True,
+            }
+        )
+        for k, v in zip(keys, key_vals):
+            out[k] = v
+        return out[cols]
+
+    return sel.groupBy(*keys).applyInPandas(fit_group, out_schema)
+
+
+#: forecast algo registry — the reference routes forecast(col,
+#: 'algo=<name>') to its TDgpt daemon (tanalytics.h:28); here each name
+#: maps to a deterministic local estimator with the same output shape
+FORECAST_ALGOS = ("linear", "holt", "holtwinters", "arima")
+
+
+def forecast(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    horizon_rows: int,
+    every: str,
+    partition_by: "list[str] | None" = None,
+    algo: str = "linear",
+    **params,
+) -> DataFrame:
+    """Algo-routed forecast — the reference's param surface
+    (forecast(col, 'algo=…') builtins.c:6735)."""
+    a = algo.lower()
+    if a == "linear":
+        return forecast_linear(
+            df, ts_col, val_col, horizon_rows, every, partition_by
+        )
+    if a == "holt":
+        return forecast_holt(
+            df, ts_col, val_col, horizon_rows, every, partition_by, **params
+        )
+    if a == "holtwinters":
+        params.setdefault("season_length", 24)
+        return forecast_holt(
+            df, ts_col, val_col, horizon_rows, every, partition_by, **params
+        )
+    if a == "arima":
+        return forecast_arima(
+            df, ts_col, val_col, horizon_rows, every, partition_by, **params
+        )
+    raise ValueError(f"unknown forecast algo {algo!r} (one of {FORECAST_ALGOS})")
+
+
 def forecast_holt(
     df: DataFrame,
     ts_col: str,

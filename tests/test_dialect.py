@@ -676,3 +676,23 @@ def test_information_schema_in_query(spark):
     ).collect()
     names = [r.table_name for r in out]
     assert "events" in names and "lineitem" in names
+
+
+def test_ansi_scoped_to_dialect(spark):
+    """ANSI mode is session-default ON (native API errors on malformed
+    casts) but each dialect statement runs with the reference's
+    NULL-on-error semantics — scoped, not global."""
+    import pytest as _pt
+
+    from pyspark.errors import PySparkException
+
+    out = translate(
+        spark, _db(),
+        "select cast('not a number' as int) as bad, 1/0 as div0 "
+        "from events limit 1",
+    ).collect()
+    assert out[0].bad is None  # dialect: C-style NULL on error
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with _pt.raises(PySparkException):
+        spark.range(1).selectExpr("cast('oops' as int) as x").collect()

@@ -22,12 +22,15 @@ pytestmark = pytest.mark.skipif(
 
 
 def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
-            known=()):
+            known=(), session_tz=None):
     """Replay ``methods`` of a reference test file. ``known``: substrings
     of check-failure messages that are accepted (documented reference
     quirks — e.g. statements the reference's own file marks
-    '# bug need fix'); any other failure raises."""
-    shim = TdSqlShim(spark, tz_shift_hours=tz_shift_hours, soft=bool(known))
+    '# bug need fix'); any other failure raises. ``session_tz``: run in
+    wall-to-wall mode for the reference CI's local timezone (epoch-int
+    literals and interval alignment shifted to the wall clock)."""
+    shim = TdSqlShim(spark, tz_shift_hours=tz_shift_hours,
+                     soft=bool(known), session_tz=session_tz)
     try:
         obj = load_reference_test(f"{REF}/{relpath}", shim)
         for m in methods:
@@ -90,6 +93,53 @@ def test_replay_partitionby(spark):
             "sample(c1,2)",
             "slimit 5 soffset 0",
         ),
+    )
+    print(stats)
+
+
+def test_replay_interval_basic(spark):
+    """03-TimeWindow/test_interval_basic.py do_interval — the eight
+    tsim-migrated interval suites (QueryInterval, QueryIntervalOffset,
+    QueryEmptyTsRange, ParserSliding, ParserFunction, ComputeInterval,
+    ComputeInterval1, WithoutAggInterval): interval/sliding/offset,
+    calendar 1n/1y with offsets, FILL over WHERE ranges, twa with
+    window-boundary interpolation, derivative/diff over subqueries,
+    _qstart/_qend. Runs in wall-to-wall session mode (reference CI tz
+    Asia/Shanghai)."""
+    stats = _replay(
+        spark, "03-TimeWindow/test_interval_basic.py", ["do_interval"],
+        min_checks=400, session_tz="Asia/Shanghai",
+    )
+    print(stats)
+
+
+def test_replay_state_window(spark):
+    """04-StateWindow/test_state_window.py — expression states
+    (cast/CASE WHEN), multi-column states, ZEROTH_STATE filters,
+    grouped states, null-start runs, backtick identifiers, pk-qualified
+    child inserts. orderbyOtherTS is excluded: its windows-over-ordered-
+    subqueries semantics (state/session assignment in the subquery's
+    ORDER BY row order) is not implemented."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window.py",
+        ["ts6079", "test_state_window_start_with_null",
+         "test_state_window_logic_expr", "test_state_window_group",
+         "test_multi_column_state_window_zeroth",
+         "test_multi_column_state_window_invalid"],
+        min_checks=120, session_tz="Asia/Shanghai",
+    )
+    print(stats)
+
+
+def test_replay_state_window_extend(spark):
+    """04-StateWindow/test_state_window_extend.py (batch sections) —
+    EXTEND(0/1/2) gap absorption with boundary stretching, interior
+    NULL-state rows inside runs, cols(sel_fn, expr) companions."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window_extend.py",
+        ["prepare_data", "check_wrong_input",
+         "check_extend_normal_table", "check_extend_super_table"],
+        tz_shift_hours=0, min_checks=350,
     )
     print(stats)
 

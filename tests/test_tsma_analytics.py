@@ -432,3 +432,44 @@ def test_anomaly_lof(spark):
     # the isolated points dominate the score ranking
     top2 = {r.ts for r in sorted(out, key=lambda r: -r.score)[:2]}
     assert top2 == {100, 101}
+
+
+def test_forecast_arima_matches_closed_form(spark):
+    """ARIMA(1,1,0) via the numpy CSS kernel equals the closed-form
+    geometric-series forecast (the forecast_arima gate's JVM path)."""
+    import numpy as np
+    import pandas as pd
+
+    from tdengine_spark.functions.analytics import forecast, forecast_arima
+
+    rng = np.random.RandomState(7)
+    n = 60
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    y = np.cumsum(rng.normal(0.5, 1.0, n)) + 100
+    pdf = pd.DataFrame({"ts": ts, "v": y})
+    df = spark.createDataFrame(pdf)
+
+    out = forecast_arima(df, "ts", "v", 5, "1h", p=1, d=1).orderBy("ts")
+    got = [r.forecast_value for r in out.collect()]
+
+    # closed form: OLS of dv on lagged dv
+    dv = np.diff(y)
+    X = np.vstack([np.ones(len(dv) - 1), dv[:-1]]).T
+    b, *_ = np.linalg.lstsq(X, dv[1:], rcond=None)
+    c, phi = b
+    d_t, y_t = dv[-1], y[-1]
+    level = []
+    acc = y_t
+    for h in range(1, 6):
+        dhat = c * (1 - phi ** h) / (1 - phi) + phi ** h * d_t
+        acc += dhat
+        level.append(round(acc, 4))
+    assert got == pytest.approx(level, abs=1e-3)
+
+    # algo dispatcher + p=2 sanity: right shape, finite values
+    out2 = forecast(df, "ts", "v", 4, "1h", algo="arima", p=2, d=1)
+    rows = out2.collect()
+    assert len(rows) == 4
+    assert all(np.isfinite(r.forecast_value) for r in rows)
+    assert all(r.forecast_low <= r.forecast_value <= r.forecast_high
+               for r in rows)
