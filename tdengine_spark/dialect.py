@@ -465,6 +465,10 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
         lambda a: f"percentile_approx({a[0]}, {float(a[1]) / 100.0})",
     )
     s = _rewrite_call(s, "hyperloglog", lambda a: f"approx_count_distinct({a[0]})")
+    s = _rewrite_call(
+        s, "first_day_of_week",
+        lambda a: str(tw.FIRST_DAY_OF_WEEK if tw.FIRST_DAY_OF_WEEK is not None else 4),
+    )
     # the reference's stddev is POPULATION stddev (builtins.c stddevFunction:
     # sum-of-squares/n), not Spark's default sample stddev
     s = _rewrite_call(s, "stddev", lambda a: f"stddev_pop({a[0]})")
@@ -2488,21 +2492,21 @@ def _assign_data_windows(base, wl, ts_col, keys, extend=0):
             return assign_state_windows(
                 base, ts_col, F.expr(scols[0]), keys, extend=extend
             )
-        # multi-column state (sql.y state_window column list): a new run
-        # starts when the TUPLE changes; rows with any NULL member are
-        # skipped like single-column NULL states
-        import functools as _ft
-        import operator as _op
+        # multi-column state: the reference's sequential pendingVals
+        # semantics (partial-NULL rows merge into compatible windows or
+        # seed their own) — operators/eventwindow.py
+        # assign_state_windows_multi
+        from tdengine_spark.operators.eventwindow import (
+            assign_state_windows_multi,
+        )
 
         sc = [F.expr(c) for c in scols]
-        nonnull = _ft.reduce(_op.and_, [c.isNotNull() for c in sc])
-        return assign_state_windows(
-            base, ts_col,
-            F.when(
-                nonnull,
-                F.struct(*[c.alias(f"_s{i}") for i, c in enumerate(sc)]),
-            ),
-            keys, extend=extend,
+        mnames = [f"_m{i}" for i in range(len(sc))]
+        base2 = base.select(
+            "*", *[c.alias(nm) for c, nm in zip(sc, mnames)]
+        )
+        return assign_state_windows_multi(
+            base2, ts_col, mnames, keys, extend=extend
         )
     if wl.startswith("event_window"):
         mm = re.match(
@@ -2592,7 +2596,7 @@ def _strip_true_for(wl: str):
 
 def _windowed_projection(
     base, window, items, keys, fill_spec, ts_col, ts_bounds, having=None,
-    is_child=False,
+    is_child=False, extend=0,
 ):
     """Projection-mode window query: per-row pseudo-column labeling
     (operators/windowproj.py; reference scalar-mode window operator,
@@ -2635,7 +2639,7 @@ def _windowed_projection(
             raise ValueError("FILL requires an INTERVAL window")
         wl, p_extend, _ = _strip_state_opts(wl)
         assigned = _assign_data_windows(
-            base, wl, ts_col, keys, extend=p_extend
+            base, wl, ts_col, keys, extend=p_extend or extend
         )
         sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
         ts_eff = sm2.group(1).strip() if sm2 else ts_col
@@ -2740,7 +2744,13 @@ def _windowed(
 
     def sel(out):
         out = fin(out)
-        out = out.select(*[c for c in keep if c in out.columns])
+        out = out.selectExpr(
+            *[
+                f"{deferred[c]} as {c}" if c in deferred else c
+                for c in keep
+                if c in deferred or c in out.columns
+            ]
+        )
         for k, v in pseudo_alias.items():
             if k in out.columns:
                 out = out.withColumnRenamed(k, v)
@@ -2776,6 +2786,9 @@ def _windowed(
                 )
         return out
 
+    # strip STATE_WINDOW options from the ORIGINAL text (zeroth
+    # literals are case-sensitive against binary states)
+    window, st_extend, st_zeroth = _strip_state_opts(window)
     wl = window.lower()
     pseudo = set(PSEUDO_COLS)
 
@@ -2857,7 +2870,7 @@ def _windowed(
         # scan is a single child table (per-scan constants) or when
         # partitioning by tbname (tags are functions of tbname); the
         # STATE_WINDOW column (constant within a state run).
-        const = set(keys)
+        const = set(keys) | pseudo
         if is_child:
             const |= set(tag_cols) | {"tbname"}
         elif "tbname" in keys:
@@ -2870,7 +2883,7 @@ def _windowed(
         ):
             out = _windowed_projection(
                 base, window, items, keys, fill_spec, ts_col, ts_bounds,
-                having=having, is_child=is_child,
+                having=having, is_child=is_child, extend=st_extend,
             )
             if slimit is not None and keys:
                 from tdengine_spark.operators.slimit import slimit as _slim
@@ -2926,6 +2939,11 @@ def _windowed(
                 continue
             am = _ITEM_ALIAS_RE.match(it.strip())
             body, al = am.group("expr"), am.group("alias")
+            if _refs_only_cols(body, pseudo | set(keys)):
+                # pseudo-column expression: deferred to the post-agg
+                # projection, not a row companion
+                fixed.append(it)
+                continue
             if re.sub(r"\s+", "", body).lower() in state_txts:
                 nm2 = al or re.sub(
                     r"\W+", "_", body.strip()).strip("_") or "expr"
@@ -2949,19 +2967,33 @@ def _windowed(
     # auto-name (which isn't selectable by string)
     agg_names = []
     aggs = []
+    deferred: dict = {}
     for it in agg_exprs:
         mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
+        body = re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip()
         if mm:
-            agg_names.append(mm.group(1))
-            aggs.append(F.expr(it))
+            nm = mm.group(1)
         else:
             nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
             if nm[0].isdigit():
                 nm = "_" + nm
             while nm in agg_names:
                 nm += "_"
+        if not _has_agg(it) and _refs_only_cols(
+            body, pseudo | set(keys)
+        ):
+            # scalar expression over pseudo-columns (cast(_wstart as
+            # bigint), _wend - _wstart, …): computed AFTER the window
+            # aggregate, where _wstart/_wend exist
+            deferred[nm] = body
             agg_names.append(nm)
-            aggs.append(F.expr(it).alias(nm))
+            continue
+        agg_names.append(nm)
+        aggs.append(F.expr(it).alias(nm) if not mm else F.expr(it))
+    if not aggs:
+        # every select item deferred to the post-agg projection: the
+        # window aggregate still needs one expression to materialize
+        aggs = [F.count(F.lit(1)).alias("__wcnt")]
     hv_expr = None
     hv_in_aggs = False
     if having:
@@ -3073,30 +3105,70 @@ def _windowed(
 
     from tdengine_spark.operators.eventwindow import window_agg
 
-    wl, st_extend, st_zeroth = _strip_state_opts(wl)
     wl, true_for = _strip_true_for(wl)
     assigned = _assign_data_windows(base, wl, ts_col, keys, extend=st_extend)
     if st_zeroth:
         # ZEROTH_STATE(v,…): windows whose state equals the zeroth value
         # on every constrained column are suppressed (NO_ZEROTH = no
-        # constraint on that position)
+        # constraint on that position). The literal converts to the
+        # state column's type C-style — atoi/atof, so 'true' against a
+        # BOOL state is 0/false (sclvector.c conversion), and string
+        # comparison stays case-sensitive.
+        from pyspark.sql.types import BooleanType, NumericType, StructType
+
+        sdt = assigned.schema["_state"].dataType
+
+        def _fdt(i):
+            return sdt.fields[i].dataType if isinstance(sdt, StructType) else sdt
+
+        def _c_cast(v, dt):
+            if isinstance(dt, BooleanType):
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, (int, float)):
+                    return v != 0
+                m2 = re.match(r"\s*[-+]?\d+(\.\d+)?", str(v))
+                return bool(m2 and float(m2.group(0)) != 0)
+            if isinstance(dt, NumericType):
+                from pyspark.sql.types import IntegralType
+
+                if isinstance(v, bool):
+                    v = int(v)
+                elif not isinstance(v, (int, float)):
+                    m2 = re.match(r"\s*[-+]?\d+(\.\d+)?", str(v))
+                    v = float(m2.group(0)) if m2 else 0
+                # C conversion truncates toward zero for integer states
+                return int(v) if isinstance(dt, IntegralType) else v
+            return v
+
+        # suppression is WINDOW-level: absorbed NULL-state rows share
+        # the window's fate, so compare against the window's state (the
+        # first non-null _state within the _wid group)
+        from pyspark.sql.window import Window as _ZW
+
+        from tdengine_spark.operators.eventwindow import WINDOW_ID as _WID
+
+        zw = _ZW.partitionBy(*[F.expr(k) for k in keys], F.col(_WID))
+        wstate = F.first("_state", ignorenulls=True).over(zw)
         conds = []
         multi = len(st_zeroth) > 1
         for i, v in enumerate(st_zeroth):
             if v is None:
                 continue
-            fld = (
-                F.col("_state").getField(f"_s{i}")
-                if multi else F.col("_state")
-            )
-            conds.append(fld.eqNullSafe(F.lit(v)))
+            fld = wstate.getField(f"_s{i}") if multi else wstate
+            conds.append(fld.eqNullSafe(F.lit(_c_cast(v, _fdt(i)))))
         if conds:
             import functools as _ft
             import operator as _op
 
-            assigned = assigned.where(
-                ~_ft.reduce(_op.and_, conds)
-                | F.col("_state").isNull()
+            # window expressions can't sit in WHERE — materialize the
+            # match flag first
+            assigned = (
+                assigned.withColumn(
+                    "_zmatch", _ft.reduce(_op.and_, conds)
+                )
+                .where(F.col(_WID).isNull() | ~F.col("_zmatch"))
+                .drop("_zmatch")
             )
     # SESSION names its own time column (session(tt, 3d) over a
     # subquery's aliased ts) — window bounds use it
@@ -3184,6 +3256,21 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
     with ``tbname`` = the child name and the tag columns set from TAGS —
     the reference's child-table→super-table row mapping.
     """
+    fm = re.match(
+        r"(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+FILE\s+'([^']+)'\s*;?\s*$",
+        sql,
+    )
+    if fm:
+        # INSERT INTO tbl FILE 'data.csv' (sql.y insert file clause):
+        # each line is a parenthesis-free VALUES tuple — route through
+        # the normal literal machinery in one multi-row insert
+        with open(fm.group(2)) as fh:
+            groups = "".join(
+                f"({line.strip()})" for line in fh if line.strip()
+            )
+        return translate_insert(
+            spark, db, f"INSERT INTO {fm.group(1)} VALUES {groups}"
+        )
     hm = re.match(r"(?is)^\s*INSERT\s+INTO\s+(.*)$", sql.strip().rstrip(";"))
     if hm:
         segs = _split_depth0_segments(hm.group(1))
@@ -3224,6 +3311,9 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         schema = db.table(target).read(spark).schema
 
     extra = dict(child_tags)
+    import time as _time
+
+    extra["_version"] = _time.time_ns()
     if g["stable"]:
         extra["tbname"] = g["table"].split(".")[-1]
         tagvals = [_parse_literal(t) for t in _split_select(g["tags"])]
@@ -3432,7 +3522,13 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     cols = _parse_col_defs(g["cols"])
     tags = _parse_col_defs(g["tags"]) if g["tags"] else []
     name = g["table"].split(".")[-1]
-    fields = cols + tags + ([("tbname", "string")] if tags else [])
+    # ``_version``: monotone insert stamp — makes overwrite-on-duplicate-
+    # key (TD_ROW_OVERWRITE_UPDATE) deterministic at dedup-on-read; the
+    # catalog hides it from query output
+    fields = (
+        cols + tags + ([("tbname", "string")] if tags else [])
+        + [("_version", "bigint")]
+    )
     schema_str = ", ".join(f"{n} {t}" for n, t in fields)
     import os
 
@@ -3674,6 +3770,12 @@ def _execute_inner(
         return drop_stream(name)
     if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
         return translate_create_table(spark, db, sql)
+    sm_fdow = re.match(
+        r"(?i)^\s*set\s+first_day_of_week\s+(\d+)\s*;?\s*$", sql
+    )
+    if sm_fdow:
+        tw.FIRST_DAY_OF_WEEK = int(sm_fdow.group(1))
+        return 1
     if s.startswith(("DROP TABLE", "DROP STABLE")):
         import shutil as _sh
 

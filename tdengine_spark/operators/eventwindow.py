@@ -132,6 +132,123 @@ def assign_state_windows(
     return out
 
 
+def assign_state_windows_multi(
+    df: DataFrame,
+    ts_col: str,
+    member_cols: "list[str]",
+    partition_by: "list[str] | None" = None,
+    extend: int = 0,
+) -> DataFrame:
+    """Multi-column STATE_WINDOW (sql.y state_window column list) with
+    the reference's sequential pendingVals semantics
+    (statewindowoperator multi-col):
+
+      - a row whose non-null members all match the current window's
+        KNOWN members continues it, filling in unknown members;
+      - any non-null member mismatch cuts a new window seeded from the
+        row's non-null members (so a run of partial-NULL rows can open
+        a window whose state stays partly unknown — reported NULL);
+      - all-NULL rows attach only when the same window continues across
+        them (extend 0), or per EXTEND(1/2) fill.
+
+    This is a stateful scan — applyInPandas per key, exactly the
+    per-child-table sequential pass the reference makes; the single-
+    column path keeps the streaming window-function kernel."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    keys = _keyed(partition_by)
+    base_fields = list(df.schema.fields)
+    member_types = {f.name: f.dataType for f in base_fields}
+    struct_t = T.StructType(
+        [
+            T.StructField(f"_s{i}", member_types[c])
+            for i, c in enumerate(member_cols)
+        ]
+    )
+    out_schema = T.StructType(
+        base_fields
+        + [
+            T.StructField("_state", struct_t),
+            T.StructField(WINDOW_ID, T.LongType()),
+            T.StructField("_isdata", T.BooleanType()),
+        ]
+    )
+    n = len(member_cols)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col).reset_index(drop=True)
+        N = len(g)
+        mcols = [g[c] for c in member_cols]
+        wid = [None] * N
+        isdata = [False] * N
+        win_members: dict = {}
+        cur = None
+        cur_id = 0
+        pending: list = []
+        for i in range(N):
+            vals = [
+                None if pd.isna(mcols[j].iloc[i]) else mcols[j].iloc[i]
+                for j in range(n)
+            ]
+            if all(v is None for v in vals):
+                pending.append(i)
+                continue
+            if cur is not None and all(
+                v is None or cur[j] is None or v == cur[j]
+                for j, v in enumerate(vals)
+            ):
+                for j, v in enumerate(vals):
+                    if cur[j] is None and v is not None:
+                        cur[j] = v
+                wid[i] = cur_id
+                isdata[i] = True
+                for p in pending:  # window continued across them
+                    wid[p] = cur_id
+                pending = []
+            else:
+                pending = []  # surrounding windows differ → no home
+                cur_id += 1
+                cur = list(vals)
+                win_members[cur_id] = cur
+                wid[i] = cur_id
+                isdata[i] = True
+        if extend == 1:
+            last = None
+            for i in range(N):
+                if isdata[i]:
+                    last = wid[i]
+                elif wid[i] is None:
+                    wid[i] = last
+        elif extend == 2:
+            nxt = None
+            for i in range(N - 1, -1, -1):
+                if isdata[i]:
+                    nxt = wid[i]
+                elif wid[i] is None:
+                    wid[i] = nxt
+
+        def to_py(v):
+            return v.item() if hasattr(v, "item") else v
+
+        g["_state"] = [
+            None
+            if wid[i] is None
+            else {
+                f"_s{j}": to_py(win_members[wid[i]][j]) for j in range(n)
+            }
+            for i in range(N)
+        ]
+        g[WINDOW_ID] = pd.array(
+            [wid[i] for i in range(N)], dtype="Int64"
+        )
+        g["_isdata"] = isdata
+        return g
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)
+
+
 def assign_event_windows(
     df: DataFrame,
     ts_col: str,

@@ -37,6 +37,12 @@ WEND = "_wend"
 #: subtract X before the modulo. 0 for native-UTC deployments.
 EPOCH_ALIGN_OFFSET_US = 0
 
+#: reference `first_day_of_week` config (taosTimeTruncate week anchor,
+#: sclfunc.c:4617): None = legacy epoch alignment (weeks start Thursday,
+#: 1970-01-01); 0=Sunday … 6=Saturday anchors week-unit windows to that
+#: weekday. Set via the dialect's SET FIRST_DAY_OF_WEEK statement.
+FIRST_DAY_OF_WEEK: "int | None" = None
+
 
 def window_start(
     ts: "Column | str", width: "str | int | Duration", offset: "str | int | Duration | None" = None
@@ -87,6 +93,10 @@ def window_start(
     # modulo of the real instant — only the latter needs the wall-mode
     # alignment correction
     align = 0 if w.unit in ("d", "w") else EPOCH_ALIGN_OFFSET_US
+    if w.unit == "w" and FIRST_DAY_OF_WEEK is not None:
+        # anchor week windows at the configured weekday (epoch is a
+        # Thursday = 4 in the 0=Sunday encoding)
+        align += ((FIRST_DAY_OF_WEEK - 4) % 7) * 86_400_000_000
     off = F.lit(
         (parse_duration(offset).microseconds if offset is not None else 0)
         + align

@@ -955,6 +955,15 @@ def q_json(spark, sf_dir):
 # CORRECTNESS row yet come first, then this round's new queries, then the
 # flagship previously-green queries; near-duplicate variants go last.
 _PRIORITY: list[str] = [
+    # --- new in round 8 (never driver-checked) ---
+    "ns_precision_interval",
+    "composite_pk_dedup",
+    "forecast_arima",
+    "window_projection_interval",
+    "window_projection_session",
+    "interval_auto_origin",
+    "alter_table_schema_evolution",
+    "external_window_agg",
     # --- stale: last verified in round 1, two refactor rounds ago ---
     "count_distinct_users",
     "json_tag_extract",

@@ -391,6 +391,11 @@ class TdSqlShim:
                 return False
         return str(got) == str(want)
 
+    def checkEqual(self, got, want, *a, **k):
+        self.stats["checks"] += 1
+        if got != want:
+            self._fail(f"checkEqual: got {got!r} want {want!r}")
+
     # assorted framework entry points that some files touch
     def checkCols(self, n, *a, **k):
         self.stats["checks"] += 1
@@ -426,7 +431,82 @@ def load_reference_test(path: str, shim: TdSqlShim):
     utils.tdLog = _Stub()
     utils.tdCom = _Stub()
     utils.tdStream = _StreamShim()
-    utils.etool = _Stub()
+    class _Etool(_Stub):
+        @staticmethod
+        def getFilePath(file, *parts):
+            import os
+
+            return os.path.join(os.path.dirname(file), *parts)
+
+        @staticmethod
+        def benchMark(json=None, command=None, **kw):
+            """Minimal taosBenchmark interpreter for insert-json configs:
+            creates the databases/super tables/children and inserts the
+            deterministic row grid (ts from start_timestamp stepping
+            timestamp_step; columns without min/max/values → NULL, the
+            shape the null-block fixtures rely on)."""
+            import json as _json
+            from datetime import datetime as _dt, timedelta as _td
+
+            if json is None:
+                return
+            cfg = _json.load(open(json))
+            for dbc in cfg.get("databases", []):
+                name = dbc["dbinfo"]["name"]
+                shim.execute(f"create database if not exists {name}")
+                shim.execute(f"use {name}")
+                for st in dbc.get("super_tables", []):
+                    cols = st.get("columns", [])
+                    tags = st.get("tags", [])
+
+                    def decl(c):
+                        ty = c["type"].upper()
+                        if ty in ("BINARY", "NCHAR", "VARCHAR"):
+                            ty += f"({max(int(c.get('len', 16)), 1)})"
+                        return f"{c['name']} {ty}"
+
+                    shim.execute(
+                        f"create table {st['name']} (ts timestamp, "
+                        + ", ".join(decl(c) for c in cols)
+                        + ") tags ("
+                        + ", ".join(decl(t) for t in tags)
+                        + ")"
+                    )
+                    t0 = _dt.strptime(
+                        st["start_timestamp"], "%Y-%m-%d %H:%M:%S.%f"
+                    )
+                    step = int(st["timestamp_step"])
+                    rows = int(st["insert_rows"])
+                    for i in range(int(st["childtable_count"])):
+                        child = f"{st['childtable_prefix']}{i}"
+                        tvals = []
+                        for t in tags:
+                            if "values" in t:
+                                tvals.append(
+                                    f"'{t['values'][i % len(t['values'])]}'"
+                                )
+                            elif "min" in t:
+                                lo, hi = int(t["min"]), int(t.get("max", t["min"]))
+                                tvals.append(str(lo + i % (hi - lo + 1)))
+                            else:
+                                tvals.append("0")
+                        shim.execute(
+                            f"create table {child} using {st['name']} "
+                            f"tags({', '.join(tvals)})"
+                        )
+                        nulls = ", ".join("null" for _ in cols) or "null"
+                        groups = "".join(
+                            "('{}', {})".format(
+                                (t0 + _td(milliseconds=step * r)).strftime(
+                                    "%Y-%m-%d %H:%M:%S.%f"
+                                )[:-3],
+                                nulls,
+                            )
+                            for r in range(rows)
+                        )
+                        shim.execute(f"insert into {child} values {groups}")
+
+    utils.etool = _Etool()
     utils.clusterComCheck = _Stub()
     utils.tdDnodes = _Stub()
     utils.sc = _Stub()

@@ -144,6 +144,60 @@ def test_replay_state_window_extend(spark):
     print(stats)
 
 
+def test_replay_state_window_multi_col(spark):
+    """04-StateWindow/test_state_window_multi_col.py — multi-column
+    state tuples, partial-NULL deferral (pendingVals: a row with some
+    NULL state members joins the compatible adjacent window), EXTEND
+    over tuples, window-level ZEROTH_STATE suppression."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window_multi_col.py",
+        ["test_state_window_multi_col"], tz_shift_hours=0, min_checks=150,
+    )
+    print(stats)
+
+
+def test_replay_state_window_zeroth(spark):
+    """04-StateWindow/test_state_window_zeroth.py (batch sections) —
+    ZEROTH_STATE literals convert C-style to the state column's type
+    ('true' vs BOOL = atoi → false; '1.5' vs INT truncates to 1) and
+    suppress matching windows."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window_zeroth.py",
+        ["prepare_data", "check_zeroth_state_query"],
+        tz_shift_hours=0, min_checks=140,
+    )
+    print(stats)
+
+
+def test_replay_state_window_null_block(spark):
+    """04-StateWindow/test_state_window_null_block.py — NULL-state data
+    blocks: INSERT FROM FILE fixtures, all-null 5k benchmark seed
+    (taosBenchmark json shim), sequential multi-column pendingVals
+    (partial-NULL runs seed their own window with partly-unknown
+    state), EXTEND over border/interior null blocks, partitioned
+    states."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window_null_block.py",
+        ["test_state_window_null_block"], tz_shift_hours=0,
+        min_checks=550,
+    )
+    print(stats)
+
+
+def test_replay_interval_bugfix(spark):
+    """03-TimeWindow/test_interval_bugfix.py (batch sections) — nested
+    interval-over-interval subqueries (scalar expressions over
+    pseudo-columns deferred to post-aggregation projection), last/
+    last_row over sliding windows vs subquery equivalence."""
+    stats = _replay(
+        spark, "03-TimeWindow/test_interval_bugfix.py",
+        ["test_interval_data_order_level",
+         "test_last_row_sliding_interval_matches_subquery"],
+        min_checks=12, session_tz="Asia/Shanghai",
+    )
+    print(stats)
+
+
 def test_replay_event_window(spark):
     """05-EventWindow/test_event.py — EVENT_WINDOW start/end conditions
     over mixed-type trigger columns."""
