@@ -71,6 +71,12 @@ class SuperTable:
     #: second key column — rows are unique on (tbname, ts, pk_col), so
     #: dedup-on-read, as-of picks and last_row tie-breaks key on it.
     pk_col: "str | None" = None
+    #: declared data-column order from CREATE TABLE (ts first). Parquet
+    #: footer order can differ per append file (each INSERT builds its
+    #: own frame), and Spark picks an arbitrary footer — reads
+    #: re-project to this declared order so ``SELECT *`` and ordinal
+    #: checkData indices stay stable.
+    data_cols: tuple[str, ...] = ()
 
     # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
     # The reference records ALTERs as mnode metadata (schema version
@@ -191,7 +197,33 @@ class SuperTable:
                 df = df.dropDuplicates(keys)
             if "_version" in df.columns:
                 df = df.drop("_version")
-        return df
+        return self._canonical_order(df)
+
+    def _canonical_order(self, df: DataFrame) -> DataFrame:
+        """Re-project to declared column order: ts, data columns (declared
+        order, then ALTER-added), tags, tbname, _version. A no-op select
+        when the frame already agrees — Catalyst prunes through it.
+
+        Only applies when the CREATE declared the column order
+        (``data_cols``) — driver-provided parquet keeps its footer order
+        so ordinal metadata (information_schema col_position) matches
+        what any other parquet reader reports."""
+        if not self.data_cols:
+            return df
+        cols = df.columns
+        tagset = set(self.tag_cols)
+        internal = {self.tbname_col, "_version"}
+        front = [self.ts_col] if self.ts_col in cols else []
+        declared = [
+            c for c in self.data_cols
+            if c in cols and c not in front
+        ]
+        seen = set(front) | set(declared) | tagset | internal
+        extra = [c for c in cols if c not in seen]
+        tail = [c for c in self.tag_cols if c in cols]
+        tail += [c for c in (self.tbname_col, "_version") if c in cols]
+        order = front + declared + extra + tail
+        return df.select(*order) if order != cols else df
 
 
 def _ntz_to_utc_timestamp(df: DataFrame) -> DataFrame:
@@ -370,6 +402,16 @@ def information_schema(
     column). Catalog metadata is tiny by construction — these are
     in-memory DataFrames, broadcastable into any introspection join.
     """
+    import os as _os
+
+    def _schema_of(db: Database, t: SuperTable):
+        # a child table (CREATE TABLE/INSERT … USING) has no dataset of
+        # its own — its rows live in the parent's dataset, and its
+        # schema IS the parent's schema (reference: child tables share
+        # the super table's schema version)
+        if not _os.path.exists(t.path) and t.parent and t.parent in db.tables:
+            return db.table(t.parent).read(spark).schema
+        return t.read(spark).schema
     if view == "ins_tables":
         # super tables (= tables that registered children point at) are
         # listed by ins_stables, not ins_tables (systable.h separation)
@@ -397,7 +439,7 @@ def information_schema(
         rows = []
         for db_name, db in dbs.items():
             for t in db.tables.values():
-                schema = t.read(spark).schema
+                schema = _schema_of(db, t)
                 rows.append(
                     (db_name, t.name, len(schema), len(t.tag_cols), t.ts_col)
                 )
@@ -411,7 +453,7 @@ def information_schema(
         for db_name, db in dbs.items():
             for t in db.tables.values():
                 fields = [
-                    f for f in t.read(spark).schema
+                    f for f in _schema_of(db, t)
                     if f.name != "_version"  # internal insert stamp
                 ]
                 for pos, fld in enumerate(fields, start=1):
@@ -431,7 +473,7 @@ def information_schema(
                 if not t.tag_cols:
                     continue
                 types = {f.name: f.dataType.simpleString()
-                         for f in t.read(spark).schema}
+                         for f in _schema_of(db, t)}
                 for tag in t.tag_cols:
                     rows.append((db_name, t.name, tag, types.get(tag, "")))
         return spark.createDataFrame(

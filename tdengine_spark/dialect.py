@@ -1222,13 +1222,18 @@ def _extwin_fill_agg(
                 n, F.when(empty, F.lit(c)).otherwise(F.col(n))
             )
     elif fill_mode in ("prev", "next"):
-        ordw = W.partitionBy(*keys).orderBy(F.col("_wstart").asc())
         if fill_mode == "prev":
-            frame = ordw.rowsBetween(W.unboundedPreceding, 0)
-            pick = F.last
+            frame = W.partitionBy(*keys).orderBy(
+                F.col("_wstart").asc()
+            ).rowsBetween(W.unboundedPreceding, 0)
         else:
-            frame = ordw.rowsBetween(0, W.unboundedFollowing)
-            pick = F.first
+            # NEXT as a reverse-ordered growing frame: shrinking
+            # current→unboundedFollowing frames re-aggregate per row
+            # (O(n²) per key); this is an O(n) pass, no extra shuffle
+            frame = W.partitionBy(*keys).orderBy(
+                F.col("_wstart").desc()
+            ).rowsBetween(W.unboundedPreceding, 0)
+        pick = F.last
         for n in names:
             src = F.when(~empty, F.col(n))
             full = full.withColumn(
@@ -1871,12 +1876,21 @@ def _translate_inner(
         if g["partition"] else []
     )
 
-    bare_star = g["window"] and re.search(
-        r"(?:^|,)\s*\*\s*(?:,|$)", g["select"]
-    )
+    bare_star = re.search(r"(?:^|,)\s*\*\s*(?:,|$)", g["select"])
     if bare_star:
+        # reference star expansion (parTranslater.c createAllColumns):
+        # a child table's ``*`` is its data columns only; a super
+        # table's ``*`` is data columns + tags; tbname and the internal
+        # ``_version`` stamp are never part of ``*``. Window aggregates
+        # expand to data columns only (tags are per-group constants).
         st0 = db.tables.get(table)
-        skip = {"tbname", *(st0.tag_cols if st0 else ())}
+        skip = {"_version"}
+        if st0 is not None or g["window"]:
+            skip.add("tbname")
+        if st0 is not None and (
+            g["window"] or st0.child or st0.parent
+        ):
+            skip |= set(st0.tag_cols)
         datacols = [c for c in base.columns if c not in skip]
         g = dict(g)
         g["select"] = re.sub(
@@ -1891,7 +1905,7 @@ def _translate_inner(
         # first(*)/last(*) expand to one call per data column (reference
         # parser star expansion; tags/tbname are not part of *)
         st0 = db.tables.get(table)
-        skip = {"tbname", *(st0.tag_cols if st0 else ())}
+        skip = {"tbname", "_version", *(st0.tag_cols if st0 else ())}
         datacols = [c for c in base.columns if c not in skip]
         g = dict(g)
         g["select"] = re.sub(
@@ -2908,6 +2922,14 @@ def _windowed(
         items = [
             it
             if it.strip() in pseudo or _is_plain_col(it, keys)
+            # expressions over pseudo-columns/keys/literals only need no
+            # per-window aggregate at all — they defer to the post-agg
+            # projection (wrapping them in first() would smuggle an
+            # aggregate into that projection → MISSING_GROUP_BY)
+            or _refs_only_cols(
+                re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip(),
+                pseudo | set(keys),
+            )
             # ignore-nulls: window-constant columns stay constant even
             # when EXTEND absorbs NULL-state rows into the window
             else f"first({it.strip()}, true)"
@@ -2979,8 +3001,16 @@ def _windowed(
                 nm = "_" + nm
             while nm in agg_names:
                 nm += "_"
-        if not _has_agg(it) and _refs_only_cols(
-            body, pseudo | set(keys)
+        if (
+            not _has_agg(it)
+            # _AGG_RE doesn't cover the selection functions — anything
+            # that is still an aggregate call must stay in the agg list
+            and not re.search(
+                r"(?i)\b(first|last|last_row|top|bottom|sample|tail|"
+                r"unique|elapsed|spread|histogram|leastsquares)\s*\(",
+                body,
+            )
+            and _refs_only_cols(body, pseudo | set(keys))
         ):
             # scalar expression over pseudo-columns (cast(_wstart as
             # bigint), _wend - _wstart, …): computed AFTER the window
@@ -3328,6 +3358,20 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
                 else [f"tag{i}" for i in range(len(tagvals))]
             )
         extra.update(dict(zip(tagcols, tagvals)))
+        # INSERT … USING auto-creates the child table (reference
+        # parInsertSql.c): register it so later SELECTs resolve it as a
+        # child slice with child-table star semantics
+        cn = g["table"].split(".")[-1]
+        if cn not in db.tables:
+            from tdengine_spark.catalog import SuperTable as _ST
+
+            pt0 = db.table(target)
+            db.tables[cn] = _ST(
+                name=cn, path=f"{db.root}/{cn}.parquet",
+                ts_col=pt0.ts_col, tag_cols=pt0.tag_cols, child=True,
+                parent=target, tag_values=tuple(tagvals),
+                data_cols=pt0.data_cols,
+            )
 
     if cols is None:
         if schema is None:
@@ -3512,7 +3556,7 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
         db.tables[child] = SuperTable(
             name=child, path=f"{db.root}/{child}.parquet",
             ts_col=pt.ts_col, tag_cols=pt.tag_cols, child=True,
-            parent=parent, tag_values=tagvals,
+            parent=parent, tag_values=tagvals, data_cols=pt.data_cols,
         )
         return child
     m = _CREATE_TABLE_RE.match(sql)
@@ -3540,6 +3584,7 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     t.tag_cols = tuple(n for n, _ in tags)
     t.managed = True
     t.pk_col = _parse_pk_col(g["cols"])
+    t.data_cols = tuple(n for n, _ in cols)
     return name
 
 
@@ -4066,11 +4111,17 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
             wk = (_W.partitionBy(*[F.expr(k) for k in keys])
                   if keys else _W.partitionBy(F.lit(1))).orderBy(ts_col)
             wk_prev = wk.rowsBetween(_W.unboundedPreceding, -1)
-            wk_next = wk.rowsBetween(1, _W.unboundedFollowing)
+            # next-sample tracker as a reverse-ordered growing frame
+            # (strictly-later rows): O(n) per key vs the O(n²)
+            # re-aggregated 1→unboundedFollowing shrinking frame
+            wk_next = (_W.partitionBy(*[F.expr(k) for k in keys])
+                       if keys else _W.partitionBy(F.lit(1))).orderBy(
+                F.col(ts_col).desc()
+            ).rowsBetween(_W.unboundedPreceding, -1)
             p_t = F.last(tn, ignorenulls=True).over(wk_prev)
             p_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_prev)
-            n_t = F.first(tn, ignorenulls=True).over(wk_next)
-            n_v = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_next)
+            n_t = F.last(tn, ignorenulls=True).over(wk_next)
+            n_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_next)
             ws = F.unix_micros(bucket).cast("double")
             we = F.unix_micros(bucket_end).cast("double")
             s = F.greatest(p_t, ws)

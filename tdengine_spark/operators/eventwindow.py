@@ -61,6 +61,7 @@ def assign_state_windows(
     state_col: "str | Column",
     partition_by: "list[str] | None" = None,
     extend: int = 0,
+    state_nullable: "bool | None" = None,
 ) -> DataFrame:
     """STATE_WINDOW(expr): one window per run of equal state value. Adds
     ``_wid`` and ``_state``.
@@ -74,62 +75,113 @@ def assign_state_windows(
     rows belong to no window (default); 1 = they attach FORWARD to the
     preceding window; 2 = they attach BACKWARD to the following window.
     The caller (window_agg) also stretches _wstart/_wend to cover the
-    inter-window gap per the same mode."""
+    inter-window gap per the same mode.
+
+    ``state_nullable``: the NULL-state machinery costs one extra
+    analytic pass (a reverse-ordered next-state scan). Pass ``False``
+    when the state column is known non-NULL (the caller asserts it, the
+    same way its oracle SQL does) to keep the single-direction two-pass
+    kernel; ``None`` infers from the schema (parquet columns are
+    usually declared nullable, so explicit ``False`` is the fast path).
+
+    Scale: both paths are one shuffle on ``partition_by`` + O(n)
+    growing-frame passes per key; the nullable path adds one extra sort
+    (descending ts) on the already-co-partitioned data — no
+    whole-partition or shrinking frames anywhere."""
     keys = _keyed(partition_by)
     state = F.col(state_col) if isinstance(state_col, str) else state_col
+    if state_nullable is None:
+        state_nullable = (
+            df.schema[state_col].nullable
+            if isinstance(state_col, str) and state_col in df.columns
+            else True
+        )
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    prev_rows = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     tagged = df.withColumn("_state", state)
-    prev = F.last("_state", ignorenulls=True).over(prev_rows)
+
+    if not state_nullable:
+        # non-NULL state: plain lag run-change kernel — two chained
+        # ascending window passes sharing one shuffle + one sort
+        prev = F.lag("_state").over(w)
+        change = F.when(
+            prev.isNull() | (prev != F.col("_state")), 1
+        ).otherwise(0)
+        out = tagged.withColumn(WINDOW_ID, F.sum(change).over(run))
+        if extend == 2:
+            out = out.withColumn("_isdata", F.lit(True))
+        return out
+
+    # nullable state: NULL rows never cut a run; carry the last
+    # non-NULL state forward, count run changes on non-NULL rows only.
+    # ``_wida`` gives every row (NULL-state included) the id of the
+    # last window STARTED at or before it; which NULL rows truly
+    # belong to a window is decided per EXTEND mode below.
+    prev_rows = w.rowsBetween(Window.unboundedPreceding, -1)
+    tagged = tagged.withColumn(
+        "_prev", F.last("_state", ignorenulls=True).over(prev_rows)
+    )
     change = F.when(
         F.col("_state").isNotNull()
-        & (prev.isNull() | (prev != F.col("_state"))),
+        & (F.col("_prev").isNull() | (F.col("_prev") != F.col("_state"))),
         1,
     ).otherwise(0)
-    run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    out = tagged.withColumn(
-        WINDOW_ID,
-        F.when(F.col("_state").isNotNull(), F.sum(change).over(run)),
-    )
+    tagged = tagged.withColumn("_wida", F.sum(change).over(run))
+    # next non-NULL state via a reverse-ordered growing frame: O(n) per
+    # key, reuses the hash partitioning (one extra sort, no shuffle,
+    # no shrinking UnboundedFollowing frame)
+    rev_prev = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    nxt = F.last("_state", ignorenulls=True).over(rev_prev)
+
     if extend == 0:
         # interior NULL-state rows (same non-null state on both sides)
         # belong to that run — reference statewindowoperator keeps them
         # in the window (count(*) includes them, count(state) doesn't);
         # boundary nulls (state differs across, or leading/trailing)
-        # stay outside
-        nxt_rows = w.rowsBetween(1, Window.unboundedFollowing)
-        prev_state = F.last("_state", ignorenulls=True).over(prev_rows)
-        next_state = F.first("_state", ignorenulls=True).over(nxt_rows)
-        fill = w.rowsBetween(Window.unboundedPreceding, 0)
-        wid_fw = F.last(WINDOW_ID, ignorenulls=True).over(fill)
-        out = out.withColumn(
+        # stay outside. A NULL row is interior iff its forward and
+        # backward neighbouring states agree (equal states can never
+        # straddle a window boundary — a boundary needs a differing
+        # state), and then the last-started window IS its window.
+        out = tagged.withColumn(
             WINDOW_ID,
-            F.when(F.col("_state").isNotNull(), F.col(WINDOW_ID)).when(
-                prev_state.isNotNull() & (prev_state == next_state), wid_fw
+            F.when(F.col("_state").isNotNull(), F.col("_wida")).when(
+                F.col("_prev").isNotNull() & (F.col("_prev") == nxt),
+                F.col("_wida"),
             ),
         )
-    if extend == 1:
-        fill = w.rowsBetween(Window.unboundedPreceding, 0)
-        out = out.withColumn(
-            WINDOW_ID, F.last(WINDOW_ID, ignorenulls=True).over(fill)
+    elif extend == 1:
+        # forward attach: a NULL row joins the last-started window
+        # (none before the first window starts)
+        out = tagged.withColumn(
+            WINDOW_ID,
+            F.when(
+                F.col("_state").isNotNull() | F.col("_prev").isNotNull(),
+                F.col("_wida"),
+            ),
+        ).withColumn("_state", F.coalesce("_state", "_prev"))
+    else:  # extend == 2
+        # backward attach: a NULL row joins the NEXT window — id is
+        # _wida when the next non-NULL row continues the current run,
+        # _wida+1 when it starts a new one (trailing NULLs: none)
+        out = tagged.withColumn(
+            "_isdata", F.col("_state").isNotNull()
+        ).withColumn("_next", nxt).withColumn(
+            WINDOW_ID,
+            F.when(F.col("_state").isNotNull(), F.col("_wida")).when(
+                F.col("_next").isNotNull(),
+                F.col("_wida")
+                + F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("_prev") != F.col("_next")),
+                    1,
+                ).otherwise(0),
+            ),
         ).withColumn(
-            "_state", F.last("_state", ignorenulls=True).over(fill)
-        )
-    elif extend == 2:
-        fill = w.rowsBetween(0, Window.unboundedFollowing)
-        out = out.withColumn(
-            WINDOW_ID, F.first(WINDOW_ID, ignorenulls=True).over(fill)
-        ).withColumn(
-            "_state", F.first("_state", ignorenulls=True).over(fill)
-        )
-        # mark data rows so window_agg can compute the DATA end for the
-        # next window's gap start
-        out = out.withColumn(
-            "_isdata", F.col("_state").isNotNull() & (state == F.col("_state"))
-        )
-    return out
+            "_state", F.coalesce("_state", "_next")
+        ).drop("_next")
+    return out.drop("_prev", "_wida")
 
 
 def assign_state_windows_multi(
@@ -269,10 +321,19 @@ def assign_event_windows(
     Kernel: running count of closed windows -> segment id; within a
     segment, rows from the first start_cond row onward are in the window;
     a segment with no END row anywhere is the trailing unclosed window.
+
+    Scale: one shuffle on ``partition_by`` + one ascending sort. All
+    analytic passes are O(n) growing frames over that same (keys, ts)
+    order — "started" is derived from running start/end counters
+    instead of a per-segment sort, and "closed" from the per-key total
+    END count (an unordered pass whose required clustering+ordering the
+    sorted child already satisfies), so no (keys, segment) re-sort and
+    no per-segment whole-partition frame exist in the plan.
     """
     keys = _keyed(partition_by)
     order = Window.partitionBy(*keys).orderBy(ts_col)
     run_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
 
     df2 = df.withColumn("_s", start_cond.cast("int")).withColumn(
         "_e", end_cond.cast("int")
@@ -281,23 +342,28 @@ def assign_event_windows(
     # one close and the next close share a segment; the closing row belongs
     # to its own (earlier) segment.
     seg = F.coalesce(F.sum("_e").over(run_prev), F.lit(0))
-    df2 = df2.withColumn("_seg", seg)
-    # within a segment, the window is open from the first _s=1 row onward
-    seg_order = Window.partitionBy(*keys, "_seg").orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    started = F.max("_s").over(seg_order)
-    # a segment is a real (closed) window only if an END row exists in it
-    seg_all = Window.partitionBy(*keys, "_seg")
-    closed = F.max("_e").over(seg_all)
+    # running count of START rows up to and including this row
+    s_run = F.coalesce(F.sum("_s").over(run), F.lit(0))
+    df2 = df2.withColumn("_seg", seg).withColumn("_srun", s_run)
+    # start-counter value at the most recent END row strictly before =
+    # the segment's baseline; a window is open from the first START row
+    # of the segment onward ⇔ starts have occurred since that baseline
+    base = F.last(
+        F.when(F.col("_e") == 1, F.col("_srun")), ignorenulls=True
+    ).over(run_prev)
+    started = (F.col("_srun") - F.coalesce(base, F.lit(0))) > 0
+    # a segment is a real (closed) window only if an END row exists in
+    # it; every END row terminates exactly one segment (0.._e_total-1),
+    # so the trailing segment(s) ≥ the per-key END total are unclosed
+    closed = F.col("_seg") < F.sum("_e").over(Window.partitionBy(*keys))
     return (
         df2.withColumn(
             WINDOW_ID,
-            F.when((started == 1) & (closed == 1), F.col("_seg") + 1).otherwise(
+            F.when(started & closed, F.col("_seg") + 1).otherwise(
                 F.lit(None)
             ),
         )
-        .drop("_s", "_e", "_seg")
+        .drop("_s", "_e", "_seg", "_srun")
     )
 
 

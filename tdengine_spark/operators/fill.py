@@ -128,10 +128,15 @@ def _directional_fill(
         .orderBy(WSTART)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-value tracker as a REVERSE-ordered growing frame (includes
+    # the current row): Spark re-aggregates shrinking
+    # current→unboundedFollowing frames per output row — O(n²) per key —
+    # while this is a second O(n) pass over the same hash partitioning
+    # (one extra sort, no extra shuffle)
     wnext = (
         Window.partitionBy(*partition_by)
-        .orderBy(WSTART)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(WSTART).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     from pyspark.sql.types import NumericType
 
@@ -146,9 +151,9 @@ def _directional_fill(
             cols.append(F.when(v.isNotNull(), v).alias(c))
             continue
         prev_v = F.last(v, ignorenulls=True).over(wprev)
-        next_v = F.first(v, ignorenulls=True).over(wnext)
+        next_v = F.last(v, ignorenulls=True).over(wnext)
         prev_t = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wprev)
-        next_t = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wnext)
+        next_t = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(wnext)
         if mode == "prev":
             filled = prev_v
         elif mode == "next":

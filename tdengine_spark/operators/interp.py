@@ -10,15 +10,16 @@ as-of join (operators/asofjoin.py):
   1. generate the instant spine per group (``sequence`` + explode —
      a pure expression, no driver loop);
   2. union instants (side=1) with samples (side=0);
-  3. ONE ascending (ts, side) sort serves both directions: the
-     previous-sample tracker uses an unboundedPreceding→current frame,
-     the next-sample tracker a current→unboundedFollowing frame over
-     the same ordering — a single Window node, one exchange, one sort.
-     Samples sort before instants at equal ts, so an exact-ts sample is
+  3. two O(n) ordered passes over ONE hash partitioning: the
+     previous-sample tracker is a growing frame over the ascending
+     (ts, side) order; the next-sample tracker a growing frame over the
+     descending order (shrinking current→unboundedFollowing frames
+     would re-aggregate per output row — O(n²) per key). Samples sort
+     before instants at equal ts ascending, so an exact-ts sample is
      seen by the preceding frame (→ _isfilled = false) and not the
-     following one.
+     next-tracker.
 
-Cost: one shuffle on the group keys + one ordered window pass over
+Cost: one shuffle on the group keys + two ordered window passes over
 |samples| + |instants| rows — the same asymptotics as the reference's
 single merge pass, and it parallelizes per key across executors.
 
@@ -173,7 +174,18 @@ def interp(
         F.col("_t").asc(), F.col("_side").asc()
     )
     fwd = asc.rowsBetween(Window.unboundedPreceding, 0)
-    nxt = asc.rowsBetween(0, Window.unboundedFollowing)
+    # next-sample tracker: a REVERSE-ordered growing frame, not an
+    # UnboundedFollowing frame — Spark evaluates shrinking frames by
+    # re-aggregating the remaining rows per output row (O(n²) per key),
+    # while the reverse pass is a second O(n) scan over the same hash
+    # partitioning (one extra sort, no shuffle). Samples sort before
+    # instants at equal ts in ascending order, so in the reverse order
+    # instants come FIRST — the strictly-preceding frame then sees
+    # exactly the rows with _t greater than the instant's, keeping the
+    # exact-hit sample out of the next-tracker as before.
+    nxt = Window.partitionBy(*keys).orderBy(
+        F.col("_t").desc(), F.col("_side").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     t_us = F.unix_micros(F.col("_t"))
 
     ignores = _as_list(ignore_null, nv, fill=True)
@@ -192,7 +204,9 @@ def interp(
         )
         track += [
             F.last(pair, ignorenulls=True).over(fwd).alias(f"_p{i}"),
-            F.first(pair, ignorenulls=True).over(nxt).alias(f"_n{i}"),
+            # last over the reverse-ordered growing frame = the nearest
+            # strictly-later sample (see ``nxt`` above)
+            F.last(pair, ignorenulls=True).over(nxt).alias(f"_n{i}"),
         ]
     staged = u.select("*", *track).where(F.col("_side") == 1)
 

@@ -474,7 +474,12 @@ def q_session(spark, sf_dir):
 def q_state(spark, sf_dir):
     """STATE_WINDOW(event_type) per user."""
     ev = t(spark, sf_dir, "events")
-    assigned = assign_state_windows(ev, "ts", "event_type", ["user_id"])
+    # event_type is non-NULL in this dataset — the oracle SQL above
+    # makes the same assumption (its lag-based chg flag has no NULL
+    # handling), so assert it and keep the two-pass kernel
+    assigned = assign_state_windows(
+        ev, "ts", "event_type", ["user_id"], state_nullable=False
+    )
     out = window_agg(
         assigned, "ts", [F.count(F.lit(1)).alias("n_rows")], ["user_id"], keep_state=True
     )

@@ -375,8 +375,11 @@ def q_sample(spark, sf_dir):
 def q_state_threshold(spark, sf_dir):
     """STATE_WINDOW(expr) on a computed predicate (not a raw column)."""
     ev = t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    # value is non-NULL in this dataset (oracle SQL assumes the same),
+    # so the predicate state is non-NULL → two-pass kernel
     assigned = assign_state_windows(
-        ev, "ts", (F.col("value") > 100).cast("long"), ["user_id"]
+        ev, "ts", (F.col("value") > 100).cast("long"), ["user_id"],
+        state_nullable=False,
     )
     out = window_agg(
         assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"],
