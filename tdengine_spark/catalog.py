@@ -214,8 +214,27 @@ class SuperTable:
         tagset = set(self.tag_cols)
         internal = {self.tbname_col, "_version"}
         front = [self.ts_col] if self.ts_col in cols else []
+        # ALTER RENAME keeps the column's position (mndStb.c renames the
+        # schema slot in place), so map the declared order through the
+        # overlay's rename dict; a column dropped then re-ADDed gets a new
+        # colId in the reference and is appended at the end — the overlay
+        # records those under phys (versioned physical name), so demote
+        # them out of the declared slot into the appended 'extra' run.
+        decl_src = list(self.data_cols)
+        import os as _os
+
+        if _os.path.exists(self._overlay_path):
+            ov = self.load_overlay()
+            ren = ov.get("rename", {})
+            # follow rename chains (c1→x1 then x1→y1) in overlay order
+            for old, new in ren.items():
+                decl_src = [new if c == old else c for c in decl_src]
+            readded = {
+                c for c in ov.get("phys", {}) if ov["phys"][c] != c
+            }
+            decl_src = [c for c in decl_src if c not in readded]
         declared = [
-            c for c in self.data_cols
+            c for c in decl_src
             if c in cols and c not in front
         ]
         seen = set(front) | set(declared) | tagset | internal

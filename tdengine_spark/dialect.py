@@ -3366,10 +3366,15 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
             from tdengine_spark.catalog import SuperTable as _ST
 
             pt0 = db.table(target)
+            # registry consumers zip against declared tag order (see the
+            # child-INSERT path above), so normalize a named/reordered/
+            # subset TAGS(...) list into pt0.tag_cols order here
+            byname = dict(zip(tagcols, tagvals))
             db.tables[cn] = _ST(
                 name=cn, path=f"{db.root}/{cn}.parquet",
                 ts_col=pt0.ts_col, tag_cols=pt0.tag_cols, child=True,
-                parent=target, tag_values=tuple(tagvals),
+                parent=target,
+                tag_values=tuple(byname.get(c) for c in pt0.tag_cols),
                 data_cols=pt0.data_cols,
             )
 

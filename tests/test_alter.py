@@ -129,3 +129,74 @@ def test_evolution_survives_reload(spark, db):
     db2 = Database(root=db.root)
     rows = dialect.execute(spark, db2, "select a_renamed, b from tb").collect()
     assert [(r.a_renamed, r.b) for r in rows] == [(5, None)]
+
+
+def test_rename_keeps_star_position(spark, db):
+    # mndStb.c renames the schema slot in place — SELECT * order must keep
+    # the renamed column at its declared ordinal (ADVICE r9)
+    dialect.execute(spark, db, "create table tb (ts timestamp, c1 int, c2 int)")
+    dialect.execute(spark, db, "insert into tb values('2024-01-01 00:00:00', 1, 2)")
+    dialect.execute(spark, db, "alter table tb rename column c1 x1")
+    assert dialect.execute(spark, db, "select * from tb").columns == [
+        "ts", "x1", "c2",
+    ]
+    # chained rename keeps the slot too
+    dialect.execute(spark, db, "alter table tb rename column x1 y1")
+    assert dialect.execute(spark, db, "select * from tb").columns == [
+        "ts", "y1", "c2",
+    ]
+
+
+def test_drop_readd_appends_at_end(spark, db):
+    # a re-added column gets a new colId in the reference → appended after
+    # the surviving data columns, and old data stays masked (ADVICE r9)
+    dialect.execute(
+        spark, db, "create table tb (ts timestamp, c1 int, c2 int)"
+    )
+    dialect.execute(spark, db, "insert into tb values('2024-01-01 00:00:00', 1, 2)")
+    dialect.execute(spark, db, "alter table tb drop column c1")
+    dialect.execute(spark, db, "alter table tb add column c1 int")
+    out = dialect.execute(spark, db, "select * from tb")
+    assert out.columns == ["ts", "c2", "c1"]
+    assert [r.c1 for r in out.collect()] == [None]
+
+
+def test_insert_using_named_tag_subset(spark, db):
+    # INSERT … USING with a reordered/subset named TAGS list must register
+    # tag_values in declared tag order (ADVICE r9)
+    dialect.execute(
+        spark, db,
+        "create table st (ts timestamp, v double) tags (t1 int, t2 binary(16))",
+    )
+    dialect.execute(
+        spark, db,
+        "insert into ct0 using st (t2, t1) tags ('red', 7) "
+        "values ('2024-01-01 00:00:00', 1.5)",
+    )
+    # a later plain INSERT INTO the child zips declared tag order
+    dialect.execute(
+        spark, db, "insert into ct0 values ('2024-01-01 00:01:00', 2.5)"
+    )
+    rows = dialect.execute(
+        spark, db, "select ts, v, t1, t2 from st order by ts"
+    ).collect()
+    assert [(r.t1, r.t2) for r in rows] == [(7, "red"), (7, "red")]
+
+
+def test_insert_using_partial_tags(spark, db):
+    dialect.execute(
+        spark, db,
+        "create table st2 (ts timestamp, v double) tags (t1 int, t2 int)",
+    )
+    dialect.execute(
+        spark, db,
+        "insert into ct1 using st2 (t2) tags (9) "
+        "values ('2024-01-01 00:00:00', 1.0)",
+    )
+    dialect.execute(
+        spark, db, "insert into ct1 values ('2024-01-01 00:01:00', 2.0)"
+    )
+    rows = dialect.execute(
+        spark, db, "select ts, t1, t2 from st2 order by ts"
+    ).collect()
+    assert [(r.t1, r.t2) for r in rows] == [(None, 9), (None, 9)]
