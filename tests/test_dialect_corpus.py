@@ -1273,3 +1273,18 @@ def test_interval_auto_corpus_golden(spark, tw_auto_db):
         results, 120,
         known_mismatch=("or ts in ('2020-10-09 01:23:00'",),
     )
+
+
+def test_interval_diff_tz_corpus_golden(spark, tw_auto_db):
+    """test_interval_timezone.py (client tz UTC, server UTC-8 POSIX =
+    UTC+08:00): the SAME interval.in statements, rendered in UTC. The
+    fixture stores absolute instants, the literals parse as UTC, and
+    calendar windows align to UTC months — so this runs with NO literal
+    shift and CALENDAR_TZ_OFFSET_US = 0 (the engine's native mode),
+    diffed against ans/interval_diff_tz.csv."""
+    in_file = f"{REF}/13-TimeSeriesExt/03-TimeWindow/in/interval.in"
+    ans_file = f"{REF}/13-TimeSeriesExt/03-TimeWindow/ans/interval_diff_tz.csv"
+    if not os.path.exists(ans_file):
+        pytest.skip("corpus file missing")
+    results = run_corpus(spark, tw_auto_db, in_file, ans_file, tz_shift_ms=0)
+    _assert_corpus(results, 120)
