@@ -46,6 +46,62 @@ from tdengine_spark.durations import parse_duration
 #: by default; a corpus replaying an Asia/Shanghai session sets +8h.
 CALENDAR_TZ_OFFSET_US = 0
 from tdengine_spark.operators import timewindow as tw
+
+
+def _map_tz_spec(spec: str) -> str:
+    """Reference timezone spec → Spark/IANA zone id. Bare fixed-offset
+    strings follow POSIX sign semantics (taosd tz config, mktz):
+    ``+08:00`` / ``UTC-8`` mean WEST-of-prefix — i.e. '+08:00' is
+    UTC-08:00 and 'UTC-8' is UTC+08:00."""
+    s = spec.strip()
+    m = re.fullmatch(r"([+-])(\d{1,2})(?::?(\d{2}))?", s)
+    if m:
+        inv = "-" if m.group(1) == "+" else "+"
+        return f"GMT{inv}{int(m.group(2)):02d}:{m.group(3) or '00'}"
+    m = re.fullmatch(r"(?i)(?:UTC|GMT)([+-])(\d{1,2})(?::?(\d{2}))?", s)
+    if m:
+        inv = "-" if m.group(1) == "+" else "+"
+        return f"GMT{inv}{int(m.group(2)):02d}:{m.group(3) or '00'}"
+    return s
+
+
+def set_session_timezone(spark: SparkSession, spec: "str | None") -> str:
+    """``SET TIMEZONE 'spec'`` (reference L2 session timezone, v3.4.2
+    timezone feature set): string literals parse, calendar windows align,
+    and timestamps render in this zone. ``None`` resets to the engine's
+    native UTC mode. Keeps spark.sql.session.timeZone,
+    catalog.SESSION_TZ (so scans don't clobber the conf), and
+    timewindow.SESSION_CALENDAR_TZ in lockstep."""
+    from tdengine_spark import catalog as _cat
+
+    if spec is None:
+        _cat.SESSION_TZ = "UTC"
+        tw.SESSION_CALENDAR_TZ = None
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return "UTC"
+    tz = _map_tz_spec(spec)
+    _cat.SESSION_TZ = tz
+    tw.SESSION_CALENDAR_TZ = tz
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    return tz
+
+
+def _session_tzinfo():
+    """tzinfo of the active SET TIMEZONE zone (None in native mode)."""
+    name = tw.SESSION_CALENDAR_TZ
+    if name is None:
+        return None
+    from datetime import timedelta, timezone
+
+    m = re.fullmatch(r"GMT([+-])(\d{2}):(\d{2})", name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return timezone(
+            sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+        )
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(name)
 from tdengine_spark.operators.eventwindow import (
     WINDOW_ID,
     assign_count_windows,
@@ -2427,6 +2483,11 @@ def _ts_bounds(where: "str | None", ts_col: str, allow_in: bool = True):
                 d = _dt.strptime(txt, fmt)
             except ValueError:
                 return None
+            tzi = _session_tzinfo()
+            if tzi is not None:
+                # SET TIMEZONE session: literals are local walls of the
+                # session zone (per-literal offset — DST-correct)
+                return int(d.replace(tzinfo=tzi).timestamp() * 1_000_000)
             return int((d - _dt(1970, 1, 1)).total_seconds() * 1_000_000)
         if re.fullmatch(r"\d+", tok):
             return int(int(tok) * _epoch_unit_us(tok))
@@ -3825,6 +3886,12 @@ def _execute_inner(
     )
     if sm_fdow:
         tw.FIRST_DAY_OF_WEEK = int(sm_fdow.group(1))
+        return 1
+    sm_tz = re.match(
+        r"(?i)^\s*set\s+timezone\s+'([^']+)'\s*;?\s*$", sql
+    )
+    if sm_tz:
+        set_session_timezone(spark, sm_tz.group(1))
         return 1
     if s.startswith(("DROP TABLE", "DROP STABLE")):
         import shutil as _sh

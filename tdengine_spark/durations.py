@@ -22,9 +22,9 @@ _US: dict[str, int] = {
     "w": 7 * 86_400 * 1_000_000,
 }
 
-CALENDAR_UNITS = ("n", "y")
+CALENDAR_UNITS = ("n", "y", "q")
 
-_DUR_RE = re.compile(r"^\s*(\d+)\s*([buasmhdwny])\s*$")
+_DUR_RE = re.compile(r"^\s*(\d+)\s*([buasmhdwnyq])\s*$")
 
 
 class Duration:
@@ -54,10 +54,17 @@ class Duration:
     def seconds(self) -> float:
         return self.microseconds / 1_000_000
 
+    @property
+    def months(self) -> int:
+        """Calendar width in months (n=1, q=3, y=12 per unit)."""
+        if not self.is_calendar:
+            raise ValueError(f"fixed duration {self} has no month width")
+        return self.value * {"n": 1, "q": 3, "y": 12}[self.unit]
+
     def interval_string(self) -> str:
         """Spark interval literal (for F.window / INTERVAL exprs)."""
-        if self.unit == "n":
-            return f"{self.value} months"
+        if self.unit in ("n", "q"):
+            return f"{self.months} months"
         if self.unit == "y":
             return f"{self.value} years"
         return f"{self.microseconds} microseconds"

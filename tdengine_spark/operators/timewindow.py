@@ -43,6 +43,40 @@ EPOCH_ALIGN_OFFSET_US = 0
 #: weekday. Set via the dialect's SET FIRST_DAY_OF_WEEK statement.
 FIRST_DAY_OF_WEEK: "int | None" = None
 
+#: SET TIMEZONE session mode (reference L2 session timezone,
+#: taosTimeTruncate with the connection's tz): when set, day/week
+#: windows truncate the LOCAL calendar day/week of this zone — DST days
+#: are 23/25 h, so bucketing is date arithmetic (DST-safe), not epoch
+#: modulo. None = native epoch-aligned mode. The dialect's SET TIMEZONE
+#: statement keeps this in lockstep with spark.sql.session.timeZone.
+SESSION_CALENDAR_TZ: "str | None" = None
+
+#: epoch day 0 (1970-01-01) was a Thursday = 4 in the 0=Sunday encoding
+_EPOCH_WEEKDAY = 4
+
+
+def _tz_day_bucket_date(ts: Column, w: Duration) -> Column:
+    """Local-calendar day/week bucket START as a DATE (session-tz mode).
+
+    Pure date arithmetic — datediff/date_add count calendar days, so a
+    23- or 25-hour DST day is still one day and boundaries stay on local
+    midnight. Casting the DATE to timestamp yields local midnight in the
+    session timezone (which is what SESSION_CALENDAR_TZ mode sets)."""
+    d = F.to_date(ts)
+    width_days = w.value * (7 if w.unit == "w" else 1)
+    anchor = 0
+    if w.unit == "w":
+        fdow = FIRST_DAY_OF_WEEK if FIRST_DAY_OF_WEEK is not None else 1
+        anchor = (fdow - _EPOCH_WEEKDAY) % 7
+    if width_days == 1:
+        return d
+    days = F.datediff(d, F.lit("1970-01-01"))
+    bucket = (
+        F.floor((days - F.lit(anchor)) / width_days) * width_days
+        + F.lit(anchor)
+    )
+    return F.date_add(F.lit("1970-01-01").cast("date"), bucket.cast("int"))
+
 
 def window_start(
     ts: "Column | str", width: "str | int | Duration", offset: "str | int | Duration | None" = None
@@ -57,7 +91,7 @@ def window_start(
     ts = F.col(ts) if isinstance(ts, str) else ts
     w = parse_duration(width)
     if w.is_calendar:
-        months = w.value * (12 if w.unit == "y" else 1)
+        months = w.months
         # calendar offset (INTERVAL(1n, 1w) / INTERVAL(1y, 6n)): shift,
         # truncate, shift back — windows anchored at trunc+offset
         # (reference taosTimeTruncate with interval offset)
@@ -66,7 +100,7 @@ def window_start(
             o = parse_duration(offset)
             if o.is_calendar:
                 shift = F.make_ym_interval(
-                    F.lit(0), F.lit(o.value * (12 if o.unit == "y" else 1))
+                    F.lit(0), F.lit(o.months)
                 )
             elif o.microseconds:
                 shift = F.expr(f"INTERVAL {o.microseconds} MICROSECOND")
@@ -87,6 +121,12 @@ def window_start(
                 )
             )
         return (trunc + shift).cast("timestamp") if shift is not None else trunc
+    if SESSION_CALENDAR_TZ is not None and w.unit in ("d", "w") and not offset:
+        # SET TIMEZONE session mode: day/week windows are LOCAL calendar
+        # buckets of the session zone — DST-safe date arithmetic, so the
+        # spring-forward day is a 23 h window (reference taosTimeTruncate
+        # with the connection timezone, v3.4.2 timezone tasks)
+        return _tz_day_bucket_date(ts, w).cast("timestamp")
     us = F.lit(w.microseconds)
     # day/week widths truncate the LOCAL calendar day (reference
     # taosTimeTruncate unit d/w); sub-day fixed units use pure epoch
@@ -115,8 +155,13 @@ def window_end(
     w = parse_duration(width)
     start = window_start(ts, width, offset)
     if w.is_calendar:
-        months = w.value * (12 if w.unit == "y" else 1)
+        months = w.months
         return F.add_months(start, months).cast("timestamp")
+    if SESSION_CALENDAR_TZ is not None and w.unit in ("d", "w") and not offset:
+        # local-calendar end: N calendar days after the start date —
+        # crosses DST as 23/25 h of real time (_wduration reflects it)
+        width_days = w.value * (7 if w.unit == "w" else 1)
+        return F.date_add(start.cast("date"), width_days).cast("timestamp")
     return F.timestamp_micros((F.unix_micros(start) + w.microseconds).cast("long"))
 
 
@@ -141,6 +186,30 @@ def interval_window(
     w = parse_duration(width)
     s = parse_duration(sliding) if sliding is not None else None
 
+    if s is not None and w.is_calendar and not s.is_calendar:
+        # calendar width, fixed slide (INTERVAL(1n) SLIDING(1d)): window
+        # starts sit on the epoch-aligned slide grid; each end is a true
+        # calendar-month add (session-tz aware, end-of-month clamped).
+        # Candidates overestimated with a 32-day month, exact-filtered.
+        months = w.months
+        sus = s.microseconds
+        mon_iv = F.make_ym_interval(F.lit(0), F.lit(months))
+        t_us = F.unix_micros(F.col(ts_col))
+        max_len_us = months * 32 * 86_400 * 1_000_000
+        j_hi = F.floor(t_us / sus).cast("long")
+        j_lo = (F.floor((t_us - max_len_us) / sus) + 1).cast("long")
+        exploded = df.withColumn("_j", F.explode(F.sequence(j_lo, j_hi)))
+        start = F.timestamp_micros((F.col("_j") * sus).cast("long"))
+        kept = (
+            exploded.withColumn(WSTART, start)
+            .withColumn(WEND, (F.col(WSTART) + mon_iv).cast("timestamp"))
+            .where(
+                (F.col(ts_col) >= F.col(WSTART))
+                & (F.col(ts_col) < F.col(WEND))
+            )
+        )
+        out = kept.groupBy(WSTART, WEND, *partition_by).agg(*aggs)
+        return out.orderBy(*partition_by, WSTART)
     if s is not None and not w.is_calendar and s.microseconds != w.microseconds:
         off_str = parse_duration(offset).interval_string() if offset is not None else None
         win = F.window(F.col(ts_col), w.interval_string(), s.interval_string(), off_str)
@@ -243,7 +312,7 @@ def interval_window_auto(
         )
         return out.orderBy(*partition_by, WSTART)
 
-    months = w.value * (12 if w.unit == "y" else 1)
+    months = w.months
     mon_iv = F.make_ym_interval(F.lit(0), F.lit(months))
     off = cal_tz_offset_us
 

@@ -126,9 +126,22 @@ def _shift_epoch_ints(sql: str, offset_ms: int) -> str:
 
 class TdSqlShim:
     def __init__(self, spark, tz_shift_hours: int = 8, soft: bool = False,
-                 session_tz: "str | None" = None):
+                 session_tz: "str | None" = None, engine_tz: bool = False):
         self.spark = spark
         self.tz_shift_hours = tz_shift_hours
+        #: engine_tz: SET TIMEZONE flows through to the engine (dialect
+        #: set_session_timezone) — inserts are absolute epoch ints,
+        #: literals parse in the ACTIVE session zone, and collect()
+        #: results are converted to that zone's wall clock. Models the
+        #: reference's L2 (session) / L3 (client config) layering:
+        #: ALTER LOCAL records L3 here, connect() resets L2 to L3.
+        self.engine_tz = engine_tz
+        if engine_tz:
+            tz_shift_hours = 0
+            self.tz_shift_hours = 0
+            self._l3 = {"timezone": "UTC", "firstDayOfWeek": 1}
+            self._server_tz = "UTC"
+            self._fdow_saved = None  # applied below via connect()
         #: soft mode (triage): record check failures instead of raising
         self.soft = soft
         self.failures: list[str] = []
@@ -171,9 +184,24 @@ class TdSqlShim:
         self._ins: dict[str, list[str]] = {}
         if not hasattr(self, "epoch_shift_ms"):
             self.epoch_shift_ms = 0
+        if engine_tz:
+            from tdengine_spark.operators import timewindow as _tw
+
+            self._fdow_saved = _tw.FIRST_DAY_OF_WEEK
+            self.lit_shift = 0
+            self.connect()
 
     def connect(self, *a, **k):
-        """tdSql.connect(): no-op — the shim has no server socket."""
+        """tdSql.connect(): reconnect — in engine_tz mode the session
+        (L2) overrides are cleared and the client config (L3) applies;
+        otherwise a no-op (the shim has no server socket)."""
+        if getattr(self, "engine_tz", False):
+            from tdengine_spark.operators import timewindow as _tw
+
+            dialect.set_session_timezone(
+                self.spark, self._l3["timezone"]
+            )
+            _tw.FIRST_DAY_OF_WEEK = int(self._l3["firstDayOfWeek"])
 
     def _fail(self, msg: str):
         if self.soft:
@@ -197,6 +225,11 @@ class TdSqlShim:
         self.db = self.dbs[name]
 
     def close(self):
+        if getattr(self, "engine_tz", False):
+            from tdengine_spark.operators import timewindow as _tw
+
+            dialect.set_session_timezone(self.spark, None)
+            _tw.FIRST_DAY_OF_WEEK = self._fdow_saved
         if getattr(self, "_align_saved", None) is not None:
             from tdengine_spark.operators import timewindow as _tw
 
@@ -235,6 +268,31 @@ class TdSqlShim:
             self.dbs.pop(name, None)
             if self.db is not None and not self.dbs:
                 self.db = None
+            return
+        if getattr(self, "engine_tz", False):
+            am = re.match(
+                r"(?i)^alter\s+local\s+'timezone\s+(.+?)'\s*$", sql
+            ) or re.match(
+                r"(?i)^alter\s+local\s+'timezone'\s+'(.+?)'\s*$", sql
+            )
+            if am:
+                self._l3["timezone"] = am.group(1).strip()
+                return
+            am = re.match(
+                r"(?i)^alter\s+local\s+'firstdayofweek'\s+'(\d+)'\s*$", sql
+            ) or re.match(
+                r"(?i)^alter\s+local\s+'firstdayofweek\s+(\d+)'\s*$", sql
+            )
+            if am:
+                self._l3["firstDayOfWeek"] = int(am.group(1))
+                return
+            am = re.match(
+                r"(?i)^alter\s+all\s+dnodes\s+'timezone\s+(.+?)'\s*$", sql
+            )
+            if am:
+                self._server_tz = am.group(1).strip()
+                return
+        if low.startswith("alter all dnodes"):
             return
         if low.startswith(("alter database", "reset ",
                            "flush ", "alter local", "compact", "balance",
@@ -285,6 +343,30 @@ class TdSqlShim:
             )
             self.last_sql = sql
             return len(self.rows)
+        if getattr(self, "engine_tz", False):
+            vm = re.match(
+                r"(?i)^\s*show\s+(local\s+)?variables\s+like\s+'(\w+)'\s*$",
+                sql,
+            )
+            if vm:
+                name = vm.group(2)
+                if vm.group(1):  # L3 client config
+                    val = self._l3.get(name, "")
+                else:  # L4 server config
+                    val = self._server_tz if name == "timezone" else ""
+                self.rows = [[name, str(val)]]
+                self.last_sql = sql
+                return len(self.rows)
+            em = re.match(
+                r"(?i)^\s*explain\s+(?:verbose\s+\w+\s+|analyze\s+)?(select\b.*)$",
+                sql, re.DOTALL,
+            )
+            if em:
+                self.rows = [list(r) for r in dialect.execute(
+                    self.spark, self.db, f"explain {em.group(1)}"
+                ).collect()]
+                self.last_sql = sql
+                return len(self.rows)
         if re.match(r"(?i)^\s*(show|describe|desc)\b", sql):
             # SHOW/DESCRIBE are execute-dispatch statements that return
             # rows (information_schema views)
@@ -293,6 +375,23 @@ class TdSqlShim:
             return len(self.rows)
         self.rows = [list(r) for r in
                      dialect.translate(self.spark, self.db, sql).collect()]
+        if getattr(self, "engine_tz", False):
+            # collect() renders naive datetimes on the OS clock (UTC);
+            # re-render on the ACTIVE session zone's wall clock, which is
+            # what the reference client shows its checkData strings in
+            tzi = dialect._session_tzinfo()
+            if tzi is not None:
+                from datetime import timezone as _tzu
+
+                self.rows = [
+                    [
+                        v.replace(tzinfo=_tzu.utc).astimezone(tzi)
+                        .replace(tzinfo=None)
+                        if isinstance(v, datetime) else v
+                        for v in r
+                    ]
+                    for r in self.rows
+                ]
         if re.match(
             r"(?is)^\s*select\s+\*\s+from\s+[\w.]+\s*(where\s.*)?$", sql
         ) and not re.search(r"(?i)\border\s+by\b", sql):

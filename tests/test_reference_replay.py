@@ -22,15 +22,18 @@ pytestmark = pytest.mark.skipif(
 
 
 def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
-            known=(), session_tz=None):
+            known=(), session_tz=None, engine_tz=False):
     """Replay ``methods`` of a reference test file. ``known``: substrings
     of check-failure messages that are accepted (documented reference
     quirks — e.g. statements the reference's own file marks
     '# bug need fix'); any other failure raises. ``session_tz``: run in
     wall-to-wall mode for the reference CI's local timezone (epoch-int
-    literals and interval alignment shifted to the wall clock)."""
+    literals and interval alignment shifted to the wall clock).
+    ``engine_tz``: SET TIMEZONE flows through to the engine — absolute
+    epochs, session-zone literal parsing and rendering."""
     shim = TdSqlShim(spark, tz_shift_hours=tz_shift_hours,
-                     soft=bool(known), session_tz=session_tz)
+                     soft=bool(known), session_tz=session_tz,
+                     engine_tz=engine_tz)
     try:
         obj = load_reference_test(f"{REF}/{relpath}", shim)
         for m in methods:
@@ -203,4 +206,24 @@ def test_replay_event_window(spark):
     over mixed-type trigger columns."""
     stats = _replay(spark, "05-EventWindow/test_event.py",
                     ["test_event"], tz_shift_hours=0, min_checks=15)
+    print(stats)
+
+
+def test_replay_tz_interval(spark):
+    """03-TimeWindow/test_tz_interval.py — SET TIMEZONE session-zone
+    INTERVAL: natural units (1d/1n/1y/1q) truncate the SESSION zone's
+    calendar (DST days are 23/25 h and _wduration shows it), 1w anchors
+    at firstDayOfWeek (SET FIRST_DAY_OF_WEEK L2 / ALTER LOCAL L3 with
+    reconnect reset), POSIX sign semantics for bare fixed offsets
+    ('+08:00' = UTC-08:00), 1q == 3n equivalence. Engine-tz mode: the
+    statements' SET TIMEZONE flows straight into the dialect."""
+    stats = _replay(
+        spark, "03-TimeWindow/test_tz_interval.py",
+        ["test_interval_natural", "test_interval_week",
+         "test_interval_quarter"],
+        engine_tz=True, tz_shift_hours=0, min_checks=15,
+    )
+    # this file asserts mostly via bare `assert` (uncounted); the 60
+    # queries it drives are the coverage measure
+    assert stats["queries"] >= 55, stats
     print(stats)
