@@ -45,6 +45,13 @@ from tdengine_spark.durations import parse_duration
 #: clock in the reference — taosTimeAdd uses the server timezone). UTC
 #: by default; a corpus replaying an Asia/Shanghai session sets +8h.
 CALENDAR_TZ_OFFSET_US = 0
+
+#: presentation order of translated FROM-subquery views (view name →
+#: [(col, is_desc), …]) and the order active for the statement being
+#: translated — data-driven windows over an ordered derived table assign
+#: runs in that order (reference orderbyOtherTS semantics)
+_VIEW_ORDER: dict = {}
+_ACTIVE_SUB_ORDER = None
 from tdengine_spark.operators import timewindow as tw
 
 
@@ -132,7 +139,7 @@ _CLAUSE_RE = re.compile(
     ))?
     (?:\s+FILL\s*\((?P<fill>.*?)\))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
-    (?:\s+HAVING\s+(?P<having>.*?))?
+    (?:\s+HAVING\b\s*(?P<having>.*?))?
     (?:\s+ORDER\s+BY\s+(?P<order>.*?))?
     (?:\s+SLIMIT\s+(?P<slimit>\d+)(?:\s+SOFFSET\s+(?P<soffset>\d+))?)?
     (?:\s+LIMIT\s+(?P<limit>\d+)(?:\s+OFFSET\s+(?P<offset>\d+))?)?
@@ -140,6 +147,56 @@ _CLAUSE_RE = re.compile(
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+_PG_FMT_TOKENS = [
+    # PostgreSQL to_char pattern → Java date_format pattern,
+    # longest-first (reference to_char follows the PG template set)
+    ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
+    ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
+    ("YYYY", "yyyy"), ("yyyy", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("yy", "yy"),
+    ("DDD", "DDD"), ("ddd", "DDD"), ("DD", "dd"), ("dd", "dd"),
+    ("DAY", "EEEE"), ("Day", "EEEE"), ("day", "EEEE"),
+    ("DY", "EEE"), ("Dy", "EEE"), ("dy", "EEE"),
+    ("HH24", "HH"), ("hh24", "HH"), ("HH12", "hh"), ("hh12", "hh"),
+    ("HH", "hh"), ("hh", "hh"),
+    ("MI", "mm"), ("mi", "mm"),
+    ("SS", "ss"), ("ss", "ss"),
+    ("MS", "SSS"), ("ms", "SSS"),
+    ("US", "SSSSSS"), ("us", "SSSSSS"),
+    ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
+    ("TZH", "xx"),
+    ("MM", "MM"), ("mm", "MM"),
+]
+
+
+def _pg_to_java_fmt(fmt: str) -> str:
+    """PostgreSQL to_char datetime template → Java datetime pattern.
+    Unrecognized letter runs are single-quoted (Java reserves every
+    ASCII letter); punctuation passes through."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        for tok, rep in _PG_FMT_TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            c = fmt[i]
+            if c.isalpha():
+                j = i
+                while j < len(fmt) and fmt[j].isalpha() and not any(
+                    fmt.startswith(t, j) for t, _ in _PG_FMT_TOKENS
+                ):
+                    j += 1
+                out.append("'" + fmt[i:j] + "'")
+                i = j
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out)
 
 
 def _rewrite_ops(expr: str) -> str:
@@ -166,8 +223,19 @@ def _rewrite_ops(expr: str) -> str:
     def tdiff(a):
         unit = a[2].strip().strip("'") if len(a) > 2 else "1a"
         u = parse_duration(unit if unit[0].isdigit() else "1" + unit).microseconds
+
+        def _ts(x):
+            # a quoted datetime operand is a timestamp constant in the
+            # reference (convertImpl string→ts); Spark's unix_micros
+            # rejects strings — cast it
+            x = x.strip()
+            if x.startswith("'") and x.endswith("'"):
+                return f"cast({x} as timestamp)"
+            return x
+
         return (
-            f"CAST((unix_micros({a[0]}) - unix_micros({a[1]})) div {u} AS BIGINT)"
+            f"CAST((unix_micros({_ts(a[0])}) - unix_micros({_ts(a[1])}))"
+            f" div {u} AS BIGINT)"
         )
 
     # _rowts pseudo-column = the row's primary timestamp (parser TK_ROWTS)
@@ -197,7 +265,9 @@ def _rewrite_ops(expr: str) -> str:
     expr = _outside_quotes(
         expr,
         lambda s: re.sub(
-            rf"\bcast\s*\(\s*({_TS_NAME}|_wstart|_wend|_irowts)\s+as\s+bigint\s*\)",
+            rf"\bcast\s*\(\s*((?:(?:first|last|last_row|min|max)\s*\(\s*"
+            rf"{_TS_NAME}\s*\)|{_TS_NAME}|_wstart|_wend|_irowts))"
+            rf"\s+as\s+bigint\s*\)",
             r"unix_millis(\1)",
             s,
             flags=re.IGNORECASE,
@@ -214,6 +284,20 @@ def _rewrite_ops(expr: str) -> str:
             flags=re.IGNORECASE,
         ),
     )
+    def tochar(a):
+        # to_char(ts, 'fmt'): the reference's datetime render follows
+        # PostgreSQL patterns (builtins.c toCharFunction / formatTimeU)
+        # — translate to Java date_format patterns
+        if len(a) >= 2:
+            fmt = a[1].strip()
+            if fmt.startswith("'") and fmt.endswith("'"):
+                return (
+                    f"date_format({a[0]}, "
+                    f"'{_pg_to_java_fmt(fmt[1:-1])}')"
+                )
+        return "to_char(" + ", ".join(a) + ")"
+
+    expr = _rewrite_call(expr, "to_char", tochar)
     expr = _rewrite_call(expr, "timetruncate", trunc)
     expr = _rewrite_call(expr, "timediff", tdiff)
     expr = _rewrite_call(
@@ -752,7 +836,10 @@ _SEL_FN_ITEM_RE = re.compile(
 )
 
 _ITEM_ALIAS_RE = re.compile(
-    r"^(?P<expr>.+?)(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
+    # the expr may not end on a binary operator: `timediff(…) + t1` is
+    # ONE expression (t1 is the + operand), not `timediff(…) +` AS t1
+    r"^(?P<expr>.+?(?<![-+*/%,<>=|&(]))"
+    r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.DOTALL,
 )
 
@@ -1798,7 +1885,12 @@ def _translate_inner(
     sql = _dequalify_tables(sql, db)
     # `_c0`: the reference's internal alias for the first (timestamp)
     # column (parTranslater.c PK_TS_COL_INTERNAL_NAME)
-    sql = _outside_quotes(sql, lambda s: re.sub(r"\b_c0\b", ts_col, s))
+    # deferred when a FROM-subquery is present: the derived table's pk
+    # (which _c0 must resolve to — it may be a `ts as b` alias) is only
+    # known after the subquery branch, whose outer re-translate applies
+    # this same rewrite with the resolved pk
+    if not re.search(r"(?i)\bfrom\s*\(\s*select\b", sql):
+        sql = _outside_quotes(sql, lambda s: re.sub(r"\b_c0\b", ts_col, s))
     # planner-mode hint (SELECT SCALAR .../SELECT AGG ... — the reference's
     # debug tokens forcing the window operator's scalar/aggregate
     # implementation, test/cases/13-TimeSeriesExt/09-WindowProjection):
@@ -1839,28 +1931,70 @@ def _translate_inner(
         inner = translate(spark, db, _strip_outer_parens(inner_sql), ts_col)
         name = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
         inner.createOrReplaceTempView(name)
+        # record the subquery's presentation order: an outer data-driven
+        # window (state/session) assigns runs in THAT row order, not ts
+        # order (reference 04-StateWindow orderbyOtherTS — the planner
+        # keeps the derived table's sort under the window operator)
+        _VIEW_ORDER.pop(name, None)
+        om = re.search(
+            r"(?is)\border\s+by\s+(.+?)"
+            r"(?:\s+(?:s?limit|s?offset)\s+\d+.*)?\s*$",
+            _strip_outer_parens(inner_sql),
+        )
+        if om:
+            spec = []
+            for p in om.group(1).split(","):
+                m2 = re.fullmatch(
+                    r"([A-Za-z_]\w*|\d+)(?:\s+(asc|desc))?",
+                    p.strip(), re.IGNORECASE,
+                )
+                if not m2:
+                    spec = None
+                    break
+                col = m2.group(1)
+                if col.isdigit():
+                    i = int(col) - 1
+                    if i >= len(inner.columns):
+                        spec = None
+                        break
+                    col = inner.columns[i]
+                if col not in inner.columns:
+                    spec = None
+                    break
+                spec.append(
+                    (col, (m2.group(2) or "").lower() == "desc")
+                )
+            if spec:
+                _VIEW_ORDER[name] = spec
         # leading space: `from(select …)` is legal dialect spelling
         repl = f" {name} AS {alias}" if alias else f" {name}"
         # primary-key tracking: the reference carries the pk role through
         # projections — `_wstart as a` makes `a` the derived table's pk,
         # so outer first/last/interp order by IT (parTranslater.c
         # PRIMARY_KEY flag). Fall back to the inner's ts column.
+        # precedence (parTranslater PRIMARY_KEY flag): the RAW pk column
+        # (bare or aliased — `ts as b`) wins over a `_wstart` alias; the
+        # reference keeps the flag on the column, not the window pseudo
+        # (orderbyOtherTS: `select ts as b, …, _wstart as a` → pk is b)
         outer_ts = ts_col
+        tm2 = re.search(
+            rf"(?i)\b{re.escape(ts_col)}\s+(?:as\s+)?([A-Za-z_]\w*)",
+            inner_sql,
+        )
         pm = re.search(
             r"(?i)\b_wstart\b(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
             inner_sql,
         )
-        if pm:
-            cand = pm.group(1) or "_wstart"
-            if cand in inner.columns:
-                outer_ts = cand
-        elif ts_col not in inner.columns:
-            tm2 = re.search(
-                rf"(?i)\b{re.escape(ts_col)}\s+(?:as\s+)?([A-Za-z_]\w*)",
-                inner_sql,
-            )
-            if tm2 and tm2.group(1) in inner.columns:
-                outer_ts = tm2.group(1)
+        if ts_col in inner.columns:
+            pass
+        elif (
+            tm2
+            and tm2.group(1) in inner.columns
+            and tm2.group(1).lower() not in ("timestamp", "asc", "desc")
+        ):
+            outer_ts = tm2.group(1)
+        elif pm and (pm.group(1) or "_wstart") in inner.columns:
+            outer_ts = pm.group(1) or "_wstart"
         return translate(spark, db, sql[:lo] + repl + sql[hi:], outer_ts)
     m = _INTERP_RE.match(sql)
     if m:
@@ -1897,11 +2031,19 @@ def _translate_inner(
         bare = table.split(".")[-1]
         if bare in db.tables or os.path.exists(f"{db.root}/{bare}.parquet"):
             table = bare
+    globals()["_ACTIVE_SUB_ORDER"] = None
     if os.path.exists(f"{db.root}/{table}.parquet"):
         reg0 = db.tables.get(table)
         base = db.read(
             spark, table, dedup=bool(reg0 is not None and reg0.managed)
         )
+        if "tbname" not in base.columns and re.search(
+            r"(?i)\btbname\b", re.sub(r"'[^']*'", "''", sql)
+        ):
+            # tbname over a NORMAL table is the table's own name — one
+            # constant group (parTranslater translates the pseudo-column
+            # for any table kind)
+            base = base.withColumn("tbname", F.lit(table.split(".")[-1]))
     elif (
         g["window"]
         or g["partition"]
@@ -1916,8 +2058,11 @@ def _translate_inner(
         )
     ) and _view_exists(spark, table):
         # dialect clauses over a registered view (e.g. a translated
-        # FROM-subquery) — read the view instead of parquet
+        # FROM-subquery) — read the view instead of parquet; expose its
+        # recorded presentation order to the window assignment below
         base = spark.table(table)
+        global _ACTIVE_SUB_ORDER
+        _ACTIVE_SUB_ORDER = _VIEW_ORDER.get(table)
     else:
         child = _child_slice(spark, db, table)
         if child is None:
@@ -1999,6 +2144,16 @@ def _translate_inner(
             name = f"_pkey{i}"
             base = base.withColumn(name, F.expr(_rewrite_ops(kexpr)))
             new_keys.append(name)
+            # HAVING/ORDER BY spelling the key expression reference the
+            # materialized column (post-agg, the raw operands are gone)
+            kpat = re.compile(
+                re.sub(r"(?:\\\s|\s)+", r"\\s*", re.escape(kexpr)),
+                re.IGNORECASE,
+            )
+            g = dict(g)
+            for cl in ("having", "order"):
+                if g[cl]:
+                    g[cl] = kpat.sub(name, g[cl])
             fixed_items = []
             for it in items:
                 im2 = _ITEM_ALIAS_RE.match(it.strip())
@@ -2027,6 +2182,13 @@ def _translate_inner(
         # keys fold into the window partitioning (reference planner puts
         # both in the window operator's group list)
         st = db.tables.get(table)
+        win_order = None
+        if g["order"] and _AGG_CALL_RE.search(g["order"]):
+            # ORDER BY with aggregate calls sorts inside the window
+            # operator (placeholder aggregation) — consumed here
+            win_order = _rewrite_ops(g["order"])
+            g = dict(g)
+            g["order"] = None
         out = _windowed(
             base, window, items, keys + gkeys_extra, g["fill"], ts_eff,
             tsma_catalog=tsma_catalog,
@@ -2037,6 +2199,7 @@ def _translate_inner(
             having=_rewrite_ops(g["having"]) if g["having"] else None,
             plimit=int(g["limit"]) if (g["limit"] and keys) else None,
             slimit=int(g["slimit"]) if (g["slimit"] and keys) else None,
+            order_by=win_order,
         )
     elif indef_cols is not None:
         # row-indexed functions (diff/csum/…): PARTITION BY keys become
@@ -2061,6 +2224,10 @@ def _translate_inner(
         # PARTITION BY over a plain projection: no implicit aggregation —
         # the row stream is emitted partition-grouped (reference
         # partition-by scalar mode); LIMIT becomes per-partition
+        if g["having"]:
+            # scalar HAVING over a plain partition stream filters rows
+            # (reference translates it onto the partition node)
+            base = base.where(F.expr(_rewrite_ops(g["having"])))
         if g["slimit"]:
             from tdengine_spark.operators.slimit import slimit as _slimit
 
@@ -2108,6 +2275,19 @@ def _translate_inner(
                     nm = "_" + nm
                 gb_cols.append(F.expr(k).alias(nm))
                 gk_alias[_norm_txt(k)] = nm
+                if g["having"]:
+                    # HAVING spelling an expression group key references
+                    # its aliased output column (the raw operands are
+                    # pruned post-aggregation)
+                    g = dict(g)
+                    g["having"] = re.sub(
+                        re.sub(
+                            r"(?:\\\s|\s)+", r"\\s*", re.escape(k.strip())
+                        ),
+                        nm,
+                        g["having"],
+                        flags=re.IGNORECASE,
+                    )
         # output = the select list only, in order (the reference does
         # NOT implicitly append group keys), groups ordered by key when
         # no ORDER BY (reference group-ordered result blocks)
@@ -2156,6 +2336,15 @@ def _translate_inner(
             used.add(nm)
             sel_cols.append(nm)
         out = base.groupBy(*gb_cols).agg(*aggs)
+        if g["having"] and not _has_agg(g["having"]):
+            # scalar HAVING (a predicate over group keys): filter while
+            # the aliased key columns are still in scope — the final
+            # select-list projection prunes them. Aggregate HAVING stays
+            # on the generic post-projection path (its aggregates
+            # substitute to selected output columns).
+            out = out.where(F.expr(_rewrite_ops(g["having"])))
+            g = dict(g)
+            g["having"] = None
         if g["slimit"]:
             # SLIMIT before the select-list projection: the group keys
             # may not survive into the output columns
@@ -2303,6 +2492,7 @@ _SQL_KEYWORDS = {
     "as", "and", "or", "not", "in", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "between", "like",
     "float", "double", "int", "bigint", "string", "boolean", "cast",
+    "div", "timestamp", "interval", "asc", "desc",
 }
 
 
@@ -2551,11 +2741,14 @@ def _fill_range(ts_bounds, width, offset):
 def _assign_data_windows(base, wl, ts_col, keys, extend=0):
     """Dispatch a data-driven window clause (session/state/event/count/
     anomaly) to its ``_wid`` assignment kernel. ``wl`` must have TRUE_FOR
-    already stripped."""
+    already stripped. Runs assign in ``_ACTIVE_SUB_ORDER`` (the FROM-
+    subquery's ORDER BY presentation order) when one is recorded."""
+    sub_order = _ACTIVE_SUB_ORDER
     if wl.startswith("session"):
         mm = re.match(r"session\s*\(\s*([^,]+),\s*([^)]+)\)", wl)
         return assign_session_windows(
-            base, mm.group(1).strip(), mm.group(2).strip(), keys
+            base, mm.group(1).strip(), mm.group(2).strip(), keys,
+            order_by=sub_order,
         )
     if wl.startswith("state_window"):
         # balanced capture: the state expression may nest parens
@@ -2565,7 +2758,8 @@ def _assign_data_windows(base, wl, ts_col, keys, extend=0):
         if len(scols) == 1:
             # expression states (cast(current as varchar(2)), CASE WHEN …)
             return assign_state_windows(
-                base, ts_col, F.expr(scols[0]), keys, extend=extend
+                base, ts_col, F.expr(scols[0]), keys, extend=extend,
+                order_by=sub_order,
             )
         # multi-column state: the reference's sequential pendingVals
         # semantics (partial-NULL rows merge into compatible windows or
@@ -2588,7 +2782,8 @@ def _assign_data_windows(base, wl, ts_col, keys, extend=0):
             r"event_window\s+start\s+with\s+(.*?)\s+end\s+with\s+(.*)$", wl
         )
         return assign_event_windows(
-            base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys
+            base, ts_col, F.expr(mm.group(1)), F.expr(mm.group(2)), keys,
+            order_by=sub_order,
         )
     if wl.startswith("count_window"):
         mm = re.match(
@@ -2616,6 +2811,7 @@ def _assign_data_windows(base, wl, ts_col, keys, extend=0):
         return assign_count_windows(
             base, ts_col, int(mm.group(1)),
             int(mm.group(2)) if mm.group(2) else None, keys,
+            order_by=sub_order,
         )
     if wl.startswith("anomaly_window"):
         # ANOMALY_WINDOW(col[, 'algo=ksigma|mad|iqr|grubbs|esd'])
@@ -2811,7 +3007,7 @@ def _windowed_projection(
 def _windowed(
     base, window, items, keys, fill_spec, ts_col, tsma_catalog=None,
     hint=None, tag_cols=(), is_child=False, ts_bounds=None, having=None,
-    plimit=None, slimit=None,
+    plimit=None, slimit=None, order_by=None,
 ):
     from pyspark.sql.window import Window as _W
 
@@ -2819,6 +3015,17 @@ def _windowed(
 
     def sel(out):
         out = fin(out)
+        if ord_specs:
+            # ORDER BY with aggregate calls (ORDER BY timediff(last(ts),
+            # _wstart)): the agg sub-calls were aggregated under
+            # placeholders — sort on the rewritten expressions BEFORE
+            # the final projection drops them (projection preserves row
+            # order)
+            oc = []
+            for b, desc in ord_specs:
+                e = F.expr(b)
+                oc.append(e.desc() if desc else e)
+            out = out.orderBy(*oc)
         out = out.selectExpr(
             *[
                 f"{deferred[c]} as {c}" if c in deferred else c
@@ -2866,6 +3073,20 @@ def _windowed(
     window, st_extend, st_zeroth = _strip_state_opts(window)
     wl = window.lower()
     pseudo = set(PSEUDO_COLS)
+    if tag_cols and ("tbname" in keys or is_child):
+        # tags are window-constant when grouping by tbname (functions of
+        # tbname — reference planner tag-scan constants): fold referenced
+        # tags into the grouping keys so select/HAVING/ORDER expressions
+        # over them resolve post-aggregation. Same group granularity,
+        # no extra shuffle dimension.
+        _txt = " ".join(items) + " " + (having or "") + " " + (
+            order_by or ""
+        )
+        for _tc in tag_cols:
+            if _tc not in keys and re.search(
+                rf"\b{re.escape(_tc)}\b", _txt
+            ):
+                keys = keys + [_tc]
 
     def _q_expr(name: str) -> str:
         # _qstart/_qend/_qduration: the QUERY's ts range (WHERE clause
@@ -3051,6 +3272,9 @@ def _windowed(
     agg_names = []
     aggs = []
     deferred: dict = {}
+    _agg_seen: set = set()
+    _agg_registry: dict = {}
+    mixed_placeholders: list = []
     for it in agg_exprs:
         mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
         body = re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip()
@@ -3062,6 +3286,20 @@ def _windowed(
                 nm = "_" + nm
             while nm in agg_names:
                 nm += "_"
+        if _has_agg(body) and _PSEUDO_REF_RE.search(
+            _extract_agg_calls(body, dict(_agg_registry))[0]
+        ):
+            # MIXED item — aggregates AND window pseudo-columns in one
+            # expression (timediff(_wend, last(ts))): aggregate the agg
+            # sub-calls under placeholders, defer the full expression to
+            # the post-window projection where _wstart/_wend exist
+            body2, new_pairs = _extract_agg_calls(body, _agg_registry)
+            for ph, call in new_pairs:
+                aggs.append(F.expr(call).alias(ph))
+                mixed_placeholders.append(ph)
+            deferred[nm] = body2
+            agg_names.append(nm)
+            continue
         if (
             not _has_agg(it)
             # _AGG_RE doesn't cover the selection functions — anything
@@ -3080,6 +3318,11 @@ def _windowed(
             agg_names.append(nm)
             continue
         agg_names.append(nm)
+        if (nm, body) in _agg_seen:
+            # duplicate select item (e.g. `b, _c0` where _c0 resolved to
+            # b): aggregate once, the keep-list re-selects it positionally
+            continue
+        _agg_seen.add((nm, body))
         aggs.append(F.expr(it).alias(nm) if not mm else F.expr(it))
     if not aggs:
         # every select item deferred to the post-agg projection: the
@@ -3093,13 +3336,60 @@ def _windowed(
             for e, n2 in zip(agg_exprs, agg_names)
         ]
         hv_expr = _subst_agg_refs(having, pairs)
-        if _has_agg(hv_expr):
-            # HAVING references aggregates outside the select list:
-            # evaluate the whole predicate during the per-window groupBy
-            # (grouping keys are legal inside agg expressions)
-            aggs.append(F.expr(f"({having})").alias("_hv"))
-            hv_expr = "`_hv`"
-            hv_in_aggs = True
+        if _AGG_CALL_RE.search(hv_expr):
+            if _PSEUDO_REF_RE.search(
+                _extract_agg_calls(hv_expr, dict(_agg_registry))[0]
+            ):
+                # MIXED HAVING (timediff(last(ts), _wstart) >= 1):
+                # aggregate the agg sub-calls (first/last spelled as
+                # min_by/max_by like the select items), filter
+                # post-window where the pseudo-columns exist
+                hv_expr, new_pairs = _extract_agg_calls(
+                    _rewrite_aggs(hv_expr, ts_col), _agg_registry
+                )
+                for ph, call in new_pairs:
+                    aggs.append(F.expr(call).alias(ph))
+                    mixed_placeholders.append(ph)
+            else:
+                # HAVING references aggregates outside the select list:
+                # evaluate the whole predicate during the per-window
+                # groupBy (grouping keys are legal in agg expressions)
+                aggs.append(F.expr(f"({having})").alias("_hv"))
+                hv_expr = "`_hv`"
+                hv_in_aggs = True
+    ord_specs: list = []
+    if order_by:
+        # ORDER BY items carrying aggregate calls: aggregate the calls
+        # under placeholders (shared registry — repeated spellings
+        # aggregate once), sort on the rewritten expression in sel()
+        for c in order_by.split(","):
+            c = c.strip()
+            desc = bool(re.search(r"(?i)\s+desc$", c))
+            obody = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c).strip()
+            ob_sub = _subst_agg_refs(
+                obody,
+                [
+                    (
+                        re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", e),
+                        n2,
+                    )
+                    for e, n2 in zip(agg_exprs, agg_names)
+                ],
+            )
+            if ob_sub in deferred:
+                # the order item IS a deferred select item — sort on its
+                # post-agg expression
+                ob_sub = deferred[ob_sub]
+            if _AGG_CALL_RE.search(ob_sub):
+                # selection-fn spellings (first/last) → min_by/max_by,
+                # as the select items already were
+                ob_sub, new_pairs = _extract_agg_calls(
+                    _rewrite_aggs(ob_sub, ts_col), _agg_registry
+                )
+                for ph, call in new_pairs:
+                    aggs.append(F.expr(call).alias(ph))
+                    mixed_placeholders.append(ph)
+            ord_specs.append((ob_sub, desc))
     want_dur = any(it.strip() == "_wduration" for it in items)
     # output columns in select-item order (golden row tuples compare
     # positionally)
@@ -3180,10 +3470,30 @@ def _windowed(
                 }
             rs, re_ = _fill_range(ts_bounds, width, offset)
             out = _fill(
-                out.drop("_wend"), mode, width, keys, aliases,
+                out.drop("_wend"), mode, width, keys,
+                # deferred scalar items (_wstart + 1d, now, 1+1) are not
+                # aggregate columns — they compute post-fill in sel(),
+                # per generated row (reference projects scalars over the
+                # filled window output). Mixed-expression placeholders
+                # ride through as value columns; VALUE fill leaves them
+                # NULL (no fill_values entry) so a mixed expression over
+                # a generated row is NULL, matching the reference's
+                # fill of aggregate outputs only.
+                [a for a in aliases if a not in deferred]
+                + mixed_placeholders,
                 fill_values=vals, range_start=rs, range_end=re_,
             )
-            if "_wend" in keep or want_dur:
+            if (
+                "_wend" in keep
+                or want_dur
+                # deferred/HAVING expressions may reference _wend
+                # (timediff(_wend, last(ts))) — recompute it on the
+                # filled spine before they evaluate
+                or any(
+                    re.search(r"(?i)\b_wend\b", b)
+                    for b in (*deferred.values(), hv_expr or "")
+                )
+            ):
                 out = out.withColumn(
                     "_wend", tw.window_end(F.col("_wstart"), width, offset)
                 )
@@ -3464,6 +3774,7 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
             for d in data
         ]
         df = spark.createDataFrame(str_rows, str_schema)
+        from pyspark.sql.types import IntegralType as _IntT
         from pyspark.sql.types import TimestampType as _TsT
 
         for f in out_fields:
@@ -3476,6 +3787,21 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
                         F.col(f.name).rlike(r"^-?\d+$"),
                         F.timestamp_millis(F.col(f.name).cast("bigint")),
                     ).otherwise(F.col(f.name).cast("timestamp")),
+                )
+            elif isinstance(f.dataType, _IntT):
+                # decimal literal into an integer column ROUNDS half-away
+                # (reference VALUES coercion — orderbyOtherTS inserts
+                # 215+num/15 into INT and expects 247.53 → 248); integer
+                # literals cast directly (decimal(38,10) keeps int64 exact)
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name).rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+                        & F.col(f.name).contains("."),
+                        F.round(
+                            F.col(f.name).cast("decimal(38,10)"), 0
+                        ).cast(f.dataType),
+                    ).otherwise(F.col(f.name).cast(f.dataType)),
                 )
             else:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
@@ -3525,9 +3851,15 @@ def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
     COMPRESS, sql.y column_options) are consumed by _parse_pk_col."""
     out = []
     for item in _split_select(defs):
-        parts = item.split()
-        name, ty = parts[0], parts[1].upper()
-        ty = re.sub(r"\(.*\)", "", ty)  # VARCHAR(64) → VARCHAR
+        name, _, rest = item.strip().partition(" ")
+        ty = re.sub(r"\(.*\)", "", rest.split("(")[0].split()[0]).upper()
+        if ty in ("DECIMAL", "DECIMAL64"):
+            # DECIMAL(p[, s]) / DECIMAL64 (reference ttypes.h decimal64/
+            # decimal128) → Spark DecimalType, precision/scale preserved
+            dm = re.search(r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", rest)
+            p, s = (dm.group(1), dm.group(2) or "0") if dm else ("18", "0")
+            out.append((name, f"decimal({p},{s})"))
+            continue
         out.append((name, _TYPE_MAP.get(ty, ty.lower())))
     return out
 
@@ -4299,6 +4631,60 @@ _AGG_RE = re.compile(
 
 def _has_agg(item: str) -> bool:
     return bool(_AGG_RE.search(item))
+
+
+_AGG_CALL_RE = re.compile(
+    r"\b(count|sum|avg|min|max|stddev|stddev_pop|stddev_samp|var_pop|"
+    r"var_samp|percentile|percentile_approx|approx_count_distinct|max_by|"
+    r"min_by|corr|mode|collect_list|collect_set|twa|irate|first|last|"
+    r"last_row|spread|elapsed)\s*\(",
+    re.IGNORECASE,
+)
+
+_PSEUDO_REF_RE = re.compile(
+    r"\b(_wstart|_wend|_wduration|_qstart|_qend|_irowts)\b", re.IGNORECASE
+)
+
+
+def _extract_agg_calls(
+    body: str, registry: "dict[str, str]"
+) -> "tuple[str, list[tuple[str, str]]]":
+    """Replace every aggregate-function call in ``body`` with a
+    placeholder identifier; returns (rewritten body, [(placeholder,
+    call_text), …] for the NEW placeholders). Used to split MIXED
+    expressions like ``timediff(_wend, last(ts))``: the aggregate parts
+    compute in the groupBy under the placeholders, the full expression
+    evaluates post-aggregation where the window pseudo-columns exist
+    (the reference plans these as a projection over the window
+    operator). ``registry`` maps call text → placeholder across items so
+    repeated calls aggregate once."""
+    new_pairs: list[tuple[str, str]] = []
+    res = []
+    i = 0
+    while True:
+        m = _AGG_CALL_RE.search(body, i)
+        if not m:
+            res.append(body[i:])
+            break
+        j = m.end()
+        depth = 1
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        call = body[m.start():j]
+        key = re.sub(r"\s+", "", call).lower()
+        name = registry.get(key)
+        if name is None:
+            name = f"__agg{len(registry)}"
+            registry[key] = name
+            new_pairs.append((name, call))
+        res.append(body[i:m.start()])
+        res.append(name)
+        i = j
+    return "".join(res), new_pairs
 
 
 def _is_plain_col(item: str, keys: list[str]) -> bool:

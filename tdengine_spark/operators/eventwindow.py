@@ -32,26 +32,44 @@ def _keyed(partition_by: "list[str] | None"):
     return list(partition_by or [])
 
 
+def _order_keys(ts_col: str, order_by):
+    """Window sort keys for run assignment: the presented row order of an
+    ordered subquery when given (reference: windows over a derived table
+    with ORDER BY assign in that order — parTranslater keeps the sort,
+    04-StateWindow orderbyOtherTS), else primary-ts order. ``order_by``:
+    list of (column, is_desc)."""
+    if not order_by:
+        return [F.col(ts_col)]
+    return [
+        F.col(c).desc() if is_desc else F.col(c) for c, is_desc in order_by
+    ]
+
+
 def assign_session_windows(
     df: DataFrame,
     ts_col: str,
     gap: "str | int | Duration",
     partition_by: "list[str] | None" = None,
+    order_by=None,
 ) -> DataFrame:
-    """SESSION(ts, gap): a new window starts when the gap since the previous
-    row exceeds ``gap``. Adds ``_wid``."""
+    """SESSION(ts, gap): a new window starts when the ABSOLUTE gap since
+    the previous row exceeds ``gap``. In primary-ts scan order the
+    difference is never negative; scanning an ordered subquery's
+    presented order (orderbyOtherTS), a descending-pk walk with steps
+    within the gap still forms one session — the reference compares
+    |prev − cur| (doSessionWindowAgg). Adds ``_wid``."""
     keys = _keyed(partition_by)
     gap_us = parse_duration(gap).microseconds
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    order = _order_keys(ts_col, order_by)
+    w = Window.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    cur_ts = F.unix_micros(F.col(ts_col))
     new_flag = (
         F.when(prev_ts.isNull(), 1)
-        .when(F.unix_micros(F.col(ts_col)) - prev_ts > gap_us, 1)
+        .when(F.abs(cur_ts - prev_ts) > gap_us, 1)
         .otherwise(0)
     )
-    run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(WINDOW_ID, F.sum(new_flag).over(run))
 
 
@@ -62,9 +80,11 @@ def assign_state_windows(
     partition_by: "list[str] | None" = None,
     extend: int = 0,
     state_nullable: "bool | None" = None,
+    order_by=None,
 ) -> DataFrame:
     """STATE_WINDOW(expr): one window per run of equal state value. Adds
-    ``_wid`` and ``_state``.
+    ``_wid`` and ``_state``. ``order_by``: assign runs in an ordered
+    subquery's presented order instead of ts order (orderbyOtherTS).
 
     NULL state values are skipped — they belong to no window and do not
     split a run (reference statewindowoperator NULL-block handling,
@@ -96,7 +116,8 @@ def assign_state_windows(
             if isinstance(state_col, str) and state_col in df.columns
             else True
         )
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    order = _order_keys(ts_col, order_by)
+    w = Window.partitionBy(*keys).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     tagged = df.withColumn("_state", state)
 
@@ -130,8 +151,16 @@ def assign_state_windows(
     # next non-NULL state via a reverse-ordered growing frame: O(n) per
     # key, reuses the hash partitioning (one extra sort, no shuffle,
     # no shrinking UnboundedFollowing frame)
+    rev_order = (
+        [F.col(ts_col).desc()]
+        if not order_by
+        else [
+            F.col(c) if is_desc else F.col(c).desc()
+            for c, is_desc in order_by
+        ]
+    )
     rev_prev = Window.partitionBy(*keys).orderBy(
-        F.col(ts_col).desc()
+        *rev_order
     ).rowsBetween(Window.unboundedPreceding, -1)
     nxt = F.last("_state", ignorenulls=True).over(rev_prev)
 
@@ -236,50 +265,146 @@ def assign_state_windows_multi(
         wid = [None] * N
         isdata = [False] * N
         win_members: dict = {}
-        cur = None
+        cur = None  # committed state of the open window
         cur_id = 0
-        pending: list = []
+        # deferred partial-NULL rows (reference pendingVals): a partial
+        # row compatible with the open window is NOT attached until a
+        # fully-defined row (or a cut / end-of-scan) decides its home.
+        # ``shadow`` carries the values the deferred group proposes —
+        # cut comparisons test against committed ∪ shadow
+        # (stCompareStateValuesWithRow pending-init-mismatch fix).
+        deferred: list = []
+        shadow = [None] * n
+
+        def _commit_to_cur():
+            # deferred rows join the OPEN window; their shadow values
+            # fill its undefined members (stCommitPendingToState)
+            for j in range(n):
+                if cur[j] is None and shadow[j] is not None:
+                    cur[j] = shadow[j]
+            for p in deferred:
+                wid[p] = cur_id
+                isdata[p] = True
+
+        def _resolve_cut(new_vals):
+            """Place the deferred group when ``new_vals`` cuts:
+            EXTEND(0/1) → old window; EXTEND(2) → the NEW window when
+            the group's shadow is compatible with its seed, else the
+            OLD window when the group was completing undefined members
+            of it, else a STANDALONE window between the two
+            (splitStandalone + the stateKeysAllDefined guard)."""
+            nonlocal cur_id, cur
+            if not deferred:
+                return None
+            if extend == 2:
+                new_compat = all(
+                    shadow[j] is None
+                    or new_vals[j] is None
+                    or shadow[j] == new_vals[j]
+                    for j in range(n)
+                )
+                completing = any(
+                    cur[j] is None and shadow[j] is not None
+                    for j in range(n)
+                )
+                if new_compat:
+                    return "new"
+                if not completing:
+                    # standalone split of the deferred group
+                    cur_id += 1
+                    members = [
+                        cur[j] if shadow[j] is None else shadow[j]
+                        for j in range(n)
+                    ]
+                    win_members[cur_id] = members
+                    for p in deferred:
+                        wid[p] = cur_id
+                        isdata[p] = True
+                    return None
+            _commit_to_cur()
+            return None
+
         for i in range(N):
             vals = [
                 None if pd.isna(mcols[j].iloc[i]) else mcols[j].iloc[i]
                 for j in range(n)
             ]
             if all(v is None for v in vals):
-                pending.append(i)
+                # all-NULL: no state row — home decided by the extend
+                # fill pass over final assignments
                 continue
-            if cur is not None and all(
-                v is None or cur[j] is None or v == cur[j]
-                for j, v in enumerate(vals)
-            ):
-                for j, v in enumerate(vals):
-                    if cur[j] is None and v is not None:
-                        cur[j] = v
-                wid[i] = cur_id
-                isdata[i] = True
-                for p in pending:  # window continued across them
-                    wid[p] = cur_id
-                pending = []
+            if cur is not None:
+                eff = [
+                    cur[j] if cur[j] is not None else shadow[j]
+                    for j in range(n)
+                ]
+                compatible = all(
+                    v is None or eff[j] is None or v == eff[j]
+                    for j, v in enumerate(vals)
+                )
+            if cur is not None and compatible:
+                if all(v is not None for v in vals):
+                    # fully-defined continuation: commit the deferred
+                    # group and fill remaining unknowns from this row
+                    _commit_to_cur()
+                    deferred, shadow = [], [None] * n
+                    for j, v in enumerate(vals):
+                        if cur[j] is None:
+                            cur[j] = v
+                    wid[i] = cur_id
+                    isdata[i] = True
+                else:
+                    # partial-NULL compatible row: defer (even when it
+                    # adds no information — EXTEND(2) may standalone-
+                    # split it at the next cut)
+                    deferred.append(i)
+                    for j, v in enumerate(vals):
+                        if v is not None and shadow[j] is None:
+                            shadow[j] = v
             else:
-                pending = []  # surrounding windows differ → no home
+                target = _resolve_cut(vals) if cur is not None else None
+                deferred_rows, deferred = deferred, []
+                old_shadow, shadow = shadow, [None] * n
                 cur_id += 1
                 cur = list(vals)
                 win_members[cur_id] = cur
                 wid[i] = cur_id
                 isdata[i] = True
-        if extend == 1:
-            last = None
-            for i in range(N):
-                if isdata[i]:
-                    last = wid[i]
-                elif wid[i] is None:
-                    wid[i] = last
-        elif extend == 2:
-            nxt = None
-            for i in range(N - 1, -1, -1):
-                if isdata[i]:
-                    nxt = wid[i]
-                elif wid[i] is None:
-                    wid[i] = nxt
+                if target == "new":
+                    # the deferred group rides into the NEW window; its
+                    # shadow seeds the new state's unknowns
+                    for p in deferred_rows:
+                        wid[p] = cur_id
+                        isdata[p] = True
+                    for j in range(n):
+                        if cur[j] is None and old_shadow[j] is not None:
+                            cur[j] = old_shadow[j]
+        if cur is not None and deferred:
+            # trailing deferred rows close with the open window
+            _commit_to_cur()
+        # extend fill for all-NULL rows over FINAL data assignments:
+        # EXTEND(0) absorbs only when the same window continues across,
+        # EXTEND(1) follows the previous data row, EXTEND(2) the next
+        prev_fill = [None] * N
+        last = None
+        for i in range(N):
+            if isdata[i]:
+                last = wid[i]
+            prev_fill[i] = last
+        nxt_fill = [None] * N
+        nxt = None
+        for i in range(N - 1, -1, -1):
+            if isdata[i]:
+                nxt = wid[i]
+            nxt_fill[i] = nxt
+        for i in range(N):
+            if not isdata[i] and wid[i] is None:
+                if extend == 1:
+                    wid[i] = prev_fill[i]
+                elif extend == 2:
+                    wid[i] = nxt_fill[i]
+                elif prev_fill[i] is not None and prev_fill[i] == nxt_fill[i]:
+                    wid[i] = prev_fill[i]
 
         def to_py(v):
             return v.item() if hasattr(v, "item") else v
@@ -307,8 +432,10 @@ def assign_event_windows(
     start_cond: Column,
     end_cond: Column,
     partition_by: "list[str] | None" = None,
+    order_by=None,
 ) -> DataFrame:
-    """EVENT_WINDOW START WITH <cond> END WITH <cond>.
+    """EVENT_WINDOW START WITH <cond> END WITH <cond>. ``order_by``:
+    scan in an ordered subquery's presented order (orderbyOtherTS).
 
     Reference semantics (eventwindowoperator.c): a window opens at a row
     satisfying start_cond (if none is open) and closes at the first
@@ -331,7 +458,7 @@ def assign_event_windows(
     no per-segment whole-partition frame exist in the plan.
     """
     keys = _keyed(partition_by)
-    order = Window.partitionBy(*keys).orderBy(ts_col)
+    order = Window.partitionBy(*keys).orderBy(*_order_keys(ts_col, order_by))
     run_prev = order.rowsBetween(Window.unboundedPreceding, -1)
     run = order.rowsBetween(Window.unboundedPreceding, 0)
 
@@ -373,15 +500,17 @@ def assign_count_windows(
     count: int,
     sliding: "int | None" = None,
     partition_by: "list[str] | None" = None,
+    order_by=None,
 ) -> DataFrame:
     """COUNT_WINDOW(n[, sliding]): fixed-row-count windows per key.
+    ``order_by``: number rows in an ordered subquery's presented order.
 
     Tumbling (sliding is None or == n): ``floor((row_number-1)/n)``.
     Sliding: each row belongs to multiple windows — rows are exploded into
     their window ids (window j covers rows [j*s, j*s + n)).
     """
     keys = _keyed(partition_by)
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(*_order_keys(ts_col, order_by))
     rn = F.row_number().over(w) - 1
     if not sliding or sliding == count:
         return df.withColumn(WINDOW_ID, F.floor(rn / count) + 1)

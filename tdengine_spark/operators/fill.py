@@ -35,9 +35,15 @@ def bucket_spine(
     partition_by: "list[str] | None" = None,
     range_start=None,
     range_end=None,
+    force: bool = False,
 ) -> DataFrame:
     """All bucket starts per group between the group's (or the query's)
-    min/max ``_wstart``, as a DataFrame (group_cols..., _wstart)."""
+    min/max ``_wstart``, as a DataFrame (group_cols..., _wstart).
+
+    ``force`` (NULL_F/VALUE_F): emit the explicit-range spine even when
+    the input has no rows at all (reference tfill.c FILL_MODE_NULL_F —
+    the forced variants fabricate every bucket of the query range; only
+    meaningful ungrouped, since an empty input has no groups to name)."""
     partition_by = partition_by or []
     w = parse_duration(width)
     def _b(v):
@@ -51,7 +57,9 @@ def bucket_spine(
     # literals would otherwise fabricate a spine for an empty input
     per_group = agg.groupBy(*partition_by).agg(
         lo.alias("_lo"), hi.alias("_hi"), F.count(F.lit(1)).alias("_n")
-    ).where(F.col("_n") > 0)
+    )
+    if not (force and not partition_by and range_start is not None):
+        per_group = per_group.where(F.col("_n") > 0)
     step = F.expr(f"interval {w.interval_string()}")
     return per_group.select(
         *partition_by,
@@ -75,7 +83,8 @@ def fill(
     Returns the same shape with missing buckets materialized (plus
     ``_wend`` recomputed if it was present).
     """
-    mode = mode.lower().rstrip("_f")  # VALUE_F/NULL_F force-fill variants
+    force = mode.lower().endswith("_f")  # VALUE_F/NULL_F force variants
+    mode = mode.lower().rstrip("_f")
     if mode == "none":
         return agg
     partition_by = partition_by or []
@@ -84,25 +93,40 @@ def fill(
     ]
     had_wend = WEND in agg.columns
 
-    spine = bucket_spine(agg, width, partition_by, range_start, range_end)
+    spine = bucket_spine(
+        agg, width, partition_by, range_start, range_end, force=force
+    )
     joined = spine.join(
-        agg.drop(WEND) if had_wend else agg, on=[*partition_by, WSTART], how="left"
+        (agg.drop(WEND) if had_wend else agg).withColumn("_has", F.lit(True)),
+        on=[*partition_by, WSTART],
+        how="left",
     )
 
     if mode == "null":
         out = joined
     elif mode == "value":
         fv = fill_values or {}
-        # fill constants coerce to the column's type (reference
-        # convertFillType): 6 → true for BOOL, '6' for VARCHAR, …
+        # fill constants coerce to the column's type C-STYLE (reference
+        # convertFillType → taosVariant): strtod prefix for numerics, so
+        # 'xx' → 0 → false for BOOL (NOT a null cast), utf-8 bytes for
+        # VARBINARY, digits render for VARCHAR
         dtypes = {f.name: f.dataType for f in joined.schema.fields}
         out = joined.select(
             *partition_by,
             WSTART,
             *[
-                F.coalesce(
-                    F.col(c), F.lit(fv.get(c, 0)).cast(dtypes[c])
-                ).alias(c)
+                (
+                    F.coalesce(
+                        F.col(c),
+                        F.lit(_c_fill_literal(fv[c], dtypes[c])).cast(
+                            dtypes[c]
+                        ),
+                    ).alias(c)
+                    if c in fv
+                    # no literal for this column (mixed-expression
+                    # placeholders): generated rows stay NULL
+                    else F.col(c)
+                )
                 for c in value_cols
             ],
         )
@@ -117,6 +141,48 @@ def fill(
     else:
         out = out.select(WSTART, *partition_by, *value_cols)
     return out.orderBy(*partition_by, WSTART)
+
+
+def _c_fill_literal(v, dt):
+    """Coerce a FILL(VALUE, …) literal to the column's type the way the
+    reference does (tfill.c doSetVal → taosVariant convert): C string→
+    number conversion reads the numeric prefix and yields 0 for
+    non-numeric text (so 'xx' into BOOL is false, not NULL); numbers
+    into VARCHAR render as text; VARBINARY takes utf-8 bytes."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegralType,
+        NumericType,
+        StringType,
+    )
+
+    if v is None:
+        return None
+
+    def _num(x):
+        if isinstance(x, bool):
+            return int(x)
+        if isinstance(x, (int, float)):
+            return x
+        m = _re.match(r"\s*[-+]?(\d+(\.\d+)?([eE][+-]?\d+)?)", str(x))
+        return float(m.group(0)) if m else 0
+
+    if isinstance(dt, BooleanType):
+        return bool(_num(v) != 0)
+    if isinstance(dt, IntegralType):
+        return int(_num(v))
+    if isinstance(dt, NumericType):
+        return float(_num(v))
+    if isinstance(dt, StringType):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if isinstance(dt, BinaryType):
+        return str(v).encode("utf-8") if not isinstance(v, bytes) else v
+    return v
 
 
 def _directional_fill(
@@ -145,6 +211,7 @@ def _directional_fill(
     cols: list[Column] = []
     for c in value_cols:
         v = F.col(c)
+        has = F.col("_has")
         if mode == "linear" and not isinstance(dtypes[c], NumericType):
             # LINEAR cannot interpolate non-numeric columns — the
             # reference fills NULL (tfill.c doLinearInterpolation)
@@ -166,12 +233,31 @@ def _directional_fill(
                 .when((ts_us - prev_t) <= (next_t - ts_us), prev_v)
                 .otherwise(next_v)
             )
-        else:  # linear: interpolate between surrounding non-null buckets
-            frac = (ts_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
-            interp = prev_v + (next_v - prev_v) * frac
+        else:
+            # LINEAR anchors on the ADJACENT REAL buckets — a NULL agg
+            # value at either anchor fills NULL, it is NOT skipped the
+            # way PREV/NEXT skip over NULLs; and a real bucket's NULL
+            # stays NULL (tfill.c doLinearInterpolation SET_NULL paths).
+            # The struct wrapper makes ignorenulls key on "real bucket"
+            # rather than "non-null value".
+            anchor = F.when(has, F.struct(v.alias("v"), ts_us.alias("t")))
+            prev_s = F.last(anchor, ignorenulls=True).over(wprev)
+            next_s = F.last(anchor, ignorenulls=True).over(wnext)
+            frac = (ts_us - prev_s["t"]).cast("double") / (
+                next_s["t"] - prev_s["t"]
+            ).cast("double")
+            interp = prev_s["v"] + (next_s["v"] - prev_s["v"]) * frac
+            from pyspark.sql.types import IntegralType
+
+            if isinstance(dtypes[c], IntegralType):
+                # integer columns STAY integer: the reference writes the
+                # interpolated double back into the column's slot
+                # (tfill.c doLinearInterpolation → colDataSetVal), i.e.
+                # a C truncation — Spark's double→integral cast matches
+                interp = interp.cast(dtypes[c])
             filled = (
-                F.when(v.isNotNull(), v)
-                .when(prev_t.isNull() | next_t.isNull(), F.lit(None))
+                F.when(has, v)
+                .when(prev_s.isNull() | next_s.isNull(), F.lit(None))
                 .otherwise(interp)
             )
         cols.append(F.coalesce(F.col(c), filled).alias(c) if mode in ("prev", "next") else filled.alias(c))

@@ -526,9 +526,47 @@ def load_reference_test(path: str, shim: TdSqlShim):
             shim.dbs.clear()
             shim.db = None
 
+    class _TdLog(_Stub):
+        """tdLog with a REAL ``exit``: reference files assert through
+        ``tdLog.exit(msg)`` in hand-rolled validators (FillResValidator,
+        plan checks) — swallowing it would silently pass failed checks.
+        Routed through shim._fail so ``known`` substrings can tolerate
+        engine-specific paths (e.g. EXPLAIN plan strings)."""
+
+        def exit(self, msg="", *a, **k):
+            shim.stats["checks"] += 1
+            shim._fail(f"tdLog.exit: {msg}")
+
+    class _TdCom(_Stub):
+        """The framework's schema-string generators (utils/common.py
+        gen_column_type_str / gen_tag_type_str): prefix-numbered column
+        decls from [{'type','count','len'}] elements, 1-based, varchar/
+        binary/nchar (lowercase spelling, as the framework matches) get
+        their (len)."""
+
+        @staticmethod
+        def _gen(prefix, elms):
+            i, parts = 1, []
+            for e in elms or []:
+                for _ in range(int(e.get("count", 1))):
+                    ty = e["type"]
+                    if ty in ("varchar", "binary", "nchar"):
+                        ty += f"({e['len']})"
+                    parts.append(f"{prefix}{i} {ty}")
+                    i += 1
+            return ", ".join(parts)
+
+        def gen_column_type_str(self, colname_prefix, column_elm_list):
+            return "ts timestamp, " + self._gen(
+                colname_prefix, column_elm_list
+            )
+
+        def gen_tag_type_str(self, tagname_prefix, tag_elm_list):
+            return self._gen(tagname_prefix, tag_elm_list)
+
     utils.tdSql = shim
-    utils.tdLog = _Stub()
-    utils.tdCom = _Stub()
+    utils.tdLog = _TdLog()
+    utils.tdCom = _TdCom()
     utils.tdStream = _StreamShim()
     class _Etool(_Stub):
         @staticmethod
@@ -537,19 +575,49 @@ def load_reference_test(path: str, shim: TdSqlShim):
 
             return os.path.join(os.path.dirname(file), *parts)
 
+        curFile = getFilePath
+
         @staticmethod
         def benchMark(json=None, command=None, **kw):
             """Minimal taosBenchmark interpreter for insert-json configs:
-            creates the databases/super tables/children and inserts the
-            deterministic row grid (ts from start_timestamp stepping
-            timestamp_step; columns without min/max/values → NULL, the
-            shape the null-block fixtures rely on)."""
+            creates the databases/super tables/children via DDL, then
+            builds the deterministic row grid as ONE DataFrame per super
+            table (ts from start_timestamp stepping timestamp_step;
+            columns with min/max get a deterministic hash-spread value,
+            'values' lists cycle, columns without either → NULL — the
+            shape the null-block fixtures rely on) and appends it to the
+            parent's parquet directly. 600k-row fixtures (window.json)
+            generate JVM-side in one job instead of 600k INSERT rows."""
             import json as _json
+            import time as _time
             from datetime import datetime as _dt, timedelta as _td
+
+            from pyspark.sql import functions as F
 
             if json is None:
                 return
             cfg = _json.load(open(json))
+            # unsigned types store in the next-wider signed column
+            u_map = {
+                "UTINYINT": "SMALLINT", "USMALLINT": "INT",
+                "UINT": "BIGINT", "UBIGINT": "BIGINT",
+            }
+
+            def decl(c):
+                ty = u_map.get(c["type"].upper(), c["type"].upper())
+                if ty in ("BINARY", "NCHAR", "VARCHAR"):
+                    ty += f"({max(int(c.get('len', 16)), 1)})"
+                return f"{c['name']} {ty}"
+
+            def spark_type(c):
+                ty = u_map.get(c["type"].upper(), c["type"].upper())
+                return {
+                    "BOOL": "boolean", "TINYINT": "tinyint",
+                    "SMALLINT": "smallint", "INT": "int",
+                    "BIGINT": "bigint", "FLOAT": "float",
+                    "DOUBLE": "double", "TIMESTAMP": "timestamp",
+                }.get(ty, "string")
+
             for dbc in cfg.get("databases", []):
                 name = dbc["dbinfo"]["name"]
                 shim.execute(f"create database if not exists {name}")
@@ -557,13 +625,6 @@ def load_reference_test(path: str, shim: TdSqlShim):
                 for st in dbc.get("super_tables", []):
                     cols = st.get("columns", [])
                     tags = st.get("tags", [])
-
-                    def decl(c):
-                        ty = c["type"].upper()
-                        if ty in ("BINARY", "NCHAR", "VARCHAR"):
-                            ty += f"({max(int(c.get('len', 16)), 1)})"
-                        return f"{c['name']} {ty}"
-
                     shim.execute(
                         f"create table {st['name']} (ts timestamp, "
                         + ", ".join(decl(c) for c in cols)
@@ -571,39 +632,103 @@ def load_reference_test(path: str, shim: TdSqlShim):
                         + ", ".join(decl(t) for t in tags)
                         + ")"
                     )
-                    t0 = _dt.strptime(
-                        st["start_timestamp"], "%Y-%m-%d %H:%M:%S.%f"
-                    )
+                    raw0 = st["start_timestamp"]
+                    if isinstance(raw0, int) or str(raw0).isdigit():
+                        # epoch-ms literal: a true instant — wall-as-UTC
+                        # replay adds the session offset (same rule as
+                        # _shift_epoch_ints)
+                        t0ms = int(raw0) + shim.epoch_shift_ms
+                    else:
+                        t0 = _dt.strptime(
+                            str(raw0), "%Y-%m-%d %H:%M:%S.%f"
+                        ) - _td(hours=shim.lit_shift)
+                        t0ms = int(
+                            (t0 - _dt(1970, 1, 1)).total_seconds() * 1000
+                        )
                     step = int(st["timestamp_step"])
                     rows = int(st["insert_rows"])
-                    for i in range(int(st["childtable_count"])):
-                        child = f"{st['childtable_prefix']}{i}"
-                        tvals = []
-                        for t in tags:
-                            if "values" in t:
-                                tvals.append(
-                                    f"'{t['values'][i % len(t['values'])]}'"
-                                )
-                            elif "min" in t:
-                                lo, hi = int(t["min"]), int(t.get("max", t["min"]))
-                                tvals.append(str(lo + i % (hi - lo + 1)))
-                            else:
-                                tvals.append("0")
+                    nchild = int(st["childtable_count"])
+                    prefix = st["childtable_prefix"]
+
+                    def tagval(t, i):
+                        if "values" in t:
+                            return f"'{t['values'][i % len(t['values'])]}'"
+                        if "min" in t:
+                            lo = int(t["min"])
+                            hi = int(t.get("max", t["min"]))
+                            return str(lo + i % (hi - lo + 1))
+                        return "0"
+
+                    for i in range(nchild):
                         shim.execute(
-                            f"create table {child} using {st['name']} "
-                            f"tags({', '.join(tvals)})"
+                            f"create table {prefix}{i} using {st['name']}"
+                            " tags("
+                            + ", ".join(tagval(t, i) for t in tags)
+                            + ")"
                         )
-                        nulls = ", ".join("null" for _ in cols) or "null"
-                        groups = "".join(
-                            "('{}', {})".format(
-                                (t0 + _td(milliseconds=step * r)).strftime(
-                                    "%Y-%m-%d %H:%M:%S.%f"
-                                )[:-3],
-                                nulls,
+                    # flush child registrations, then append the grid
+                    shim._flush()
+                    cidx = (F.col("id") / rows).cast("int")
+                    df = shim.spark.range(nchild * rows).select(
+                        F.timestamp_millis(
+                            F.lit(t0ms) + (F.col("id") % rows) * step
+                        ).alias("ts"),
+                        F.concat(
+                            F.lit(prefix), cidx.cast("string")
+                        ).alias("tbname"),
+                        F.col("id"),
+                    )
+
+                    def colval(c, idx):
+                        ty = spark_type(c)
+                        if "values" in c:
+                            arr = F.array(
+                                *[F.lit(str(v)) for v in c["values"]]
                             )
-                            for r in range(rows)
-                        )
-                        shim.execute(f"insert into {child} values {groups}")
+                            return F.element_at(
+                                arr, (F.col("id") % len(c["values"]) + 1)
+                                .cast("int")
+                            ).cast(ty)
+                        if "min" in c:
+                            lo = int(c["min"])
+                            span = int(c.get("max", c["min"])) - lo + 1
+                            v = F.pmod(
+                                F.col("id") * F.lit(2654435761 + idx * 97),
+                                F.lit(span),
+                            ) + F.lit(lo)
+                            return v.cast(ty)
+                        return F.lit(None).cast(ty)
+
+                    out_cols = [
+                        colval(c, i).alias(c["name"])
+                        for i, c in enumerate(cols)
+                    ]
+                    tag_cols = []
+                    for t in tags:
+                        ty = spark_type(t)
+                        if "values" in t:
+                            arr = F.array(
+                                *[F.lit(str(v)) for v in t["values"]]
+                            )
+                            tc = F.element_at(
+                                arr, (cidx % len(t["values"]) + 1)
+                                .cast("int")
+                            ).cast(ty)
+                        elif "min" in t:
+                            lo = int(t["min"])
+                            span = int(t.get("max", t["min"])) - lo + 1
+                            tc = (F.pmod(cidx, F.lit(span)) + F.lit(lo)
+                                  ).cast(ty)
+                        else:
+                            tc = F.lit(0).cast(ty)
+                        tag_cols.append(tc.alias(t["name"]))
+                    df = df.select(
+                        "ts", *out_cols, *tag_cols, "tbname",
+                        F.lit(_time.time_ns()).alias("_version"),
+                    )
+                    df.write.mode("append").parquet(
+                        f"{shim.db.root}/{st['name']}.parquet"
+                    )
 
     utils.etool = _Etool()
     utils.clusterComCheck = _Stub()
@@ -622,20 +747,31 @@ def load_reference_test(path: str, shim: TdSqlShim):
     for sn in subnames:
         sm = ModuleType(f"new_test_framework.utils.{sn}")
         sm.tdSql = shim
-        sm.tdLog = _Stub()
-        sm.tdCom = _Stub()
+        sm.tdLog = utils.tdLog
+        sm.tdCom = utils.tdCom
         sm.__getattr__ = lambda _name: _Stub()
         subs[sn] = sm
         setattr(utils, sn, sm)
+    # the reference's native client packages — some files import them at
+    # module level without using them through the tdSql path
+    client_fakes = {}
+    for cn in ("taos", "taosrest", "taosws"):
+        cm = ModuleType(cn)
+        cm.__getattr__ = lambda _name: _Stub()
+        client_fakes[cn] = cm
     mod_names = (
         ["new_test_framework", "new_test_framework.utils"]
         + [f"new_test_framework.utils.{sn}" for sn in subnames]
+        + list(client_fakes)
     )
     old = {k: sys.modules.get(k) for k in mod_names}
     sys.modules["new_test_framework"] = pkg
     sys.modules["new_test_framework.utils"] = utils
     for sn in subnames:
         sys.modules[f"new_test_framework.utils.{sn}"] = subs[sn]
+    for cn, cm in client_fakes.items():
+        if old[cn] is None:
+            sys.modules[cn] = cm
     try:
         ns: dict = {"__name__": "ref_replay", "__file__": path}
         exec(compile(open(path).read(), path, "exec"), ns)

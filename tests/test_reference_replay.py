@@ -22,7 +22,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
-            known=(), session_tz=None, engine_tz=False):
+            known=(), session_tz=None, engine_tz=False,
+            patch_out=(), globals_patch=None):
     """Replay ``methods`` of a reference test file. ``known``: substrings
     of check-failure messages that are accepted (documented reference
     quirks — e.g. statements the reference's own file marks
@@ -36,6 +37,20 @@ def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
                      engine_tz=engine_tz)
     try:
         obj = load_reference_test(f"{REF}/{relpath}", shim)
+        # patch_out: reference sub-methods that drive infrastructure this
+        # harness has no analog for (taosBenchmark os.system + threaded
+        # TDSql pools) — replaced with no-ops, documented per test.
+        for name in patch_out:
+            setattr(obj, name, lambda *a, **k: None)
+        if globals_patch:
+            # the test file's module namespace (method __globals__) —
+            # e.g. shrink a randomized round count for replay wall-clock
+            g = next(
+                f.__globals__
+                for f in vars(type(obj)).values()
+                if hasattr(f, "__globals__")
+            )
+            g.update(globals_patch)
         for m in methods:
             getattr(obj, m)()
     finally:
@@ -120,12 +135,14 @@ def test_replay_state_window(spark):
     """04-StateWindow/test_state_window.py — expression states
     (cast/CASE WHEN), multi-column states, ZEROTH_STATE filters,
     grouped states, null-start runs, backtick identifiers, pk-qualified
-    child inserts. orderbyOtherTS is excluded: its windows-over-ordered-
-    subqueries semantics (state/session assignment in the subquery's
-    ORDER BY row order) is not implemented."""
+    child inserts. orderbyOtherTS: state/session windows over an ordered
+    subquery assign runs in the subquery's ORDER BY row order (session
+    additionally splits on order regressions), and outer first/last key
+    on the derived pk (_wstart alias)."""
     stats = _replay(
         spark, "04-StateWindow/test_state_window.py",
-        ["ts6079", "test_state_window_start_with_null",
+        ["orderbyOtherTS",
+         "ts6079", "test_state_window_start_with_null",
          "test_state_window_logic_expr", "test_state_window_group",
          "test_multi_column_state_window_zeroth",
          "test_multi_column_state_window_invalid"],
@@ -226,4 +243,91 @@ def test_replay_tz_interval(spark):
     # this file asserts mostly via bare `assert` (uncounted); the 60
     # queries it drives are the coverage measure
     assert stats["queries"] >= 55, stats
+    print(stats)
+
+
+def test_replay_fill_datatype(spark):
+    """02-Fill/test_ts_fill_datatype.py — decimal(10,2..38,10) column
+    DDL + inserts (random corner-case decimal generator), then the
+    file's FillResValidator: randomized INTERVAL(Na) FILL(PREV/NEXT/
+    NULL/LINEAR/NULL_F) over normal + super tables, each fill result
+    cross-checked against the no-fill result and the DESC result
+    (prev/next propagation, NULL_F empty-input spine, linear boundary
+    NULLs, per-tbname group splitting). ``test_round`` is reduced
+    100→8 for replay wall-clock — each round is an independent random
+    query, semantics identical."""
+    stats = _replay(
+        spark, "02-Fill/test_ts_fill_datatype.py",
+        ["test_ts_fill_datatype"],
+        tz_shift_hours=0, min_checks=0,
+        globals_patch={"test_round": 8},
+    )
+    # the validator asserts via tdLog.exit (counted only on failure);
+    # coverage measure is the driven query count: 8 rounds × 2 tables
+    # × 3 queries + ddl/inserts
+    assert stats["queries"] >= 48, stats
+    print(stats)
+
+
+def test_replay_fill_method(spark):
+    """02-Fill/test_ts_fill_method.py — typed FILL(VALUE) per-column
+    coercion over bool/varchar/nchar/varbinary (unicode fill values,
+    varbinary utf-8 bytes), fill(value, NULL), PREV/NEXT propagation
+    after late inserts, ns-precision empty-range fill; then the
+    fill-with-group suite: PARTITION BY tbname INTERVAL FILL(PREV/
+    LINEAR) new-group leading NULLs, fill + ORDER BY _wstart desc,
+    complex projections over filled windows (now, _wstart + 1d,
+    timediff(_wend, last(ts)), to_char/concat), HAVING over filled
+    windows, per-partition LIMIT. check_fill_range is patched out
+    (taosBenchmark + threaded TDSql pool stress harness — no analog
+    in this replay)."""
+    stats = _replay(
+        spark, "02-Fill/test_ts_fill_method.py",
+        ["do_fill_datatype_method", "init_class", "prepareTestEnv",
+         "check_partition_by_with_interval_fill_prev_new_group_fill_error",
+         "check_fill_with_order_by", "check_fill_with_order_by2",
+         "check_fill_with_complex_expr"],
+        min_checks=250, session_tz="Asia/Shanghai",
+        patch_out=("check_fill_range",),
+    )
+    print(stats)
+
+
+def test_replay_event_bugs(spark):
+    """05-EventWindow/test_ts_event_bugs.py — TD-31660: EVENT_WINDOW and
+    COUNT_WINDOW under PARTITION BY tbname with SLIMIT (group limit) ×
+    LIMIT (per-group row limit) over the taosBenchmark window.json grid
+    (6 children × 100k rows, voltage in [200,250])."""
+    stats = _replay(
+        spark, "05-EventWindow/test_ts_event_bugs.py",
+        ["test_ts_event_bugs"], tz_shift_hours=0, min_checks=2,
+    )
+    print(stats)
+
+
+def test_replay_state_window_null_regression(spark):
+    """04-StateWindow/test_state_window_null_regression.py — batch
+    (do_query_*) sections: multi-column state NULL regression matrix.
+    Per-column NULL skip vs cut semantics, dual-side partial-NULL
+    deferral under EXTEND(0/1/2), standalone split of deferred rows,
+    pending-init mismatch (a deferred row's defined columns must still
+    cut), EXTEND(2) with front-only undefined columns, interior all-NULL
+    absorption, single- vs multi-column absorb parity. The do_stream_*
+    twins drive CREATE STREAM through the reference's snode — covered by
+    this engine's Structured-Streaming suite, not replayable through the
+    batch shim."""
+    stats = _replay(
+        spark, "04-StateWindow/test_state_window_null_regression.py",
+        ["do_prepare",
+         "do_query_partial_null_baseline",
+         "do_query_dual_side_partial_null_extend_matrix",
+         "do_query_front_only_partial_null_extend2_standalone",
+         "do_query_pending_init_mismatch",
+         "do_query_extend0_same",
+         "do_query_extend0_different",
+         "do_query_extend2_front_only_undef",
+         "do_query_extend2_front_only_internal_allnull",
+         "do_query_null_absorb_single_vs_multi_col"],
+        tz_shift_hours=0, min_checks=80,
+    )
     print(stats)
