@@ -234,6 +234,38 @@ def jaccard_verify(
     )
 
 
+def jaccard_pairs_bruteforce(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard ≥ threshold — the n² verification
+    baseline the LSH path approximates. O(n²) by construction: use for
+    oracle checks and small corpora only; the scale path is
+    ``minhash_dedup`` (same shingles, same verify arithmetic)."""
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")
+    )
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        j.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

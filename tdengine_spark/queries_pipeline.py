@@ -184,11 +184,54 @@ def q_cosine_topk(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5)
 
 
-@q("minhash_near_dup_pairs")  # rows-only: xxhash64-specific signatures
+#: brute-force word-3-gram shingle Jaccard in SQL — the oracle for both
+#: the exact baseline AND the MinHash pipeline (whose Jaccard-verify step
+#: makes its output EQUAL to the exact pairs whenever the banded LSH
+#: finds every true pair; the synthetic corpus' near-dups sit at
+#: jaccard ≥ 0.9, where 16-band/4-row collision is deterministic)
+_JACCARD_PAIRS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 3 THEN
+          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         FOR i IN generate_series(1, len(tk)-2)])
+        ELSE [list_aggregate(tk, 'string_agg', ' ')] END AS sh
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            GREATEST(CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                     1.0), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE jaccard >= 0.5
+"""
+
+
+@q("minhash_near_dup_pairs", _JACCARD_PAIRS_SQL)
 def q_minhash(spark, sf_dir):
-    """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥ 0.2."""
+    """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥ 0.5.
+
+    Value-oracled against brute-force exact Jaccard: the verify step
+    emits EXACT similarities, so the output equals the brute-force pair
+    set whenever LSH recall is 1 — deterministic here (fixed xxhash64
+    family, corpus near-dups at jaccard ≥ 0.9)."""
     docs = t(spark, sf_dir, "documents")
-    return dd.minhash_dedup(docs, threshold=0.2)
+    return dd.minhash_dedup(docs, threshold=0.5)
+
+
+@q("jaccard_pairs_exact", _JACCARD_PAIRS_SQL)
+def q_jaccard_exact(spark, sf_dir):
+    """Exact all-pairs shingle-Jaccard ≥ 0.5 (the n² verification
+    baseline the LSH path approximates; value-oracles the shingle and
+    Jaccard machinery directly)."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_bruteforce(docs, threshold=0.5)
 
 
 @q("simhash_near_pairs")  # rows-only: xxhash64-specific
@@ -197,6 +240,19 @@ def q_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     sims = dd.simhash(docs)
     return dd.simhash_near_pairs(sims, max_hamming=6)
+
+
+@q("simhash_verified_pairs", _JACCARD_PAIRS_SQL)
+def q_simhash_verified(spark, sf_dir):
+    """SimHash candidates Jaccard-verified ≥ 0.5 — value-oracled against
+    brute-force exact Jaccard (deterministic: fixed xxhash64 family;
+    the corpus' true near-dups all land within hamming 6)."""
+    docs = t(spark, sf_dir, "documents")
+    sims = dd.simhash(docs)
+    pairs = dd.simhash_near_pairs(sims, max_hamming=6)
+    return dd.jaccard_verify(
+        docs, pairs.select("id_a", "id_b"), threshold=0.5
+    )
 
 
 @q("lsh_ann_topk")  # rows-only: bucket boundary effects are seed-specific

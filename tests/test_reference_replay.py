@@ -331,3 +331,45 @@ def test_replay_state_window_null_regression(spark):
         tz_shift_hours=0, min_checks=80,
     )
     print(stats)
+
+
+def test_replay_interval_project_merge_resblock(spark):
+    """03-TimeWindow/test_interval_project_merge_resblock.py — the
+    reference asserts its OWN explain-plan flag (Projection Merge
+    ResBlocks: False), which has no Spark analog; the regression it
+    guards is an interval hang on subquery + INTERVAL(44s) SLIDING(1s).
+    Behavioral twin: run the same shape through the dialect and check
+    the windowed counts (each row lands in 44 sliding windows; the
+    paired rows 1 ms apart share 43 of them)."""
+    shim = TdSqlShim(spark, tz_shift_hours=0)
+    try:
+        shim.prepare()
+        shim.execute(
+            "create stable stable_1 (ts timestamp, c1 int) tags (tg int)"
+        )
+        shim.execute("create table stable_1_1 using stable_1 tags(1)")
+        shim.execute("create table stable_1_2 using stable_1 tags(2)")
+        shim.execute(
+            "insert into stable_1_1 values "
+            "('2021-08-27 01:46:40.000', 1) "
+            "('2021-09-01 01:46:40.000', 2) "
+            "('2021-12-24 12:06:20.000', 3)"
+        )
+        shim.execute(
+            "insert into stable_1_2 values "
+            "('2021-08-27 01:46:39.999', 1) "
+            "('2021-09-01 01:46:39.999', 2) "
+            "('2021-12-24 12:06:20.001', 3)"
+        )
+        shim.query(
+            "select _wstart,_wend,count(c1) from (select * from stable_1) "
+            "interval(44s) sliding(1s)"
+        )
+        rows = shim.rows
+        # every row lands in 44 one-second-grid sliding windows; the
+        # .999/.000 pairs straddle a grid point (union 45 windows), the
+        # .000/.001 pair does not (union 44): 45 + 45 + 44 windows
+        assert len(rows) == 45 + 45 + 44, len(rows)
+        assert sum(r[2] for r in rows) == 6 * 44, rows[:3]
+    finally:
+        shim.close()
