@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 PNG decode is REAL (stdlib zlib inflate + scanline de-filtering,
-``_decode_png``) — width/height/channel statistics come from actual
-pixel values. Other formats (JPEG/WebP, audio, video) remain
-deterministic stubs since their codecs aren't in the container;
-swapping in PIL/librosa is a one-function change.
+``_decode_png``) and so is baseline JPEG (``_decode_jpeg``: huffman →
+dequantize → IDCT → chroma upsample → YCbCr) — width/height/channel
+statistics come from actual pixel values. Remaining formats
+(progressive JPEG, WebP, audio, video) are deterministic stubs since
+their codecs aren't in the container; swapping in PIL/librosa is a
+one-function change.
 
 Scale notes: mapInPandas streams Arrow batches through the Python worker
 (no per-row pickling); ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -110,19 +112,272 @@ def _decode_png(payload: bytes) -> "tuple[int, int, int, bytes]":
     return width, height, nch, bytes(out)
 
 
+JPEG_SIG = b"\xff\xd8"
+
+
+def _jpeg_huff_table(bits, symbols):
+    """code → (length, symbol) lookup built the ITU T.81 Annex C way:
+    codes of each length are consecutive, lengths ascend."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte unstuffing (FF 00 → FF) and RSTn tolerance."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.bit = 0
+        self.restart_hit = False
+
+    def read_bit(self) -> int:
+        b = self.d[self.p]
+        if b == 0xFF:
+            nxt = self.d[self.p + 1]
+            if nxt == 0x00:
+                pass  # stuffed FF — consume normally, skip 00 on advance
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker: realign and flag DC-predictor reset
+                self.p += 2
+                self.bit = 0
+                self.restart_hit = True
+                b = self.d[self.p]
+            else:
+                raise ValueError("unexpected marker in scan")
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.p += 1
+            if self.d[self.p - 1] == 0xFF and self.d[self.p] == 0x00:
+                self.p += 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            s = table.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the n received bits to the signed
+    coefficient value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_jpeg(payload: bytes) -> "tuple[int, int, int, bytes]":
+    """REAL baseline JPEG (SOF0) decode with stdlib + numpy only:
+    segment walk → DQT/DHT/SOF0/SOS → huffman-decode the MCU stream →
+    dequantize → 2-D IDCT (numpy basis-matrix multiply) → chroma
+    upsample → YCbCr→RGB (BT.601, T.81 conventions). Handles grayscale
+    and 4:4:4/4:2:2/4:2:0 3-component images and restart markers.
+    Progressive (SOF2) and arithmetic coding are not supported.
+    Returns (width, height, channels, raw_pixels row-major)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != JPEG_SIG:
+        raise ValueError("not a JPEG")
+    qt: dict = {}
+    huff: dict = {}
+    comps: list = []
+    width = height = None
+    restart_interval = 0
+    pos = 2
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        data = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0xF
+                i += 1
+                n = 64 * (2 if prec else 1)
+                vals = (
+                    list(struct.unpack(f">{64}H", data[i:i + 128]))
+                    if prec
+                    else list(data[i:i + 64])
+                )
+                qt[tid] = vals
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1:i + 17])
+                nsym = sum(bits)
+                symbols = list(data[i + 17:i + 17 + nsym])
+                huff[(cls, tid)] = _jpeg_huff_table(bits, symbols)
+                i += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append(
+                    (comp, huff[(0, tabs >> 4)], huff[(1, tabs & 0xF)])
+                )
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or scan_comps is None:
+        raise ValueError("truncated JPEG")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # IDCT basis: spatial = C.T @ coeff @ C with C[u,x] = a(u)·cos(...)
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    rdr = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                pred = [0] * len(comps)
+                # skip to the restart marker if not already consumed
+                if not rdr.restart_hit:
+                    if rdr.bit:
+                        rdr.bit = 0
+                        rdr.p += 1
+                    while rdr.d[rdr.p] != 0xFF:
+                        rdr.p += 1
+                    rdr.p += 2
+                rdr.restart_hit = False
+            for ci, (comp, dct, act) in enumerate(scan_comps):
+                q = qt[comp["q"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64)
+                        s = rdr.decode_huff(dct)
+                        diff = _jpeg_extend(rdr.receive(s), s)
+                        pred[ci] += diff
+                        zz[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_huff(act)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            zz[_ZIGZAG[k]] = (
+                                _jpeg_extend(rdr.receive(sz), sz) * q[k]
+                            )
+                            k += 1
+                        block = zz.reshape(8, 8)
+                        px = C.T @ block @ C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+    # upsample each plane to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:height, :width])
+    if len(comps) == 1:
+        out = np.clip(full[0], 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode an image payload. PNG payloads are decoded FOR REAL
-    (``_decode_png``: header, inflate, de-filter — actual pixel values);
-    the feature is [per-channel mean/255 (≤4), per-channel std/255 (≤4)]
-    zero-padded to 8 dims. Non-PNG payloads fall back to the
-    deterministic byte-histogram fake (JPEG/WebP decoders aren't in the
-    container — swap in PIL here)."""
+    """Decode an image payload. PNG payloads (``_decode_png``: header,
+    inflate, de-filter) and baseline JPEG payloads (``_decode_jpeg``:
+    huffman → dequant → IDCT → YCbCr) are decoded FOR REAL — actual
+    pixel values; the feature is [per-channel mean/255 (≤4),
+    per-channel std/255 (≤4)] zero-padded to 8 dims. Other formats
+    (WebP, progressive JPEG) fall back to the deterministic
+    byte-histogram fake (no codecs in the container — swap in PIL
+    here)."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
+    decoded = None
     if payload[:8] == PNG_SIG:
+        decoded = _decode_png(payload)
+    elif payload[:2] == JPEG_SIG:
+        try:
+            decoded = _decode_jpeg(payload)
+        except ValueError:
+            decoded = None  # progressive/arithmetic → histogram fake
+    if decoded is not None:
         import statistics
 
-        width, height, nch, px = _decode_png(payload)
+        width, height, nch, px = decoded
         means, stds = [], []
         for ch in range(nch):
             vals = px[ch::nch]

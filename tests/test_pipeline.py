@@ -322,3 +322,163 @@ def test_png_decode_known_pixels(spark):
     assert len(out) == 1
     assert (out[0].width, out[0].height) == (4, 2)
     assert out[0].feature[1] == pytest.approx(0.0, abs=1e-9)
+
+
+def _mk_jpeg_gray(block_vals, q=16):
+    """Minimal baseline JPEG encoder (test-side): grayscale image of
+    8×8 blocks laid out in a row (width = 8·len, height = 8), each a
+    solid value. Flat quant table q; tiny custom huffman tables (all
+    4-bit codes). Exercises DC prediction across MCUs and EXTEND."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    # DQT id 0, flat
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+    w = 8 * len(block_vals)
+    # SOF0: 8-bit, h=8, w, 1 component (id 1, 1x1, q0)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, w, 1)
+    out += bytes([1, 0x11, 0])
+    # DHT: DC class0 id0 — symbols 0..11, all length 4 (12 codes)
+    bits = [0, 0, 0, 12] + [0] * 12
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12)
+    out += b"\x00" + bytes(bits) + bytes(range(12))
+    # DHT: AC class1 id0 — symbols EOB(0x00) + a few, length 4
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 4)
+    out += b"\x10" + bytes([0, 0, 0, 4] + [0] * 12)
+    out += bytes([0x00, 0x01, 0x11, 0xF0])
+    # SOS: 1 component, tables 0/0
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy-coded data: per block, DC diff huffman(cat)+bits, then EOB
+    bitbuf = []
+
+    def put(code, n):
+        for i in range(n - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    pred = 0
+    for v in block_vals:
+        dc = round(8 * (v - 128) / q)
+        diff = dc - pred
+        pred = dc
+        mag = abs(diff)
+        cat = mag.bit_length()
+        put(0b0000 + cat, 4)  # huffman code for category = canonical
+        if cat:
+            put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        put(0b0000, 4)  # EOB (symbol 0x00 is the first AC code)
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    data = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i:i + 8]:
+            byte = (byte << 1) | b
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_known_pixels():
+    """Round-trip a hand-encoded baseline JPEG through _decode_jpeg:
+    solid blocks reconstruct exactly (flat quant, DC-only blocks), DC
+    prediction chains across MCUs."""
+    from tdengine_spark.pipeline.multimodal import _decode_jpeg
+
+    vals = [200, 72, 128, 16]
+    payload = _mk_jpeg_gray(vals, q=16)
+    w, h, nch, px = _decode_jpeg(payload)
+    assert (w, h, nch) == (32, 8, 1)
+    import numpy as np
+
+    img = np.frombuffer(px, dtype=np.uint8).reshape(8, 32)
+    for i, v in enumerate(vals):
+        block = img[:, 8 * i:8 * i + 8]
+        # flat-quant DC-only reconstruction: round(8(v-128)/16)·16/8+128
+        expect = round(8 * (v - 128) / 16) * 16 / 8 + 128
+        assert np.all(block == int(expect)), (i, v, block[0, :3])
+
+
+def test_jpeg_decode_feature_dispatch():
+    """_decode_image_bytes routes JPEG payloads through the real decoder:
+    the feature means equal the solid value / 255."""
+    from tdengine_spark.pipeline.multimodal import _decode_image_bytes
+
+    payload = _mk_jpeg_gray([200], q=16)
+    w, h, feat = _decode_image_bytes(payload)
+    assert (w, h) == (8, 8)
+    assert abs(feat[0] - 200 / 255) < 1e-6
+    assert feat[4] == 0.0  # solid block → zero std
+
+
+def test_jpeg_decode_color_420():
+    """Constant-color 16×16 4:2:0 JPEG: 4 interleaved Y blocks + Cb +
+    Cr per MCU, chroma upsampled 2×2, BT.601 conversion."""
+    import struct
+
+    import numpy as np
+
+    from tdengine_spark.pipeline.multimodal import _decode_jpeg
+
+    q = 16
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    bits = [0, 0, 0, 12] + [0] * 12
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12)
+    out += b"\x00" + bytes(bits) + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 4)
+    out += b"\x10" + bytes([0, 0, 0, 4] + [0] * 12)
+    out += bytes([0x00, 0x01, 0x11, 0xF0])
+    out += b"\xff\xda" + struct.pack(">H", 12)
+    out += bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    bitbuf = []
+
+    def put(code, n):
+        for i in range(n - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def put_dc(diff):
+        mag = abs(diff)
+        cat = mag.bit_length()
+        put(cat, 4)
+        if cat:
+            put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        put(0, 4)  # EOB
+
+    yv, cbv, crv = 90, 140, 160
+    dcs = {k: round(8 * (v - 128) / q) for k, v in
+           [("y", yv), ("cb", cbv), ("cr", crv)]}
+    # one MCU: 4 Y blocks (first carries the diff, rest diff 0), Cb, Cr
+    put_dc(dcs["y"])
+    for _ in range(3):
+        put_dc(0)
+    put_dc(dcs["cb"])
+    put_dc(dcs["cr"])
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    data = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i:i + 8]:
+            byte = (byte << 1) | b
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    out += data + b"\xff\xd9"
+
+    w, h, nch, px = _decode_jpeg(bytes(out))
+    assert (w, h, nch) == (16, 16, 3)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    y, cb, cr = 90.0, 140.0 - 128, 160.0 - 128
+    expect = (
+        int(y + 1.402 * cr),
+        int(y - 0.344136 * cb - 0.714136 * cr),
+        int(y + 1.772 * cb),
+    )
+    assert np.all(img.reshape(-1, 3) == np.array(expect)), (
+        img[0, 0], expect
+    )
