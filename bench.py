@@ -100,6 +100,7 @@ def main():
         if name in REGISTRY:
             times[name] = round(run(name), 3)
     total = round(sum(times.values()), 3)
+    probe, superlinear = _scale_probe(spark, sf_dir, run, times)
     print(
         json.dumps(
             {
@@ -109,9 +110,82 @@ def main():
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "streaming": _bench_streaming(spark, sf_dir),
+                "scale_probe_10x": probe,
+                "scale_probe_superlinear": superlinear,
             }
         )
     )
+
+
+#: window-family queries re-run on a synthetic 10×-rows-per-key events
+#: table. O(n)-per-key kernels scale ≈10× (less, given fixed plan/scan
+#: overhead); an O(n²)-per-key kernel (the shrinking-frame class that
+#: hid at sf0.1 until round 9) shows ≈100× and trips the flag.
+_PROBE_QUERIES = [
+    "state_windows_event_type",
+    "event_windows_spike",
+    "interp_linear_daily",
+    "interval_fill_linear",
+]
+_PROBE_SUPERLINEAR_RATIO = 25.0
+
+
+def _scale_probe(spark, sf_dir: str, run, base_times: dict):
+    """Generate a 10×-rows-per-key twin of ``events`` (each row exploded
+    into 10 with millisecond ts jitter — runs get 10× longer, keys stay
+    the same), re-run the window-family queries against it, and flag any
+    query whose time grew superlinearly vs its same-session sf run."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="tds_bench_probe_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (
+            ev.withColumn(
+                "_k", F.explode(F.sequence(F.lit(0), F.lit(9)))
+            )
+            .withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros("ts") + F.col("_k") * 1000
+                ),
+            )
+            .drop("_k")
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        probe, superlinear = {}, []
+        for name in _PROBE_QUERIES:
+            if name not in base_times:
+                continue
+            t10 = round(run_probe_query(spark, d, name, run), 3)
+            ratio = round(t10 / max(base_times[name], 1e-6), 2)
+            probe[name] = {"sf": base_times[name], "x10": t10,
+                           "ratio": ratio}
+            if ratio > _PROBE_SUPERLINEAR_RATIO:
+                superlinear.append(name)
+        return probe, superlinear
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def run_probe_query(spark, probe_dir: str, name: str, run) -> float:
+    import time as _t
+
+    from tdengine_spark.queries import REGISTRY
+
+    best = None
+    for _ in range(2):
+        t0 = _t.time()
+        REGISTRY[name].spark_fn(spark, probe_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = _t.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:

@@ -45,6 +45,7 @@ def main():
                 getattr(obj, m)()
             except Exception as e:  # noqa: BLE001
                 print(f"ABORT {m}: {type(e).__name__}: {str(e)[:500]}")
+                print(f"  LAST_SQL: {getattr(shim, 'last_sql', '')[:300]}")
     finally:
         print("stats:", shim.stats)
         print(f"failures: {len(shim.failures)}")

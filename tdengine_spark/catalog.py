@@ -71,6 +71,10 @@ class SuperTable:
     #: second key column — rows are unique on (tbname, ts, pk_col), so
     #: dedup-on-read, as-of picks and last_row tie-breaks key on it.
     pk_col: "str | None" = None
+    #: physical table name when this registration is an ALIAS (cross-db
+    #: reference): child-table slices filter tbname by this, not the
+    #: alias key
+    src_name: "str | None" = None
     #: declared data-column order from CREATE TABLE (ts first). Parquet
     #: footer order can differ per append file (each INSERT builds its
     #: own frame), and Spark picks an arbitrary footer — reads
@@ -334,6 +338,10 @@ class Database:
 
     root: str
     tables: dict[str, SuperTable] = field(default_factory=dict)
+    #: CREATE DATABASE … PRECISION 'ms'|'us'|'ns' — the unit bare-integer
+    #: epoch arithmetic on timestamps resolves to (Spark stores us;
+    #: ns semantics floor to the microsecond)
+    precision: str = "ms"
 
     def table(self, name: str) -> SuperTable:
         if name not in self.tables:

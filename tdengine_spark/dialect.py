@@ -199,6 +199,48 @@ def _pg_to_java_fmt(fmt: str) -> str:
     return "".join(out)
 
 
+#: active database's timestamp precision ('ms'|'us'|'ns'), set by the
+#: translate/execute entry points — bare-integer arithmetic on a
+#: timestamp resolves to its epoch count in this unit
+_DB_PRECISION = "ms"
+
+#: epoch-count SQL relative to unix_micros() per precision (ns floors
+#: to Spark's microsecond storage)
+_EPOCH_FACTOR = {"ms": " div 1000", "us": "", "ns": " * 1000"}
+
+
+def _wrap_ts_mul_div(expr: str) -> str:
+    """``timetruncate(…) / N`` (or ``*``, ``%``): rewrite the timestamp
+    call into its epoch integer in the active DB precision — the
+    reference's numeric promotion demotes TIMESTAMP to epoch for * / %
+    (test_join_ns_db: ``timetruncate(ts,1a)/1000000`` in an ns db)."""
+    factor = _EPOCH_FACTOR.get(_DB_PRECISION, " div 1000")
+    pat = re.compile(r"(?i)\btimetruncate\s*\(")
+    i = 0
+    while True:
+        m = pat.search(expr, i)
+        if not m:
+            return expr
+        lo = expr.index("(", m.start())
+        depth, j = 1, lo + 1
+        while j < len(expr) and depth:
+            if expr[j] == "(":
+                depth += 1
+            elif expr[j] == ")":
+                depth -= 1
+            j += 1
+        k = j
+        while k < len(expr) and expr[k] == " ":
+            k += 1
+        if k < len(expr) and expr[k] in "*/%":
+            call = expr[m.start():j]
+            repl = f"(unix_micros({call}){factor})"
+            expr = expr[:m.start()] + repl + expr[j:]
+            i = m.start() + len(repl)
+        else:
+            i = j
+
+
 def _rewrite_ops(expr: str) -> str:
     """Dialect operators/functions → Spark SQL: `col->'k'`, MATCH,
     NMATCH, NOW/TODAY keywords, and the reference time-function family
@@ -297,7 +339,30 @@ def _rewrite_ops(expr: str) -> str:
                 )
         return "to_char(" + ", ".join(a) + ")"
 
+    # count(tb.*) counts rows (reference table-star count); Spark
+    # rejects a qualified star under count
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            r"(?i)\bcount\s*\(\s*[A-Za-z_]\w*\.\*\s*\)", "count(*)", s
+        ),
+    )
+    # CAST target types: the dialect's BINARY(n)/NCHAR(n) are TEXT types
+    # (ttypes.h TSDB_DATA_TYPE_BINARY = char bytes), not Spark's byte
+    # array — and Spark rejects a sized BINARY anyway
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            r"(?i)\bas\s+(?:binary|nchar)\s*\(\s*\d+\s*\)",
+            "as string",
+            s,
+        ),
+    )
     expr = _rewrite_call(expr, "to_char", tochar)
+    # timestamp ×/÷/% numeric: the reference demotes the timestamp
+    # operand to its epoch integer in the DB precision (parTranslater.c
+    # numeric promotion; +/- stay duration arithmetic, handled below)
+    expr = _wrap_ts_mul_div(expr)
     expr = _rewrite_call(expr, "timetruncate", trunc)
     expr = _rewrite_call(expr, "timediff", tdiff)
     expr = _rewrite_call(
@@ -405,6 +470,18 @@ _EPOCH_BETWEEN_RE = re.compile(
     re.VERBOSE | re.IGNORECASE,
 )
 
+# short (<12-digit) epoch literals compared against a timestamp: the
+# reference treats ANY int literal in a ts comparison as epoch ticks
+# (sim fixtures start at tstart=100000). Restricted to the STRICT ts
+# name set — with the loose suffix heuristic, `counts = 5` would turn
+# into a timestamp comparison.
+_EPOCH_CMP_SHORT_RE = re.compile(
+    rf"""\b(?P<col>{_TS_PROMOTE_NAME})\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{1,11}})(?![\w.])
+      | (?<![\w.])(?P<lit2>\d{{1,11}})\s*(?P<op2>>=|<=|<>|!=|=|>|<)\s*(?P<col2>{_TS_PROMOTE_NAME})\b
+    """,
+    re.VERBOSE,
+)
+
 
 def _epoch_lit_sql(lit: str) -> str:
     """A bare integer compared against a timestamp column is an epoch
@@ -464,17 +541,42 @@ def _rewrite_epoch_ts_literals(expr: str) -> str:
             f"AND {_epoch_lit_sql(m.group('hi'))}"
         )
 
+    def short_lit(lit: str) -> str:
+        # a short literal carries no magnitude signal — it is ticks in
+        # the ACTIVE db precision
+        if _DB_PRECISION == "us":
+            return f"timestamp_micros({lit})"
+        if _DB_PRECISION == "ns":
+            return f"timestamp_micros({lit} div 1000)"
+        return f"timestamp_millis({lit})"
+
+    def sub_short(m):
+        if m.group("col") is not None:
+            return (
+                f"{m.group('col')} {m.group('op')} "
+                f"{short_lit(m.group('lit'))}"
+            )
+        return (
+            f"{short_lit(m.group('lit2'))} "
+            f"{m.group('op2')} {m.group('col2')}"
+        )
+
     return _outside_quotes(
-        expr, lambda s: _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s))
+        expr,
+        lambda s: _EPOCH_CMP_SHORT_RE.sub(
+            sub_short, _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s))
+        ),
     )
 
 
-_QUOTED_RE = re.compile(r"'[^']*'")
+_QUOTED_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
 
 
 def _outside_quotes(expr: str, fn) -> str:
-    """Apply ``fn`` to the segments of ``expr`` outside single-quoted
-    string literals (shared guard for the text-level rewrites)."""
+    """Apply ``fn`` to the segments of ``expr`` outside single- or
+    double-quoted string literals (the dialect treats both as strings —
+    and a double-quoted literal may CONTAIN a single quote, which would
+    otherwise flip the parity scan)."""
     out, i = [], 0
     for m in _QUOTED_RE.finditer(expr):
         out.append(fn(expr[i : m.start()]))
@@ -562,6 +664,15 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
         if not m or len(a) < 2:
             return "cols(" + ", ".join(a) + ")"
         fn, c = m.group(1).lower(), m.group(2)
+        # the projection operand may carry its own alias:
+        # cols(max(x), ts as max_ts) → max_by(ts, …) as max_ts
+        proj, alias = a[1], ""
+        pm2 = re.match(
+            r"(?is)^(.*?)\s+as\s+([A-Za-z_]\w*)\s*$", proj
+        )
+        if pm2:
+            proj, alias = pm2.group(1), f" as {pm2.group(2)}"
+        a = [a[0], proj] + list(a[2:])
         if fn == "first":
             pick, key = "min_by", f"CASE WHEN {c} IS NOT NULL THEN {ts_col} END"
         elif fn == "last":
@@ -576,7 +687,7 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
             pick = "max_by"
             key = (f"struct(CASE WHEN {c} IS NULL THEN 0 ELSE 1 END,"
                    f" {c}, -unix_micros({ts_col}))")
-        return f"{pick}({a[1]}, {key})"
+        return f"{pick}({a[1]}, {key}){alias}"
 
     s = _rewrite_call(s, "cols", cols_fn)
     s = _rewrite_call(s, "spread", lambda a: f"(max({a[0]}) - min({a[0]}))")
@@ -690,18 +801,209 @@ _WINDOW_JOIN_RE = re.compile(
 )
 
 
+_NOT_KEYWORD = (
+    r"(?!(?:ON|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ASOF|WHERE|GROUP|ORDER"
+    r"|PARTITION|INTERVAL|SESSION|STATE_WINDOW|EVENT_WINDOW|COUNT_WINDOW"
+    r"|ANOMALY_WINDOW|FILL|HAVING|LIMIT|SLIMIT|UNION|WINDOW|USING|VALUES)"
+    r"\b)"
+)
+
+
 def _table_names(sql: str) -> list[str]:
     """Table identifiers appearing after FROM / JOIN keywords, including
     comma-separated FROM lists (``FROM t1, t2`` implicit-join syntax)."""
     out = []
     for m in re.finditer(
-        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)",
+        # each comma operand may carry an alias before the comma
+        # (FROM t1 a, t2 b); only the first token per segment is the
+        # table name — clause keywords must not be eaten as aliases
+        r"\b(?:FROM|JOIN)\s+("
+        rf"[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?"
+        rf"(?:\s*,\s*[A-Za-z_][\w.]*"
+        rf"(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?)*)",
         sql,
         flags=re.IGNORECASE,
     ):
         for t in re.split(r"\s*,\s*", m.group(1)):
             out.append(t.split()[0])
     return out
+
+
+_WIN_KEYWORDS = ("interval", "session", "state_window", "count_window",
+                 "event_window", "anomaly_window")
+
+
+def _split_join_window_tail(sql: str):
+    """Detect a dialect time-window clause at paren depth 0 after the
+    FROM of a multi-table (join) statement.  Returns
+    ``(select_list, from_and_where, window_tail, join_ts or None)`` —
+    ``join_ts`` is the left side of the first ts-on-ts equi condition
+    (the merged stream's primary key) — or None when the statement has
+    no window clause."""
+    fm = re.search(r"(?i)\bfrom\b", sql)
+    hm = re.match(r"(?is)^\s*select\s+(.*?)\s+from\s+(.*)$", sql)
+    if not fm or not hm:
+        return None
+    low = sql.lower()
+    depth, i, in_q = 0, fm.end(), False
+    pos = None
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and (i == 0 or not (sql[i - 1].isalnum()
+                                                or sql[i - 1] == "_")):
+                for k in _WIN_KEYWORDS:
+                    if low.startswith(k, i) and re.match(
+                        r"[\s(]", low[i + len(k):i + len(k) + 1] or ""
+                    ):
+                        pos = i
+                        break
+                if pos is not None:
+                    break
+        i += 1
+    if pos is None:
+        return None
+    head_rest = sql[hm.start(2):pos].strip()
+    tail = sql[pos:].strip()
+    em = re.search(
+        r"(?i)\b([A-Za-z_]\w*\.(?:[A-Za-z_]\w*)?ts\d*)\s*=\s*"
+        r"[A-Za-z_]\w*\.(?:[A-Za-z_]\w*)?ts\d*\b",
+        head_rest,
+    )
+    return hm.group(1), head_rest, tail, em.group(1) if em else None
+
+
+def _from_alias_map(sql: str) -> dict:
+    """alias → table map for FROM/JOIN operands (alias maps to itself
+    when none is given)."""
+    amap = {}
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+("
+        rf"[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?"
+        rf"(?:\s*,\s*[A-Za-z_][\w.]*"
+        rf"(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?)*)",
+        sql,
+        flags=re.IGNORECASE,
+    ):
+        for seg in re.split(r"\s*,\s*", m.group(1)):
+            toks = [t for t in seg.split() if t.upper() != "AS"]
+            if toks:
+                amap[toks[-1]] = toks[0].split(".")[-1]
+    return amap
+
+
+def _rel_data_cols(db: Database, name: str) -> "list[str] | None":
+    """Declared data columns of a registered table (child tables
+    resolve through their parent), None when unknown."""
+    st = db.tables.get(name)
+    if st is None:
+        return None
+    if st.parent:
+        pt = db.tables.get(st.parent)
+        if pt is not None and getattr(pt, "data_cols", None):
+            return list(pt.data_cols)
+    if getattr(st, "data_cols", None):
+        return list(st.data_cols)
+    return None
+
+
+def _rewrite_join_firstlast(db: Database, sql: str) -> str:
+    """first/last over a Catalyst-executed join: the reference's
+    first/last are ts-keyed selections skipping NULLs
+    (builtins.c firstFunction) — rewrite qualified calls to
+    min_by/max_by keyed on the operand table's own ts; a table-star
+    operand (``first(tb.*)``) expands to the table's data columns
+    first (parTranslater.c createAllColumns)."""
+    if not re.search(r"(?i)\b(?:first|last)\s*\(", sql):
+        return sql
+    amap = _from_alias_map(sql)
+
+    def expand(m):
+        fn, q = m.group(1), m.group(2)
+        cols = _rel_data_cols(db, amap.get(q, q))
+        if not cols:
+            return m.group(0)
+        return ", ".join(f"{fn}({q}.{c})" for c in cols)
+
+    sql = _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"(?i)\b(first|last)\s*\(\s*([A-Za-z_]\w*)\.\*\s*\)",
+            expand, s,
+        ),
+    )
+
+    def fl(m):
+        fn, q, col = m.group(1).lower(), m.group(2), m.group(3)
+        st = db.tables.get(amap.get(q, q))
+        ts = st.ts_col if st is not None else "ts"
+        pick = "min_by" if fn == "first" else "max_by"
+        return (
+            f"{pick}({q}.{col}, CASE WHEN {q}.{col} IS NOT NULL"
+            f" THEN {q}.{ts} END)"
+        )
+
+    return _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"(?i)\b(first|last)\s*\(\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)",
+            fl, s,
+        ),
+    )
+
+
+def _promote_ts_numeric_cmp(spark: SparkSession, sql: str) -> str:
+    """``a.ts = b.c1`` (timestamp vs numeric column): the reference
+    promotes the numeric operand to epoch ticks in the db precision
+    (filterOperator.c type promotion); Spark rejects the comparison.
+    Type-checked against the registered views' schemas, so
+    timestamp-vs-timestamp and numeric-vs-numeric pairs are untouched."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    amap = _from_alias_map(sql)
+    schemas: dict = {}
+
+    def coltype(q, c):
+        t = amap.get(q, q)
+        if t not in schemas:
+            try:
+                schemas[t] = {
+                    f.name.lower(): f.dataType
+                    for f in spark.table(t).schema.fields
+                }
+            except Exception:  # noqa: BLE001 — unknown relation
+                schemas[t] = {}
+        return schemas[t].get(c.lower())
+
+    conv = {
+        "ms": "timestamp_millis(cast({x} as bigint))",
+        "us": "timestamp_micros(cast({x} as bigint))",
+        "ns": "timestamp_micros(cast({x} as bigint) div 1000)",
+    }.get(_DB_PRECISION, "timestamp_millis(cast({x} as bigint))")
+
+    def sub(m):
+        q1, c1, op, q2, c2 = m.groups()
+        t1, t2 = coltype(q1, c1), coltype(q2, c2)
+        if isinstance(t1, TimestampType) and isinstance(t2, NumericType):
+            return f"{q1}.{c1} {op} " + conv.format(x=f"{q2}.{c2}")
+        if isinstance(t2, TimestampType) and isinstance(t1, NumericType):
+            return conv.format(x=f"{q1}.{c1}") + f" {op} {q2}.{c2}"
+        return m.group(0)
+
+    return _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*"
+            r"(>=|<=|<>|!=|=|>|<)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b",
+            sub, s,
+        ),
+    )
 
 
 def _dequalify_tables(sql: str, db: Database) -> str:
@@ -720,9 +1022,11 @@ def _dequalify_tables(sql: str, db: Database) -> str:
     for t in _table_names(sql):
         if "." in t:
             pre, suf = t.split(".", 1)
-            if os.path.exists(f"{db.root}/{suf}.parquet") and not os.path.exists(
-                f"{db.root}/{pre}.parquet"
-            ):
+            if (
+                os.path.exists(f"{db.root}/{suf}.parquet")
+                # registered child tables live in the parent's dataset
+                or suf in db.tables
+            ) and not os.path.exists(f"{db.root}/{pre}.parquet"):
                 pairs.add((pre.lower(), suf.lower()))
     if not pairs:
         return sql
@@ -746,6 +1050,14 @@ def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
     for t in dict.fromkeys(_table_names(sql)):
         if os.path.exists(f"{db.root}/{t}.parquet"):
             db.read(spark, t).createOrReplaceTempView(t)
+            continue
+        reg = db.tables.get(t)
+        if reg is not None and reg.parent:
+            # child table: its rows live in the parent's dataset —
+            # register the tbname slice
+            sliced = _child_slice(spark, db, t)
+            if sliced is not None:
+                sliced.createOrReplaceTempView(t)
 
 
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(\w+)", re.IGNORECASE)
@@ -783,7 +1095,7 @@ def _child_slice(spark: SparkSession, db: Database, name: str):
     ):
         parent = db.table(reg.parent)
         df = parent.read(spark, dedup=parent.managed)
-        return df.where(F.col("tbname") == name)
+        return df.where(F.col("tbname") == (reg.src_name or name))
     for st_tbl in list(db.tables.values()):
         if st_tbl.name == name or not os.path.exists(st_tbl.path):
             continue
@@ -1616,12 +1928,64 @@ def _dealias(expr: str, lal: str, ral: str, prefix: str = "r_") -> str:
     return re.sub(rf"\b{re.escape(lal)}\.(\w+)", r"\1", s)
 
 
+def _extract_indef_calls(items: "list[str]"):
+    """Pull indef-function calls (diff/csum/…) out of arbitrary select
+    expressions: each call is replaced by a generated ``_indef_k`` name
+    and returned as ``(name, call_sql)`` so the caller can compute it as
+    a window column first (``abs(diff(x, 0))`` → ``abs(_indef_0)``)."""
+    calls: list[tuple[str, str]] = []
+    out_items = []
+    pat = re.compile(r"(?i)\b(" + "|".join(_INDEF_FNS) + r")\s*\(")
+    for it in items:
+        i = 0
+        while True:
+            m2 = pat.search(it, i)
+            if not m2:
+                break
+            lo = it.index("(", m2.start())
+            depth, j = 1, lo + 1
+            while j < len(it) and depth:
+                if it[j] == "(":
+                    depth += 1
+                elif it[j] == ")":
+                    depth -= 1
+                j += 1
+            name = f"_indef_{len(calls)}"
+            calls.append((name, it[m2.start():j]))
+            it = it[:m2.start()] + name + it[j:]
+            i = m2.start() + len(name)
+        out_items.append(it)
+    return out_items, calls
+
+
 def _project_join(out: DataFrame, select: str, lal: str, ral: str,
-                  prefix: str = "r_") -> DataFrame:
+                  prefix: str = "r_", ts_col: str = "ts") -> DataFrame:
     select = select.strip()
     if select == "*":
         return out
-    return out.selectExpr(*_split_select(_dealias(select, lal, ral, prefix)))
+    items = _split_select(_dealias(select, lal, ral, prefix))
+    sub_items, calls = _extract_indef_calls(items)
+    if calls:
+        # indef functions over the join result (SELECT abs(diff(x))
+        # FROM a ASOF JOIN b …): computed as ordered windows over the
+        # merged stream, then the reference's emit rules drop undefined
+        # rows (projectoperator.c indef emission). The window is
+        # deliberately global — the reference's join output is one
+        # ts-ordered stream.
+        icols, iemit = _build_indef_items(
+            [f"{c} as {n}" for n, c in calls], [], ts_col
+        )
+        sel = [F.col(c) for c in out.columns] + list(icols)
+        if iemit is not None:
+            out = (
+                out.select(*sel, iemit.alias("_emit"))
+                .where(F.col("_emit"))
+                .drop("_emit")
+            )
+        else:
+            out = out.select(*sel)
+        return out.selectExpr(*sub_items)
+    return out.selectExpr(*items)
 
 
 def _order_cols(order: str, columns: "list[str] | None" = None) -> list:
@@ -1673,7 +2037,7 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
         out = out.where(
             F.expr(_rewrite_ops(_dealias(g["where"], drv_al, other_al)))
         )
-    out = _project_join(out, g["select"], drv_al, other_al)
+    out = _project_join(out, g["select"], drv_al, other_al, ts_col=ts_col)
     if g["order"]:
         out = out.orderBy(*_order_cols(g["order"]))
     if g.get("limit"):
@@ -1706,7 +2070,7 @@ def _translate_window_join(spark: SparkSession, db: Database, m, ts_col: str) ->
         out = out.where(
             F.expr(_rewrite_ops(_dealias(g["where"], drv_al, other_al)))
         )
-    return _project_join(out, g["select"], drv_al, other_al)
+    return _project_join(out, g["select"], drv_al, other_al, ts_col=ts_col)
 
 
 def _negate_offset(spec: str) -> str:
@@ -1865,6 +2229,8 @@ def translate(
     # analysis (which bakes ANSI behavior into the expressions) happens
     # eagerly inside this call, so flipping the conf around it leaves
     # the rest of the session ANSI-strict
+    global _DB_PRECISION
+    _DB_PRECISION = getattr(db, "precision", "ms") or "ms"
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
@@ -2009,13 +2375,104 @@ def _translate_inner(
     if m:
         return _translate_window_join(spark, db, m, ts_col)
     if re.search(r"\bJOIN\b", sql, re.IGNORECASE) or re.search(
-        r"\bFROM\s+[A-Za-z_][\w.]*\s*,", sql, re.IGNORECASE
+        # comma-list implicit join: FROM t1 [AS a], … (alias allowed
+        # before the comma; keywords like WHERE can't look like one
+        # because a comma must follow immediately)
+        r"\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*,",
+        sql,
+        re.IGNORECASE,
     ):
         # standard multi-table SQL (explicit JOIN or comma-list implicit
-        # join): register the referenced tables as views and let
-        # Catalyst parse the whole query
+        # join): translate any remaining dialect SUBQUERY operands into
+        # views (they may use window clauses Catalyst can't parse),
+        # drop the reference's planner hints (/*+ hash_join() */ …:
+        # empty-arg hints are Spark parse errors; Catalyst picks its
+        # own join strategy), register the referenced tables as views,
+        # and let Catalyst parse the whole query
+        sql = re.sub(r"/\*\+.*?\*/", " ", sql)
+        # right-nested ON grouping (reference grammar joinClause:
+        # ``A join B join C on cBC on cAB``): parenthesize the inner
+        # pair — a parenthesized join is still a join relation in
+        # Spark, so the inner aliases stay visible to the outer ON
+        for _ in range(4):
+            m2 = re.search(
+                r"(?i)\bjoin\s+([A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?)"
+                r"\s+join\s+([A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?)"
+                r"\s+on\s+(.+?)\s+on\s+",
+                sql,
+            )
+            if not m2:
+                break
+            sql = (
+                sql[: m2.start()]
+                + f"join ({m2.group(1)} join {m2.group(2)} "
+                + f"on {m2.group(3)}) on "
+                + sql[m2.end():]
+            )
+        for _ in range(8):
+            m2 = re.search(r"(?:,|\bJOIN\b)\s*\(\s*select\b", sql,
+                           re.IGNORECASE)
+            if not m2:
+                break
+            lo = sql.index("(", m2.start())
+            depth, i = 1, lo + 1
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner_sql = sql[lo + 1:i - 1]
+            view = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
+            translate(spark, db, inner_sql.strip(), ts_col
+                      ).createOrReplaceTempView(view)
+            sql = sql[:lo] + " " + view + " " + sql[i:]
+        wj = _split_join_window_tail(sql)
+        if wj is not None:
+            # time-window clause over a join (… a, d2.t1 b where
+            # a.ts = b.ts interval(1a)): the reference windows the
+            # merged join stream on its primary-ts equi key
+            # (joinoperator.c → window operator chain). Materialize the
+            # bare join as a derived table with every qualified select
+            # ref projected under a q__col alias (+ the equi ts as the
+            # window's ts), then window it through the dialect.
+            head_sel, head_rest, tail, jts = wj
+            # count(tb.*) counts the join rows (reference table-star
+            # count) — no per-side columns needed
+            head_sel = re.sub(
+                r"(?i)\bcount\s*\(\s*[A-Za-z_]\w*\.\*\s*\)", "count(*)",
+                head_sel,
+            )
+            proj = {}
+
+            def q2a(m3):
+                key = f"{m3.group(1)}__{m3.group(2)}"
+                proj[key] = f"{m3.group(1)}.{m3.group(2)}"
+                return key
+
+            qref = r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b"
+            sel2 = re.sub(qref, q2a, head_sel)
+            tail2 = re.sub(qref, q2a, tail)
+            items = [f"{v} as {k}" for k, v in proj.items()]
+            wts = ts_col
+            if jts is not None:
+                wts = "_jts"
+                items.append(f"{jts} as _jts")
+            inner = (
+                "select " + (", ".join(items) or "*")
+                + " from " + head_rest
+            )
+            view = f"_dialect_winjoin_{abs(hash(sql)) % 10**8}"
+            translate(spark, db, inner, ts_col
+                      ).createOrReplaceTempView(view)
+            return _translate_inner(
+                spark, db, f"select {sel2} from {view} {tail2}",
+                wts, tsma_catalog,
+            )
+        sql = _rewrite_join_firstlast(db, sql)
         sql = _dequalify_tables(sql, db)
         _register_views(spark, db, sql)
+        sql = _promote_ts_numeric_cmp(spark, sql)
         return spark.sql(_rewrite_ops(sql))
     m = _CLAUSE_RE.match(sql)
     if not m:
@@ -2077,6 +2534,18 @@ def _translate_inner(
         if g["partition"] else []
     )
 
+    # a star qualified by the FROM table (or its alias) is the bare
+    # star (reference createAllColumns resolves it per-table; there is
+    # only one table here)
+    qnames = [n for n in (table, table.split(".")[-1], g["talias"]) if n]
+    qs = re.sub(
+        rf"\b(?:{'|'.join(re.escape(n) for n in qnames)})\.\*",
+        "*",
+        g["select"],
+    )
+    if qs != g["select"]:
+        g = dict(g)
+        g["select"] = qs
     bare_star = re.search(r"(?:^|,)\s*\*\s*(?:,|$)", g["select"])
     if bare_star:
         # reference star expansion (parTranslater.c createAllColumns):
@@ -3682,11 +4151,35 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
                 translate_insert(spark, db, f"INSERT INTO {seg}")
                 for seg in segs
             )
-    m = _INSERT_RE.match(sql)
-    if not m:
-        raise ValueError(f"unrecognized INSERT statement: {sql!r}")
-    g = m.groupdict()
-    rows = _split_value_groups(g["values"])
+    sm = re.match(
+        r"(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*"
+        r"(?:\(\s*(?!select\b)(?P<cl>[^()]*)\)\s*)?"
+        r"(?P<sel>\(?\s*select\b.*)$",
+        sql.strip().rstrip(";"),
+    )
+    if sm:
+        # INSERT INTO tbl [(cols)] (SELECT …) (parInsertSql.c insert-
+        # from-query): run the query and route its rows through the
+        # same literal-coercion write as VALUES. The collect is guarded
+        # — this path serves the dialect's re-insert statements, not
+        # bulk ETL (use INSERT … FILE / the ingest API for that).
+        sel = sm.group("sel").strip()
+        if sel.startswith("("):
+            sel = _strip_outer_parens(sel)
+        vals = translate(spark, db, sel).limit(1_000_001).collect()
+        if len(vals) > 1_000_000:
+            raise ValueError("INSERT-SELECT too large for the literal path")
+        g = {"cols": sm.group("cl"), "stable": None,
+             "table": sm.group(1), "tags": None, "tagcols": None}
+        rows = [list(r) for r in vals]
+        if not rows:
+            return 0
+    else:
+        m = _INSERT_RE.match(sql)
+        if not m:
+            raise ValueError(f"unrecognized INSERT statement: {sql!r}")
+        g = m.groupdict()
+        rows = _split_value_groups(g["values"])
     if not rows:
         raise ValueError("INSERT with no VALUES rows")
     cols = [c.strip() for c in g["cols"].split(",")] if g["cols"] else None
@@ -3780,12 +4273,27 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         for f in out_fields:
             if isinstance(f.dataType, _TsT):
                 # bare integer VALUES literal for a timestamp column =
-                # epoch ms (reference parser, db precision ms)
+                # epoch in the db precision; magnitude-disambiguated the
+                # same way as _epoch_expr (ms until 1e14, us until 1e17,
+                # ns above — ns floors to Spark's us-precision storage)
+                v = F.col(f.name).cast("bigint")
                 df = df.withColumn(
                     f.name,
                     F.when(
                         F.col(f.name).rlike(r"^-?\d+$"),
-                        F.timestamp_millis(F.col(f.name).cast("bigint")),
+                        F.when(
+                            F.abs(v) < F.lit(10**14), F.timestamp_millis(v)
+                        ).when(
+                            F.abs(v) < F.lit(10**17), F.timestamp_micros(v)
+                        ).otherwise(
+                            # integer div: a double round-trip loses
+                            # precision above 2^53
+                            F.timestamp_micros(
+                                F.expr(
+                                    f"cast(`{f.name}` as bigint) div 1000"
+                                )
+                            )
+                        ),
                     ).otherwise(F.col(f.name).cast("timestamp")),
                 )
             elif isinstance(f.dataType, _IntT):
@@ -3802,6 +4310,19 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
                             F.col(f.name).cast("decimal(38,10)"), 0
                         ).cast(f.dataType),
                     ).otherwise(F.col(f.name).cast(f.dataType)),
+                )
+            elif isinstance(f.dataType, T.BooleanType):
+                # numeric literal into BOOL is C truthiness (reference
+                # VALUES coercion, atoi: nonzero → true); Spark's
+                # string→boolean cast rejects "5" as NULL
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name).rlike(
+                            r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+                        ),
+                        F.col(f.name).cast("double") != 0,
+                    ).otherwise(F.col(f.name).cast("boolean")),
                 )
             else:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
@@ -3869,7 +4390,7 @@ def _parse_pk_col(defs: str) -> "str | None":
     (sql.y:3250 ``column_options ::= column_options PRIMARY KEY``) —
     the second key after the timestamp; None when absent."""
     for item in _split_select(defs):
-        if re.search(r"(?i)\bprimary\s+key\b", item):
+        if re.search(r"(?i)\b(?:primary|composite)\s+key\b", item):
             return item.split()[0]
     return None
 
@@ -4157,6 +4678,8 @@ def execute(
     partition-rewrite + deleted count, CREATE STABLE/TABLE → typed
     dataset, CREATE STREAM → StreamDef, SHOW TABLES/STABLES / DESCRIBE /
     EXPLAIN → catalog and plan DataFrames."""
+    global _DB_PRECISION
+    _DB_PRECISION = getattr(db, "precision", "ms") or "ms"
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
@@ -4305,6 +4828,45 @@ _INDEF_ITEM_RE = re.compile(
 )
 
 
+def _indef_call_sql(call: str, keys: list[str], ts_col: str):
+    """Window-SQL text equivalent of one indef call, for use INSIDE a
+    larger scalar expression. Returns ``(expr_sql, emit_sql)`` —
+    (None, None) when the function has no SQL-text form here
+    (statecount/stateduration/derivative keep the bare-call path).
+    Semantics mirror functions/indef.py exactly."""
+    m = _INDEF_ITEM_RE.match(call.strip())
+    if not m:
+        return None, None
+    fn = m.group(1).lower()
+    args = [a.strip() for a in _split_select(m.group(2))]
+    part = f"partition by {', '.join(keys)} " if keys else ""
+    over = f"over ({part}order by {ts_col})"
+    overg = (
+        f"over ({part}order by {ts_col}"
+        " rows between unbounded preceding and current row)"
+    )
+    if fn == "diff":
+        base = f"({args[0]} - lag({args[0]}) {over})"
+        emit = f"(lag(0) {over} is not null)"
+        if len(args) > 1 and args[1] in ("1", "3"):
+            return f"(case when {base} >= 0 then {base} end)", emit
+        return base, emit
+    if fn == "csum":
+        return f"(sum({args[0]}) {overg})", f"({args[0]} is not null)"
+    if fn == "mavg" and len(args) > 1 and args[1].isdigit():
+        k = int(args[1])
+        overk = (
+            f"over ({part}order by {ts_col}"
+            f" rows between {k - 1} preceding and current row)"
+        )
+        expr = (
+            f"(case when count(1) {overk} >= {k}"
+            f" then avg({args[0]}) {overk} end)"
+        )
+        return expr, f"({expr} is not null and {args[0]} is not null)"
+    return None, None
+
+
 def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
     """(columns, emit-condition) when ≥1 select item calls an indef
     function (diff, csum, mavg, derivative, statecount, stateduration —
@@ -4337,6 +4899,25 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
         m = _INDEF_ITEM_RE.match(it.strip())
         fn = m.group(1).lower() if m else None
         if fn not in _INDEF_FNS:
+            # indef call nested inside a scalar expression
+            # (``abs(diff(x, 0))``): substitute the call with its
+            # window-SQL equivalent — Spark allows window functions
+            # under scalar wrappers in one projection
+            sub_it, icalls = _extract_indef_calls([it])
+            sqls = [
+                _indef_call_sql(call, keys, ts_col) for _, call in icalls
+            ]
+            if icalls and all(s[0] is not None for s in sqls):
+                any_indef = True
+                txt = sub_it[0]
+                for (name, _call), (sql_expr, emit_sql) in zip(
+                    icalls, sqls
+                ):
+                    txt = txt.replace(name, sql_expr)
+                    if emit_sql:
+                        add_emit(F.expr(emit_sql))
+                cols.append(F.expr(txt))
+                continue
             cols.append(F.expr(it))
             continue
         any_indef = True

@@ -108,7 +108,7 @@ def statecount(
     Kernel: rows where the condition flips start a new run (running sum of
     flip flags = run id), then a row_number within the run."""
     v = F.col(val_col) if isinstance(val_col, str) else val_col
-    cond = _CMP[op](v, F.lit(threshold)).cast("int")
+    cond = _CMP[op.lower()](v, F.lit(threshold)).cast("int")
     w = _w(partition_by, ts_col)
     run_flag = F.when(
         F.lag(cond).over(w).isNull() | (F.lag(cond).over(w) != cond), 1
@@ -133,7 +133,7 @@ def stateduration(
     since the current true-run began (0 at the run's first row); -1 when
     the condition is false."""
     v = F.col(val_col) if isinstance(val_col, str) else val_col
-    cond = _CMP[op](v, F.lit(threshold)).cast("int")
+    cond = _CMP[op.lower()](v, F.lit(threshold)).cast("int")
     w = _w(partition_by, ts_col)
     run_flag = F.when(
         F.lag(cond).over(w).isNull() | (F.lag(cond).over(w) != cond), 1

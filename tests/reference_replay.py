@@ -124,6 +124,15 @@ def _shift_epoch_ints(sql: str, offset_ms: int) -> str:
     )
 
 
+def _outside_quotes_text(sql: str, fn):
+    """Apply ``fn`` to the segments of ``sql`` outside single-quoted
+    literals."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*')", sql)
+    return "".join(
+        p if i % 2 else fn(p) for i, p in enumerate(parts)
+    )
+
+
 class TdSqlShim:
     def __init__(self, spark, tz_shift_hours: int = 8, soft: bool = False,
                  session_tz: "str | None" = None, engine_tz: bool = False):
@@ -245,10 +254,43 @@ class TdSqlShim:
         for prefix, groups in pending.items():
             dialect.execute(self.spark, self.db, prefix + " values " + " ".join(groups))
 
+    def _freeze_now(self, sql: str) -> str:
+        """Replace ``now[±dur]`` with a FIXED epoch captured at shim
+        creation: the reference's engine runs statements in
+        milliseconds, this harness in ~seconds, so two now-relative
+        INSERTs drift across second boundaries and second-granularity
+        fixtures (interval(1s) joins over now..now+3s) fall apart.
+        Frozen-now keeps every statement's relative spacing exact."""
+        if not hasattr(self, "_now_ms"):
+            import time as _t
+
+            self._now_ms = int(_t.time() * 1000)
+
+        from tdengine_spark.durations import parse_duration
+
+        def sub(m):
+            v = self._now_ms
+            if m.group(1):
+                d = parse_duration(m.group(1).replace(" ", "")[1:])
+                ms = d.microseconds // 1000
+                v = v + ms if m.group(1).lstrip()[0] == "+" else v - ms
+            return str(v)
+
+        return _outside_quotes_text(
+            sql,
+            lambda s: re.sub(
+                r"(?i)\bnow\s*(?:\(\s*\))?"
+                r"(\s*[+-]\s*\d+[a-z]?)?(?![\w.(])",
+                sub,
+                s,
+            ),
+        )
+
     def execute(self, sql, *a, **k):
         sql = _shift_literals(str(sql).strip().rstrip(";").strip(),
                               self.lit_shift)
         sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
+        sql = self._freeze_now(sql)
         low = sql.lower()
         self.stats["execs"] += 1
         if not sql:
@@ -257,9 +299,12 @@ class TdSqlShim:
             self._flush()
             toks = re.sub(r"(?i)if\s+not\s+exists\s+", "", sql).split()
             name = toks[2]
+            pm = re.search(r"(?i)\bprecision\s+'(ms|us|ns)'", sql)
             d = tempfile.mkdtemp(prefix="tds_replay_")
             self._dirs.append(d)
-            self.dbs[name] = Database(root=d)
+            self.dbs[name] = Database(
+                root=d, precision=pm.group(1) if pm else "ms"
+            )
             self.db = self.dbs[name]
             return
         if low.startswith("drop database"):
@@ -309,15 +354,59 @@ class TdSqlShim:
                 root=self._mkdir()
             )
             return
+        if re.match(r"(?i)^\s*select\b", sql):
+            # the reference cursor runs SELECTs through execute() too;
+            # route to query so later checkRows/checkData see fresh rows
+            return self.query(sql, raw=True)
+        cm = re.match(
+            r"(?i)^\s*(?:create\s+(?:stable|table)(?:\s+if\s+not\s+exists)?"
+            r"|insert\s+into|delete\s+from|drop\s+table(?:\s+if\s+exists)?)"
+            r"\s+([A-Za-z_]\w*)\.",
+            sql,
+        )
+        if cm and cm.group(1) in self.dbs and \
+                self.dbs[cm.group(1)] is not self.db:
+            # statement targets ANOTHER db (create table d1.t1 … while
+            # the session db is d2): strip that db's qualifier and
+            # dispatch against the target db directly, bypassing the
+            # single-db buffer
+            dbn = cm.group(1)
+            sql = _outside_quotes_text(
+                sql, lambda s: re.sub(rf"\b{dbn}\.", "", s)
+            )
+            self._flush()
+            self.last_sql = sql
+            dialect.execute(self.spark, self.dbs[dbn], sql)
+            return
         im = _INSERT_PREFIX_RE.match(sql)
         if im and " values " not in im.group(2).lower():
             # single-target insert: buffer value groups per prefix.
-            # Multi-table inserts (tb0 values (…) tb1 values (…)) pass
-            # through unbuffered — merging their tails would attach later
-            # groups to the wrong target table.
             self._ins.setdefault(im.group(1), []).append(im.group(2))
             return
+        if im:
+            # multi-table insert (tb0 values (…) tb1 values (…)):
+            # buffer each segment under its own target — a plain
+            # depth-0 split on `<name> values` groups (the manyblocks
+            # fixtures issue thousands of these; unbuffered each would
+            # be its own parquet append)
+            body = sql[len("insert into"):].strip()
+            segs = re.findall(
+                r"([A-Za-z_][\w.]*(?:\s*\([^)]*\))?)\s+values\s*"
+                r"((?:\(.*?\)\s*)+?)(?=[A-Za-z_][\w.]*(?:\s*\([^)]*\))?"
+                r"\s+values\s*\(|$)",
+                body,
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            if segs and sum(len(s[0]) + len(s[1]) for s in segs) >= len(
+                body
+            ) - 10 * len(segs):
+                for tgt, groups in segs:
+                    self._ins.setdefault(
+                        f"insert into {tgt}", []
+                    ).append(groups.strip())
+                return
         self._flush()
+        sql = self._resolve_cross_db(sql)
         self.last_sql = sql
         dialect.execute(self.spark, self.db, sql)
 
@@ -326,12 +415,84 @@ class TdSqlShim:
         self._dirs.append(d)
         return d
 
-    def query(self, sql, *a, **k):
+    def _resolve_cross_db(self, sql: str) -> str:
+        """Rewrite OTHER-db qualified table refs (``other_db.tbl``) into
+        alias tables of the ACTIVE db: a symlink
+        ``{active.root}/{db}__{tbl}.parquet`` points at the source
+        dataset and the SuperTable descriptor is cloned under the alias
+        name.  Two databases may hold same-named tables with different
+        schemas (test_join_ns_db), so plain dequalification can't work —
+        the reference resolves names per db namespace."""
+        if self.db is None or len(self.dbs) < 2:
+            return sql
+        import dataclasses
+        import os
+
+        def sub(m):
+            dbn, tbl = m.group(1), m.group(2)
+            src = self.dbs.get(dbn)
+            if src is None or src is self.db:
+                return m.group(0)
+            t = src.tables.get(tbl)
+            if t is None and not os.path.exists(
+                f"{src.root}/{tbl}.parquet"
+            ):
+                return m.group(0)
+            def register(name):
+                al = f"{dbn}__{name}"
+                lk = f"{self.db.root}/{al}.parquet"
+                if not os.path.lexists(lk) and os.path.exists(
+                    f"{src.root}/{name}.parquet"
+                ):
+                    os.symlink(f"{src.root}/{name}.parquet", lk)
+                if al not in self.db.tables:
+                    base = src.tables.get(name) or src.table(name)
+                    kw = {}
+                    if base.parent:
+                        # the child's rows live in ITS db's parent —
+                        # alias the parent too and re-point the link
+                        kw["parent"] = register(base.parent)
+                    self.db.tables[al] = dataclasses.replace(
+                        base, name=al, path=lk,
+                        src_name=base.src_name or base.name, **kw
+                    )
+                return al
+
+            al = register(tbl)
+            # implicit alias: the reference addresses db.tb columns as
+            # tb.col — append it when the ref sits in FROM/JOIN operand
+            # position with no explicit alias following
+            s = m.string
+            in_from = re.search(
+                r"(?i)(?:\bfrom|\bjoin|,)\s*$", s[: m.start()]
+            )
+            nxt = re.match(
+                r"(?i)\s+(?:as\s+)?(?!join\b|inner\b|left\b|right\b"
+                r"|full\b|semi\b|anti\b|outer\b|asof\b|window\b|on\b"
+                r"|where\b|group\b|order\b|limit\b|slimit\b|union\b"
+                r"|interval\b|session\b|state_window\b|count_window\b"
+                r"|partition\b|fill\b|having\b)[A-Za-z_]\w*",
+                s[m.end():],
+            )
+            if in_from and not nxt:
+                return f"{al} {tbl}"
+            return al
+
+        return _outside_quotes_text(
+            sql,
+            lambda s: re.sub(
+                r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", sub, s
+            ),
+        )
+
+    def query(self, sql, *a, raw=False, **k):
         self._flush()
         self.stats["queries"] += 1
-        sql = _shift_literals(str(sql).strip().rstrip(";"),
-                              self.lit_shift)
-        sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
+        if not raw:
+            sql = _shift_literals(str(sql).strip().rstrip(";"),
+                                  self.lit_shift)
+            sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
+        sql = self._resolve_cross_db(sql)
         self.last_sql = sql
         if "information_schema.ins_databases" in sql.lower():
             # environment introspection: the two builtin schema dbs +
@@ -392,11 +553,14 @@ class TdSqlShim:
                     ]
                     for r in self.rows
                 ]
-        if re.match(
+        if (re.match(
             r"(?is)^\s*select\s+\*\s+from\s+[\w.]+\s*(where\s.*)?$", sql
-        ) and not re.search(r"(?i)\border\s+by\b", sql):
-            # plain scan with no ORDER BY: the reference returns child-
-            # table/ts order; canonical tuple sort reproduces it for the
+        ) or re.search(r"(?i)\bjoin\b", sql)) and not re.search(
+            r"(?i)\border\s+by\b", sql
+        ):
+            # plain scan or JOIN with no ORDER BY: the reference returns
+            # child-table/ts order (joins: SMJ primary-key merge order);
+            # canonical tuple sort reproduces it for the
             # replay fixtures (per-table monotone inserts)
             self.rows.sort(
                 key=lambda r: tuple((v is None, str(v)) for v in r)
@@ -434,6 +598,10 @@ class TdSqlShim:
 
     def getData(self, r, c):
         return self.rows[r][c]
+
+    def getFirstValue(self, sql):
+        self.query(sql)
+        return self.rows[0][0]
 
     def checkData(self, r, c, want, *a, **k):
         self.stats["checks"] += 1
@@ -594,9 +762,50 @@ def load_reference_test(path: str, shim: TdSqlShim):
 
             from pyspark.sql import functions as F
 
-            if json is None:
+            if json is None and command is None:
                 return
-            cfg = _json.load(open(json))
+            if json is not None:
+                cfg = _json.load(open(json))
+            else:
+                # CLI form (`-t 2 -n 1000000 -b int,float,nchar -y`):
+                # taosBenchmark defaults — db `test`, stable `meters`,
+                # children `d0..`, start 1500000000000 step 1 ms,
+                # columns c0.. of the -b list, tags groupid/location
+                # (benchCommandOpt.c:160, bench.h:148-187)
+                toks = str(command).split()
+                opts, i = {}, 0
+                while i < len(toks):
+                    if toks[i].startswith("-") and i + 1 < len(toks) \
+                            and not toks[i + 1].startswith("-"):
+                        opts[toks[i]] = toks[i + 1]
+                        i += 2
+                    else:
+                        i += 1
+                btypes = opts.get("-b", "float,int,float").split(",")
+                cfg = {"databases": [{
+                    "dbinfo": {"name": "test"},
+                    "super_tables": [{
+                        "name": "meters",
+                        "childtable_prefix": "d",
+                        "childtable_count": int(opts.get("-t", 10000)),
+                        "insert_rows": int(opts.get("-n", 10000)),
+                        "start_timestamp": 1500000000000,
+                        "timestamp_step": int(opts.get("-S", 1)),
+                        "columns": [
+                            {"name": f"c{j}", "type": t.strip(),
+                             "len": 16, "min": 0, "max": 127}
+                            for j, t in enumerate(btypes)
+                        ],
+                        "tags": [
+                            {"name": "groupid", "type": "int",
+                             "min": 1, "max": 10},
+                            {"name": "location", "type": "varchar",
+                             "len": 24,
+                             "values": ["California.SanFrancisco",
+                                        "California.LosAngles"]},
+                        ],
+                    }],
+                }]}
             # unsigned types store in the next-wider signed column
             u_map = {
                 "UTINYINT": "SMALLINT", "USMALLINT": "INT",
@@ -742,7 +951,8 @@ def load_reference_test(path: str, shim: TdSqlShim):
     utils.__path__ = []
     pkg.utils = utils
     # submodule spellings some files use (utils.common, utils.sql, …)
-    subnames = ["common", "sql", "log", "autogen", "cluster", "sqlset"]
+    subnames = ["common", "sql", "log", "autogen", "cluster", "sqlset",
+                "tserror"]
     subs = {}
     for sn in subnames:
         sm = ModuleType(f"new_test_framework.utils.{sn}")
@@ -773,9 +983,15 @@ def load_reference_test(path: str, shim: TdSqlShim):
         if old[cn] is None:
             sys.modules[cn] = cm
     try:
-        ns: dict = {"__name__": "ref_replay", "__file__": path}
+        # a REAL registered module, not a bare dict: @dataclass resolves
+        # string annotations via sys.modules[cls.__module__].__dict__
+        mod = ModuleType("ref_replay")
+        mod.__file__ = path
+        sys.modules["ref_replay"] = mod
+        ns: dict = mod.__dict__
         exec(compile(open(path).read(), path, "exec"), ns)
     finally:
+        sys.modules.pop("ref_replay", None)
         for k, v in old.items():
             if v is None:
                 sys.modules.pop(k, None)
