@@ -342,6 +342,10 @@ class Database:
     #: epoch arithmetic on timestamps resolves to (Spark stores us;
     #: ns semantics floor to the microsecond)
     precision: str = "ms"
+    #: CREATE VIEW name AS <select>: logical views, substituted as
+    #: derived tables at translate time (the reference's view rewrite,
+    #: parTranslater.c translateView)
+    views: dict = field(default_factory=dict)
 
     def table(self, name: str) -> SuperTable:
         if name not in self.tables:

@@ -427,17 +427,38 @@ def _rewrite_ops(expr: str) -> str:
         r"get_json_object(\1, '$.\2')",
         expr,
     )
+    def _posix_classes(lit: str) -> str:
+        # the reference's MATCH regex engine accepts POSIX bracket
+        # classes (builtins.c regexec); Java regex needs plain ranges
+        for posix, java in (
+            ("[:digit:]", "0-9"), ("[:alpha:]", "a-zA-Z"),
+            ("[:alnum:]", "a-zA-Z0-9"), ("[:upper:]", "A-Z"),
+            ("[:lower:]", "a-z"), ("[:space:]", r"\\s"),
+            ("[:blank:]", " \\t"), ("[:xdigit:]", "0-9a-fA-F"),
+            ("[:punct:]", r"\\p{Punct}"),
+        ):
+            lit = lit.replace(posix, java)
+        return lit
+
     expr = re.sub(
         r"([A-Za-z_][\w]*)\s+NMATCH\s+('[^']*')",
-        r"\1 NOT RLIKE \2",
+        lambda m: f"{m.group(1)} NOT RLIKE {_posix_classes(m.group(2))}",
         expr,
         flags=re.IGNORECASE,
     )
     expr = re.sub(
         r"([A-Za-z_][\w]*)\s+MATCH\s+('[^']*')",
-        r"\1 RLIKE \2",
+        lambda m: f"{m.group(1)} RLIKE {_posix_classes(m.group(2))}",
         expr,
         flags=re.IGNORECASE,
+    )
+    # DISTINCT(col) call syntax (parTranslater.c accepts the paren
+    # form) — Spark resolves `distinct` as a routine
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            r"(?i)\bdistinct\s*\(\s*([^()]*?)\s*\)", r"distinct \1", s
+        ),
     )
     return expr
 
@@ -470,13 +491,18 @@ _EPOCH_BETWEEN_RE = re.compile(
     re.VERBOSE | re.IGNORECASE,
 )
 
+_EPOCH_BETWEEN_SHORT_RE = re.compile(
+    rf"""\b(?P<col>{_TS_PROMOTE_NAME})\s+BETWEEN\s+(?P<lo>-?\d{{1,11}})\s+AND\s+(?P<hi>-?\d{{1,11}})(?![\w.])""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
 # short (<12-digit) epoch literals compared against a timestamp: the
 # reference treats ANY int literal in a ts comparison as epoch ticks
 # (sim fixtures start at tstart=100000). Restricted to the STRICT ts
 # name set — with the loose suffix heuristic, `counts = 5` would turn
 # into a timestamp comparison.
 _EPOCH_CMP_SHORT_RE = re.compile(
-    rf"""\b(?P<col>{_TS_PROMOTE_NAME})\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>\d{{1,11}})(?![\w.])
+    rf"""\b(?P<col>{_TS_PROMOTE_NAME})\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*(?P<lit>-?\d{{1,11}})(?![\w.])
       | (?<![\w.])(?P<lit2>\d{{1,11}})\s*(?P<op2>>=|<=|<>|!=|=|>|<)\s*(?P<col2>{_TS_PROMOTE_NAME})\b
     """,
     re.VERBOSE,
@@ -561,12 +587,60 @@ def _rewrite_epoch_ts_literals(expr: str) -> str:
             f"{m.group('op2')} {m.group('col2')}"
         )
 
-    return _outside_quotes(
+    def between_short(m):
+        return (
+            f"{m.group('col')} BETWEEN {short_lit(m.group('lo'))} "
+            f"AND {short_lit(m.group('hi'))}"
+        )
+
+    def in_sub(m):
+        items = [t.strip() for t in _split_select(m.group("items"))]
+        is_epoch = [
+            bool(re.fullmatch(r"-?\d{12,19}", t)) for t in items
+        ]
+        datey = any(
+            re.match(r"(?i)(?:timestamp\s*)?'\d{4}-\d{1,2}-\d{1,2}", t)
+            for t in items
+        )
+        # promote int items only when the list is evidently temporal —
+        # a datetime string sibling, or every item epoch-magnitude
+        if not any(is_epoch) or not (datey or all(is_epoch)):
+            return m.group(0)
+        out = [
+            _epoch_lit_sql(t) if e
+            # bool in a temporal list: the reference demotes it to its
+            # 0/1 integer, then promotes THAT to an epoch tick
+            else (
+                f"timestamp_millis({int(t.lower() == 'true')})"
+                if t.lower() in ("true", "false")
+                # fractional ticks truncate to the precision int
+                else f"timestamp_millis({int(float(t))})"
+                if re.fullmatch(r"-?\d+\.\d+", t) else t
+            )
+            for t, e in zip(items, is_epoch)
+        ]
+        return (
+            f"{m.group('col')} {m.group('neg') or ''}"
+            f"in ({', '.join(out)})"
+        )
+
+    in_re = re.compile(
+        rf"\b(?P<col>{_TS_NAME})\s+(?P<neg>[Nn][Oo][Tt]\s+)?"
+        r"[Ii][Nn]\s*\((?P<items>[^()]*)\)"
+    )
+    expr = _outside_quotes(
         expr,
-        lambda s: _EPOCH_CMP_SHORT_RE.sub(
-            sub_short, _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s))
+        lambda s: _EPOCH_BETWEEN_SHORT_RE.sub(
+            between_short,
+            _EPOCH_CMP_SHORT_RE.sub(
+                sub_short,
+                _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s)),
+            ),
         ),
     )
+    # the IN rewrite must see the whole list INCLUDING its quoted
+    # items — run it on the full text (its own guards are type-aware)
+    return in_re.sub(in_sub, expr)
 
 
 _QUOTED_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
@@ -816,8 +890,10 @@ def _table_names(sql: str) -> list[str]:
     for m in re.finditer(
         # each comma operand may carry an alias before the comma
         # (FROM t1 a, t2 b); only the first token per segment is the
-        # table name — clause keywords must not be eaten as aliases
-        r"\b(?:FROM|JOIN)\s+("
+        # table name — clause keywords must not be eaten as aliases.
+        # An optional "(" skips into parenthesized join groups
+        # (A join (B join C on …) on …).
+        r"\b(?:FROM|JOIN)\s+\(?\s*("
         rf"[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?"
         rf"(?:\s*,\s*[A-Za-z_][\w.]*"
         rf"(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?)*)",
@@ -884,7 +960,7 @@ def _from_alias_map(sql: str) -> dict:
     when none is given)."""
     amap = {}
     for m in re.finditer(
-        r"\b(?:FROM|JOIN)\s+("
+        r"\b(?:FROM|JOIN)\s+\(?\s*("
         rf"[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?"
         rf"(?:\s*,\s*[A-Za-z_][\w.]*"
         rf"(?:\s+(?:AS\s+)?{_NOT_KEYWORD}[A-Za-z_]\w*)?)*)",
@@ -955,6 +1031,259 @@ def _rewrite_join_firstlast(db: Database, sql: str) -> str:
             r"(?i)\b(first|last)\s*\(\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)",
             fl, s,
         ),
+    )
+
+
+def _rewrite_join_topbottom(sql: str) -> str:
+    """``top(x, k)`` / ``bottom(x, k)`` in a Catalyst-join select list:
+    the reference's rank selection keeps the k extreme JOIN rows
+    (companion columns ride along) — order by the operand and limit;
+    a trailing ORDER BY re-sorts the selected rows."""
+    m = re.match(r"(?is)^(\s*select\s+)(.*?)(\s+from\s+.*)$", sql)
+    if not m:
+        return sql
+    sel, rest = m.group(2), m.group(3)
+    tm = re.search(
+        r"(?i)\b(top|bottom)\s*\(\s*([^,()]+?)\s*,\s*(\d+)\s*\)", sel
+    )
+    if not tm:
+        return sql
+    fn, x, k = tm.group(1).lower(), tm.group(2).strip(), int(tm.group(3))
+    sel2 = sel[: tm.start()] + x + sel[tm.end():]
+    om = re.search(r"(?i)\s+order\s+by\s+(.+?)\s*;?\s*$", rest)
+    order = ""
+    if om and rest.count("(", 0, om.start()) == rest.count(
+        ")", 0, om.start()
+    ):
+        # outer re-sort addresses the subquery's OUTPUT columns —
+        # qualifiers don't survive the derived table
+        order = " order by " + re.sub(
+            r"\b[A-Za-z_]\w*\.", "", om.group(1)
+        )
+        rest = rest[: om.start()]
+    dirn = "desc" if fn == "top" else "asc"
+    inner = f"select {sel2}{rest} order by {x} {dirn} limit {k}"
+    if not order:
+        return inner
+    return f"select * from ({inner}) _topk{order}"
+
+
+def _operand_star_cols(db: Database, tbl: str) -> "list[str] | None":
+    """Star-expansion column list for one join operand: data columns in
+    declared order, + tags for a super table (reference
+    createAllColumns; tbname/_version never)."""
+    st = db.tables.get(tbl)
+    if st is None:
+        return None
+    cols = _rel_data_cols(db, tbl)
+    if not cols:
+        return None
+    if not st.child and not st.parent:
+        cols = [*cols, *st.tag_cols]
+    return cols
+
+
+def _expand_join_stars(db: Database, sql: str) -> str:
+    """Star expansion for Catalyst-executed joins. The registered views
+    carry internal columns (tbname, _version) that the reference's ``*``
+    never shows — expand stars against the catalog instead:
+    ``select *`` → every operand's columns in FROM order; ``tb.*`` →
+    that operand's columns; ``first/last/last_row(*)`` → one call per
+    column. ``count(tb.*)`` collapses to count(*) first (row count)."""
+    if "*" not in sql:
+        return sql
+    sql = _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"(?i)\bcount\s*\(\s*(?:[A-Za-z_]\w*\.)?\*\s*\)", "count(*)",
+            s,
+        ),
+    )
+    amap = _from_alias_map(sql)
+    percol: dict = {}
+    perdata: dict = {}
+    for al, tbl in amap.items():
+        cols = _operand_star_cols(db, tbl)
+        if cols is None:
+            return sql  # unknown operand (subquery): keep Catalyst's *
+        percol[al] = cols
+        perdata[al] = _rel_data_cols(db, tbl) or cols
+    all_items = [
+        f"{al}.{c}" for al, cols in percol.items() for c in cols
+    ]
+    # aggregate star (last(*)) expands to DATA columns only — tags are
+    # per-group constants the reference's agg star skips
+    data_items = [
+        f"{al}.{c}" for al, cols in perdata.items() for c in cols
+    ]
+
+    def qstar(m):
+        al = m.group(1)
+        if al not in percol:
+            return m.group(0)
+        return ", ".join(f"{al}.{c}" for c in percol[al])
+
+    def fnstar(m):
+        fn = m.group(1)
+        return ", ".join(f"{fn}({it})" for it in data_items)
+
+    def fnqstar(m):
+        fn, al = m.group(1), m.group(2)
+        if al not in perdata:
+            return m.group(0)
+        return ", ".join(f"{fn}({al}.{c})" for c in perdata[al])
+
+    def sub(s):
+        s = re.sub(
+            r"(?i)\b(first|last|last_row)\s*\(\s*\*\s*\)", fnstar, s
+        )
+        # fn(tb.*) expands to one call per data column — must run
+        # before the generic q.* pass turns it into one 10-arg call
+        s = re.sub(
+            r"(?i)\b(first|last|last_row)\s*\(\s*([A-Za-z_]\w*)\.\*\s*\)",
+            fnqstar, s,
+        )
+        s = re.sub(r"\b([A-Za-z_]\w*)\.\*(?!\w)", qstar, s)
+        return re.sub(
+            r"(?is)^(\s*select\s+)\*(\s+from\b)",
+            lambda m: m.group(1) + ", ".join(all_items) + m.group(2),
+            s,
+        )
+
+    return _outside_quotes(sql, sub)
+
+
+def _filter_expr_sql(schema, where_sql: str) -> str:
+    """WHERE-expression SQL: binary-literal coercion, boolean-vs-numeric
+    coercion, and the reference's untyped-NULL filter (``WHERE NULL`` is
+    no rows, not a type error)."""
+    w = _coerce_binary_literals(schema, where_sql)
+    w = _coerce_bool_numeric(schema, w)
+    w = _coerce_numeric_str_literals(schema, w)
+    if re.fullmatch(r"(?is)\s*null\s*", w):
+        return "cast(null as boolean)"
+    return w
+
+
+def _atof_prefix(lit: str) -> str:
+    """C strtod semantics the reference's string→numeric conversion
+    uses (convertImpl): the longest numeric prefix, 0 when none."""
+    m = re.match(r"\s*[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", lit)
+    return m.group(0).strip() if m and m.group(0).strip() else "0"
+
+
+def _coerce_numeric_str_literals(schema, expr: str) -> str:
+    """``num_col between 'NUL' and 'HT'`` / ``num_col = 'abc'``: the
+    reference converts the string by C strtod (non-numeric → 0); Spark
+    casts to NULL and drops every row."""
+    from pyspark.sql.types import NumericType
+
+    ncols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, NumericType)
+    ]
+    if not ncols or "'" not in expr:
+        return expr
+    names = "|".join(re.escape(c) for c in ncols)
+    expr = re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))"
+        r"\s+between\s+'([^']*)'\s+and\s+'([^']*)'",
+        lambda m: (
+            f"{m.group(1)} between {_atof_prefix(m.group(2))}"
+            f" and {_atof_prefix(m.group(3))}"
+        ),
+        expr,
+    )
+    return re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))"
+        r"\s*(>=|<=|<>|!=|=|>|<)\s*'([^']*)'",
+        lambda m: (
+            f"{m.group(1)} {m.group(2)} {_atof_prefix(m.group(3))}"
+        ),
+        expr,
+    )
+
+
+def _coerce_bool_numeric(schema, expr: str) -> str:
+    """``bool_col between 0 and 1`` / ``bool_col >= 0``: the reference
+    compares BOOL as its 0/1 integer (filterOperator.c promotion);
+    Spark needs the cast."""
+    from pyspark.sql.types import BooleanType
+
+    bcols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, BooleanType)
+    ]
+    if not bcols:
+        return expr
+    names = "|".join(re.escape(c) for c in bcols)
+    expr = re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))"
+        r"(\s+between\s+-?\d+(?:\.\d+)?\s+and\s+-?\d+(?:\.\d+)?)",
+        r"cast(\1 as int)\2",
+        expr,
+    )
+    expr = re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))"
+        r"(\s*(?:>=|<=|<>|!=|=|>|<)\s*-?\d+(?:\.\d+)?)(?![\w.])",
+        r"cast(\1 as int)\2",
+        expr,
+    )
+    return re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))"
+        r"(\s+(?:not\s+)?in\s*\(\s*-?\d[^()]*\))",
+        r"cast(\1 as int)\2",
+        expr,
+    )
+
+
+def _binary_lit_hex(lit: str) -> str:
+    """SQL hex literal for a string compared against a VARBINARY column:
+    0x-forms are hex bytes, others their utf-8 bytes (same rule as the
+    VALUES coercion)."""
+    if re.fullmatch(r"0[xX][0-9a-fA-F]*", lit):
+        h = lit[2:]
+        return f"X'{'0' + h if len(h) % 2 else h}'"
+    return f"X'{lit.encode('utf-8').hex()}'"
+
+
+def _coerce_binary_literals(schema, expr: str) -> str:
+    """Rewrite string literals compared (or IN-listed) against
+    binary-typed columns into X'…' hex literals — Spark rejects
+    string-vs-binary comparisons the reference's parser coerces."""
+    from pyspark.sql.types import BinaryType
+
+    bincols = [
+        f.name for f in schema.fields if isinstance(f.dataType, BinaryType)
+    ]
+    if not bincols or "'" not in expr:
+        return expr
+    names = "|".join(re.escape(c) for c in bincols)
+
+    def cmp_sub(m):
+        return f"{m.group(1)} {m.group(2)} {_binary_lit_hex(m.group(3))}"
+
+    expr = re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))\s*"
+        r"(>=|<=|<>|!=|=|>|<)\s*'([^']*)'",
+        cmp_sub,
+        expr,
+    )
+
+    def in_sub(m):
+        not_kw = m.group(2) or ""
+        items = [
+            _binary_lit_hex(t.strip()[1:-1])
+            if t.strip().startswith("'") else t.strip()
+            for t in _split_select(m.group(3))
+        ]
+        return f"{m.group(1)} {not_kw}in ({', '.join(items)})"
+
+    return re.sub(
+        rf"(?i)\b((?:[A-Za-z_]\w*\.)?(?:{names}))\s+"
+        r"(not\s+)?in\s*\(([^)]*)\)",
+        in_sub,
+        expr,
     )
 
 
@@ -1237,7 +1566,11 @@ def _translate_selection(
     g = m.groupdict()
     base = _read_rel(spark, db, g["table"])
     if g["where"]:
-        base = base.where(F.expr(_rewrite_ops(g["where"])))
+        base = base.where(
+            F.expr(_filter_expr_sql(
+                base.schema, _rewrite_ops(g["where"])
+            ))
+        )
     fm = _SEL_FN_ITEM_RE.match(items[fn_idx].strip())
     fn, col = fm.group(1).lower(), fm.group(2)
     fn_alias = fm.group("alias") or f"{fn}({col})"
@@ -1764,7 +2097,11 @@ def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> Data
     g = m.groupdict()
     base = _read_rel(spark, db, g["table"])
     if g["where"]:
-        base = base.where(F.expr(_rewrite_ops(g["where"])))
+        base = base.where(
+            F.expr(_filter_expr_sql(
+                base.schema, _rewrite_ops(g["where"])
+            ))
+        )
     keys = [c.strip() for c in g["partition"].split(",")] if g["partition"] else []
 
     rng = [p.strip().strip("'\"") for p in g["range"].split(",")]
@@ -2249,6 +2586,17 @@ def _translate_inner(
     sql = _outside_quotes(sql, lambda s: s.replace("`", ""))
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
+    if db is not None and getattr(db, "views", None):
+        # logical views substitute as derived tables (one level deep)
+        for t in dict.fromkeys(_table_names(sql)):
+            if t in db.views:
+                sql = re.sub(
+                    rf"(?i)(\b(?:FROM|JOIN)\s+){re.escape(t)}\b",
+                    lambda m, _t=t: (
+                        f"{m.group(1)}({db.views[_t]}) {_t}"
+                    ),
+                    sql,
+                )
     # `_c0`: the reference's internal alias for the first (timestamp)
     # column (parTranslater.c PK_TS_COL_INTERNAL_NAME)
     # deferred when a FROM-subquery is present: the derived table's pk
@@ -2365,6 +2713,27 @@ def _translate_inner(
     m = _INTERP_RE.match(sql)
     if m:
         return _translate_interp(spark, db, m, ts_col)
+    dsm = re.match(r"(?is)^(\s*select\s+)distinct\b\s*(.*)$", sql)
+    if dsm:
+        # SELECT DISTINCT over the dialect projection path (incl. the
+        # reference's DISTINCT(col) call form): project, then dedup;
+        # a trailing LIMIT applies AFTER the dedup (parTranslater.c
+        # distinct-then-limit order)
+        rest = dsm.group(2)
+        cm2 = re.match(r"(?s)^\(\s*([^()]+?)\s*\)\s*(.*)$", rest)
+        if cm2:
+            rest = f"{cm2.group(1)} {cm2.group(2)}"
+        lim = None
+        lm2 = re.search(r"(?i)\s+limit\s+(\d+)\s*;?\s*$", rest)
+        if lm2 and rest.count("(", 0, lm2.start()) == rest.count(
+            ")", 0, lm2.start()
+        ):
+            lim = int(lm2.group(1))
+            rest = rest[: lm2.start()]
+        out = _translate_inner(
+            spark, db, dsm.group(1) + rest, ts_col, tsma_catalog
+        ).distinct()
+        return out.limit(lim) if lim is not None else out
     selm = _match_selection_stmt(sql)
     if selm:
         return _translate_selection(spark, db, *selm, ts_col)
@@ -2390,6 +2759,8 @@ def _translate_inner(
         # own join strategy), register the referenced tables as views,
         # and let Catalyst parse the whole query
         sql = re.sub(r"/\*\+.*?\*/", " ", sql)
+        sql = _expand_join_stars(db, sql)
+        sql = _rewrite_join_topbottom(sql)
         # right-nested ON grouping (reference grammar joinClause:
         # ``A join B join C on cBC on cAB``): parenthesize the inner
         # pair — a parenthesized join is still a join relation in
@@ -2480,6 +2851,23 @@ def _translate_inner(
         return spark.sql(_rewrite_ops(sql))
     g = m.groupdict()
     table = g["table"]
+    # self-qualified column refs (``group by stb1.c1`` with FROM
+    # db.stb1): the DataFrame path resolves bare columns only
+    _qn = [
+        n for n in dict.fromkeys(
+            [table, table.split(".")[-1], g.get("talias")]
+        ) if n
+    ]
+    _qre = re.compile(
+        rf"\b(?:{'|'.join(re.escape(n) for n in _qn)})\.([A-Za-z_]\w*)"
+    )
+    g = {
+        k: (
+            _outside_quotes(v, lambda s: _qre.sub(r"\1", s))
+            if isinstance(v, str) and k != "table" else v
+        )
+        for k, v in g.items()
+    }
     import os
 
     if "." in table:
@@ -2528,7 +2916,11 @@ def _translate_inner(
         base = child
     base, g = _promote_floats(base, g)
     if g["where"]:
-        base = base.where(F.expr(_rewrite_ops(g["where"])))
+        base = base.where(
+            F.expr(_filter_expr_sql(
+                base.schema, _rewrite_ops(g["where"])
+            ))
+        )
     keys = (
         [c.strip() for c in _split_select(g["partition"])]
         if g["partition"] else []
@@ -2788,12 +3180,12 @@ def _translate_inner(
                 used.add(nm)
                 sel_cols.append(nm)
                 continue
-            mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
-            if mm:
-                nm = mm.group(1)
-                aggs.append(F.expr(it))
-                agg_pairs.append((re.sub(
-                    r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it), nm))
+            am3 = _ITEM_ALIAS_RE.match(it.strip())
+            if am3 and am3.group("alias"):
+                # `max(c1) as c1` AND the bare-alias form `max(c1) c1`
+                nm = am3.group("alias")
+                aggs.append(F.expr(am3.group("expr")).alias(nm))
+                agg_pairs.append((am3.group("expr"), nm))
             else:
                 nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
                 if nm[0].isdigit():
@@ -2805,6 +3197,16 @@ def _translate_inner(
             used.add(nm)
             sel_cols.append(nm)
         out = base.groupBy(*gb_cols).agg(*aggs)
+        # an agg alias may shadow its own group key (`select max(c1) c1
+        # … group by c1`): positional-rename the key so the select-list
+        # projection resolves the ALIAS (reference output scope)
+        names = list(out.columns)
+        tail = set(names[len(gb_cols):])
+        if any(names[i] in tail for i in range(len(gb_cols))):
+            for i in range(len(gb_cols)):
+                if names[i] in tail:
+                    names[i] = f"_gkey{i}_{names[i]}"
+            out = out.toDF(*names)
         if g["having"] and not _has_agg(g["having"]):
             # scalar HAVING (a predicate over group keys): filter while
             # the aliased key columns are still in scope — the final
@@ -4059,7 +4461,7 @@ _INSERT_RE = re.compile(
         \s*(?:\(\s*(?P<tagcols>[^)]*?)\s*\))?
         \s*TAGS\s*\((?P<tags>.*?)\))?
     (?:\s*\(\s*(?P<cols>[^)]*?)\s*\))?
-    \s+VALUES\s*(?P<values>.+?)\s*;?\s*$
+    \s*VALUES\s*(?P<values>.+?)\s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -4311,6 +4713,19 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
                         ).cast(f.dataType),
                     ).otherwise(F.col(f.name).cast(f.dataType)),
                 )
+            elif isinstance(f.dataType, T.BinaryType):
+                # VARBINARY input: 0x-prefixed literals are hex bytes,
+                # anything else stores its utf-8 bytes (reference
+                # taosHex2Ascii VALUES coercion)
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name).rlike("^0[xX][0-9a-fA-F]*$"),
+                        F.unhex(F.expr(
+                            f"substring(`{f.name}`, 3)"
+                        )),
+                    ).otherwise(F.col(f.name).cast("binary")),
+                )
             elif isinstance(f.dataType, T.BooleanType):
                 # numeric literal into BOOL is C truthiness (reference
                 # VALUES coercion, atoi: nonzero → true); Spark's
@@ -4478,6 +4893,9 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
             parent=parent, tag_values=tagvals, data_cols=pt.data_cols,
         )
         return child
+    # SMA(col, …) rollup-function hint (sql.y table_options SMA): a
+    # storage-side pre-agg directive with no analog here — drop it
+    sql = re.sub(r"(?i)\s+SMA\s*\([^)]*\)", "", sql)
     m = _CREATE_TABLE_RE.match(sql)
     if not m:
         raise ValueError(f"unrecognized CREATE TABLE statement: {sql!r}")
@@ -4780,9 +5198,44 @@ def _execute_inner(
         return len(names.split(","))
     if s.startswith(("ALTER TABLE", "ALTER STABLE", "ALTER VTABLE")):
         return translate_alter_table(spark, db, sql)
+    vm = re.match(
+        r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(select\b.*)$",
+        sql.rstrip(";"),
+    )
+    if vm:
+        # logical view: stored as its SELECT text, substituted as a
+        # derived table at translate time (parTranslater.c
+        # translateView)
+        db.views[vm.group(1).split(".")[-1]] = vm.group(2).strip()
+        return vm.group(1)
+    dv = re.match(
+        r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+        sql,
+    )
+    if dv:
+        db.views.pop(dv.group(1).split(".")[-1], None)
+        return dv.group(1)
+    shvm = re.match(
+        r"(?i)^\s*SHOW\s+VIEWS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$", sql
+    )
+    if shvm:
+        from pyspark.sql import types as T
+
+        out = spark.createDataFrame(
+            [(n, db.views[n]) for n in db.views],
+            T.StructType([
+                T.StructField("view_name", T.StringType()),
+                T.StructField("query_sql", T.StringType()),
+            ]),
+        )
+        if shvm.group(1) is not None:
+            out = out.where(F.col("view_name").like(shvm.group(1)))
+        return out
     sm = re.match(
         r"^\s*SHOW\s+(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
-        r"CLUSTER|DNODES|VARIABLES)\s*;?\s*$",
+        r"CLUSTER|DNODES|VARIABLES)"
+        r"(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$",
         sql,
         re.IGNORECASE,
     )
@@ -4803,7 +5256,20 @@ def _execute_inner(
         if view in ("ins_tables", "ins_stables", "ins_databases", "ins_vgroups"):
             for name in _db_tables(db):
                 db.table(name)
-        return information_schema(spark, {"db": db}, view)
+        out = information_schema(spark, {"db": db}, view)
+        if sm.group(2) is not None:
+            namecol = {
+                "ins_tables": "table_name",
+                "ins_stables": "stable_name",
+                "ins_databases": "name",
+                "ins_streams": "stream_name",
+                "ins_users": "name",
+            }.get(view)
+            if namecol and namecol in out.columns:
+                out = out.where(
+                    F.col(namecol).like(sm.group(2))
+                )
+        return out
     dm = re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
     if dm:
         from tdengine_spark.catalog import information_schema

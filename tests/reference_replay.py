@@ -290,6 +290,9 @@ class TdSqlShim:
         sql = _shift_literals(str(sql).strip().rstrip(";").strip(),
                               self.lit_shift)
         sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
+        return self._exec_shifted(sql)
+
+    def _exec_shifted(self, sql):
         sql = self._freeze_now(sql)
         low = sql.lower()
         self.stats["execs"] += 1
@@ -492,6 +495,16 @@ class TdSqlShim:
             sql = _shift_literals(str(sql).strip().rstrip(";"),
                                   self.lit_shift)
             sql = _shift_epoch_ints(sql, self.epoch_shift_ms)
+        if not re.match(
+            r"(?i)^\s*(select|show|describe|desc|explain)\b", sql
+        ):
+            # the reference drives DML through query() too
+            # (tdSql.query("insert into …")) — route to the execute
+            # machinery; rows reset (no result set)
+            self._exec_shifted(sql)
+            self.rows = []
+            self.last_sql = sql
+            return 0
         sql = self._resolve_cross_db(sql)
         self.last_sql = sql
         if "information_schema.ins_databases" in sql.lower():
@@ -518,16 +531,16 @@ class TdSqlShim:
                 self.rows = [[name, str(val)]]
                 self.last_sql = sql
                 return len(self.rows)
-            em = re.match(
-                r"(?i)^\s*explain\s+(?:verbose\s+\w+\s+|analyze\s+)?(select\b.*)$",
-                sql, re.DOTALL,
-            )
-            if em:
-                self.rows = [list(r) for r in dialect.execute(
-                    self.spark, self.db, f"explain {em.group(1)}"
-                ).collect()]
-                self.last_sql = sql
-                return len(self.rows)
+        em = re.match(
+            r"(?i)^\s*explain\s+(?:verbose\s+\w+\s+|analyze\s+)?(select\b.*)$",
+            sql, re.DOTALL,
+        )
+        if em:
+            self.rows = [list(r) for r in dialect.execute(
+                self.spark, self.db, f"explain {em.group(1)}"
+            ).collect()]
+            self.last_sql = sql
+            return len(self.rows)
         if re.match(r"(?i)^\s*(show|describe|desc)\b", sql):
             # SHOW/DESCRIBE are execute-dispatch statements that return
             # rows (information_schema views)
@@ -617,6 +630,21 @@ class TdSqlShim:
             self._fail(
                 f"checkData({r},{c}): got {got!r} want {want!r}\n  {self.last_sql}"
             )
+
+    def checkKeyData(self, key, col, data, *a, **k):
+        """Framework sql.py:1906 — assert SOME row's ``col`` equals
+        ``data`` (the key only labels the failure message)."""
+        self.stats["checks"] += 1
+        if not any(
+            col < len(r) and self._same(r[col], data) for r in self.rows
+        ):
+            self._fail(
+                f"checkKeyData({key!r},{col}): {data!r} not found"
+                f"\n  {self.last_sql}"
+            )
+
+    def checkKeyExist(self, key, *a, **k):
+        return self.checkKeyData(key, 0, key)
 
     def _same(self, got, want) -> bool:
         if want is None or want == "None" or want == "NULL":
@@ -1002,6 +1030,8 @@ def load_reference_test(path: str, shim: TdSqlShim):
         if isinstance(v, type) and v.__name__.startswith("Test")
     )
     obj = cls.__new__(cls)
+    # framework caseBase sets these on every test class
+    obj.replicaVar = 1
     if hasattr(cls, "setup_class"):
         try:
             cls.setup_class()

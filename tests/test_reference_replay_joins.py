@@ -88,6 +88,59 @@ def test_replay_join_6604237597(spark):
     print(stats)
 
 
+def test_replay_join_sim(spark):
+    """test_join.py do_sim_join + do_sim_join2 — tsim/parser/join.sim:
+    1000-row-per-child comma joins, count(tb.*) windowed over the join,
+    qualified first/last (ts-keyed selection), ts-vs-numeric comparison
+    promotion, error-statement parity."""
+    stats = _jreplay(spark, "test_join.py",
+                     ["do_sim_join", "do_sim_join2"], min_checks=45)
+    print(stats)
+
+
+def test_replay_join_system_test(spark):
+    """test_join.py do_system_test_join — cross-db child/stable/normal
+    joins (db × db1), semi/anti/asof/window join semantic matrix,
+    nested-ON multi-join grouping, INSERT INTO … (SELECT …), ts5863
+    tag-filtered self left-join with SMA table options. all_test is
+    patched out: its ~1000-statement generated error matrix is the
+    reference's parser fuzz, ~25 min of wall for zero checkData."""
+    stats = _jreplay(spark, "test_join.py", ["do_system_test_join"],
+                     min_checks=60, patch_out=("all_test",))
+    print(stats)
+
+
+def test_replay_join_stb(spark):
+    """test_join.py init_data + do_stbJoin + do_join_hint — super-table
+    × super-table joins with tag predicates, windowed join counts,
+    planner-hint statements (hints stripped, Catalyst plans)."""
+    stats = _jreplay(spark, "test_join.py",
+                     ["init_data", "do_stbJoin", "do_join_hint"],
+                     min_checks=30)
+    print(stats)
+
+
+def test_replay_join_compare(spark):
+    """test_join_compare.py — the full 75-method type-comparison matrix
+    over timetruncate self-joins (int8..uint64 × int/float/double,
+    varbinary hex literals, NOT IN over binary), 211 checkRows."""
+    stats = _jreplay(spark, "test_join_compare.py",
+                     ["test_join_compare"], tz_shift_hours=0,
+                     min_checks=200)
+    print(stats)
+
+
+def test_replay_join_multitables(spark):
+    """test_join_multitables.py — tsim/parser/join_multitables.sim:
+    8 same-schema super tables joined on ts + each tag type, star
+    expansion over joins (data+tags, agg-star data-only), top/bottom
+    over join rows, windowed last(*)."""
+    stats = _jreplay(spark, "test_join_multitables.py",
+                     ["test_join_multitables"], tz_shift_hours=0,
+                     min_checks=240)
+    print(stats)
+
+
 def test_replay_left_asof_join_diff_64bit(spark):
     """test_left_asof_join_diff_64bit.py — abs(diff(x, opt)) computed
     over LEFT ASOF JOIN results (64-bit unsigned diff regression):
