@@ -209,6 +209,43 @@ _DB_PRECISION = "ms"
 _EPOCH_FACTOR = {"ms": " div 1000", "us": "", "ns": " * 1000"}
 
 
+_CASE_TOKEN_RE = re.compile(r"(?i)\b(case|when|end)\b")
+
+
+def _coerce_case_when_truthy(expr: str) -> str:
+    """Searched-CASE conditions are C-truthy in the reference
+    (``case when 3 then 4`` — parTranslater.c numeric condition);
+    Spark requires BOOLEAN. Wrap numeric-literal conditions of
+    SEARCHED cases only — a simple case's WHEN operands are match
+    values and must stay untouched."""
+    if not re.search(r"(?i)\bcase\s+when\b", expr):
+        return expr
+    # stack of booleans: is the enclosing CASE searched?
+    stack: list[bool] = []
+    out, i = [], 0
+    for m in _CASE_TOKEN_RE.finditer(expr):
+        tok = m.group(1).lower()
+        if tok == "case":
+            nxt = expr[m.end():].lstrip()[:4].lower()
+            stack.append(nxt == "when")
+        elif tok == "end":
+            if stack:
+                stack.pop()
+        elif tok == "when" and stack and stack[-1]:
+            lm = re.match(
+                r"(\s+)(-?\d+(?:\.\d+)?)(\s+then\b)",
+                expr[m.end():],
+            )
+            if lm:
+                out.append(expr[i:m.end()])
+                out.append(
+                    f"{lm.group(1)}({lm.group(2)} <> 0){lm.group(3)}"
+                )
+                i = m.end() + lm.end()
+    out.append(expr[i:])
+    return "".join(out)
+
+
 def _wrap_ts_mul_div(expr: str) -> str:
     """``timetruncate(…) / N`` (or ``*``, ``%``): rewrite the timestamp
     call into its epoch integer in the active DB precision — the
@@ -359,6 +396,7 @@ def _rewrite_ops(expr: str) -> str:
         ),
     )
     expr = _rewrite_call(expr, "to_char", tochar)
+    expr = _outside_quotes(expr, _coerce_case_when_truthy)
     # timestamp ×/÷/% numeric: the reference demotes the timestamp
     # operand to its epoch integer in the DB precision (parTranslater.c
     # numeric promotion; +/- stay duration arithmetic, handled below)
@@ -1585,11 +1623,20 @@ def _translate_selection(
             out.append((expr, am.group("alias") or am.group("expr")))
         return out
 
+    def comp(e, a, wrapped_sql):
+        # a companion that is ITSELF an aggregate (`first(c1)*91,
+        # last(c3)`) is an independent aggregate over the same scan —
+        # wrapping it in the anchor's pick would nest aggregates
+        if _AGG_CALL_RE.search(e):
+            return F.expr(_rewrite_aggs(e, ts_col)).alias(a)
+        return F.expr(wrapped_sql).alias(a)
+
     if fn in ("first", "last"):
         guard = f"CASE WHEN {col} IS NOT NULL THEN {ts_col} END"
         pick = "min_by" if fn == "first" else "max_by"
         aggs = [
-            F.expr(f"{pick}({e}, {guard})").alias(a) for e, a in companions()
+            comp(e, a, f"{pick}({e}, {guard})")
+            for e, a in companions()
         ]
         aggs.insert(fn_idx, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
         out = base.agg(*aggs)
@@ -1603,7 +1650,8 @@ def _translate_selection(
             key = f"struct({col}, -unix_micros({ts_col}))"
         pick = "min_by" if fn == "min" else "max_by"
         aggs = [
-            F.expr(f"{pick}({e}, {key})").alias(a) for e, a in companions()
+            comp(e, a, f"{pick}({e}, {key})")
+            for e, a in companions()
         ]
         aggs.insert(fn_idx, F.expr(f"{fn}({col})").alias(fn_alias))
         out = base.where(F.col(col).isNotNull()).agg(*aggs)
@@ -2586,6 +2634,77 @@ def _translate_inner(
     sql = _outside_quotes(sql, lambda s: s.replace("`", ""))
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
+    # rank selections inside scalar arithmetic (`top(c1,1) -
+    # bottom(c1,1)`): k=1 degenerates to max/min (builtins.c top keeps
+    # the 1 extreme row; arithmetic consumes its value) — rewritten
+    # before the selection matcher, whose arg parser expects a bare k
+    sql = _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"(?i)\b(top|bottom)\s*\(\s*([A-Za-z_]\w*)\s*,\s*1\s*\)"
+            r"(?=\s*[-+*/%])",
+            lambda m: (
+                ("max" if m.group(1).lower() == "top" else "min")
+                + f"({m.group(2)})"
+            ),
+            s,
+        ),
+    )
+    sql = _outside_quotes(
+        sql,
+        lambda s: re.sub(
+            r"(?i)(?<=[-+*/%])(\s*)(top|bottom)\s*"
+            r"\(\s*([A-Za-z_]\w*)\s*,\s*1\s*\)",
+            lambda m: m.group(1) + (
+                ("max" if m.group(2).lower() == "top" else "min")
+                + f"({m.group(3)})"
+            ),
+            s,
+        ),
+    )
+    rb = re.match(
+        r"(?is)^\s*select\s+top\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)\s*"
+        r"([-+*/%])\s*bottom\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)\s+"
+        r"from\s+(.*)$",
+        sql,
+    )
+    if rb:
+        # rank-paired arithmetic (`top(c1,99) - bottom(c1,99)` = 99
+        # rows, k-th top value op k-th bottom value — the reference
+        # zips the two rank outputs). The row_number windows are
+        # global but bounded: they run AFTER limit(k), over k rows.
+        from pyspark.sql import Window as _W
+
+        xt, k1, op, xb, k2, rest = rb.groups()
+        k = min(int(k1), int(k2))
+        base = _translate_inner(
+            spark, db, f"select {xt} as _tv, {xb} as _bv from {rest}",
+            ts_col, tsma_catalog,
+        )
+        topdf = (
+            base.where(F.col("_tv").isNotNull())
+            .orderBy(F.col("_tv").desc()).limit(k)
+            .select(
+                F.row_number().over(
+                    _W.orderBy(F.col("_tv").desc())
+                ).alias("_i"),
+                "_tv",
+            )
+        )
+        botdf = (
+            base.where(F.col("_bv").isNotNull())
+            .orderBy(F.col("_bv").asc()).limit(k)
+            .select(
+                F.row_number().over(
+                    _W.orderBy(F.col("_bv").asc())
+                ).alias("_i"),
+                "_bv",
+            )
+        )
+        return (
+            topdf.join(botdf, "_i").orderBy("_i")
+            .select(F.expr(f"_tv {op} _bv").alias("_rankdiff"))
+        )
     if db is not None and getattr(db, "views", None):
         # logical views substitute as derived tables (one level deep)
         for t in dict.fromkeys(_table_names(sql)):
@@ -3164,7 +3283,11 @@ def _translate_inner(
                 )
                 sel_cols.append(f"{kn} as {am.group(1)}" if am else kn)
                 continue
-            if anchor is not None and not _has_agg(it):
+            if anchor is not None and not _AGG_CALL_RE.search(it):
+                # companion scalar — but ONLY if the item carries no
+                # aggregate at all (first/last included: wrapping
+                # `first(c1)*91` in the anchor's max_by would nest
+                # aggregates)
                 am = _ITEM_ALIAS_RE.match(it.strip())
                 body = am.group("expr")
                 nm = am.group("alias") or re.sub(
@@ -3427,6 +3550,73 @@ def _promote_floats(base, g):
             if g.get(k):
                 g[k] = tvi.sub(r"unix_millis(\1)\2\3", g[k])
                 g[k] = ivt.sub(r"\1\2unix_millis(\3)", g[k])
+
+    from pyspark.sql.types import BooleanType
+
+    bcols = [
+        f.name for f in base.schema.fields
+        if isinstance(f.dataType, BooleanType)
+    ]
+    if bcols:
+        # BOOL in arithmetic computes as its 0/1 integer (sclConvertOp
+        # C truthiness): `c7 * 12` — Spark rejects boolean operands
+        bnames = "|".join(re.escape(c) for c in bcols)
+        bfwd = re.compile(rf"\b({bnames})\b(\s*[-+*/%]\s*(?!\s))")
+        brev = re.compile(rf"([-+*/%]\s*)\b({bnames})\b")
+        # a bool-selection aggregate in arithmetic (`first(c7)*12`)
+        # computes on the 0/1 integer too
+        bsel = re.compile(
+            rf"(?i)\b((?:first|last|last_row|min|max)\s*\(\s*"
+            rf"(?:{bnames})\s*\))(\s*[-+*/%])"
+        )
+        g = dict(g)
+        for k in ("select", "where", "having"):
+            if g.get(k):
+                g[k] = _outside_quotes(
+                    g[k],
+                    lambda s: bsel.sub(
+                        r"cast(\1 as int)\2",
+                        brev.sub(
+                            r"\1cast(\2 as int)", bfwd.sub(
+                                r"cast(\1 as int)\2", s
+                            )
+                        ),
+                    ),
+                )
+
+    from pyspark.sql.types import StringType
+
+    scols = [
+        f.name for f in base.schema.fields
+        if isinstance(f.dataType, StringType)
+    ]
+    if scols:
+        # string column in arithmetic computes via C strtod — the
+        # numeric PREFIX, 0 when none ('nchar0' → 0, '12abc' → 12);
+        # Spark's implicit cast yields NULL instead
+        snames = "|".join(re.escape(c) for c in scols)
+
+        def strtod(c):
+            return (
+                "coalesce(cast(regexp_extract("
+                f"{c}, '^\\\\s*[-+]?[0-9]*\\\\.?[0-9]+"
+                "([eE][-+]?[0-9]+)?', 0) as double), cast(0 as double))"
+            )
+
+        sfwd = re.compile(rf"\b({snames})\b(\s*[-+*/%]\s*(?!\s))")
+        srev = re.compile(rf"([-+*/%]\s*)\b({snames})\b")
+        g = dict(g)
+        for k in ("select", "where", "having"):
+            if g.get(k):
+                g[k] = _outside_quotes(
+                    g[k],
+                    lambda s: srev.sub(
+                        lambda m: m.group(1) + strtod(m.group(2)),
+                        sfwd.sub(
+                            lambda m: strtod(m.group(1)) + m.group(2), s
+                        ),
+                    ),
+                )
 
     fcols = [
         f.name for f in base.schema.fields if isinstance(f.dataType, FloatType)

@@ -673,6 +673,15 @@ class TdSqlShim:
             truthy = {True: True, False: False, "true": True, "false": False,
                       1: True, 0: False, "1": True, "0": False}
             return truthy.get(want) == bool(got)
+        from decimal import Decimal as _Dec
+
+        if isinstance(got, _Dec):
+            try:
+                return abs(float(got) - float(want)) <= max(
+                    1e-4, abs(float(want)) * 1e-5
+                )
+            except (TypeError, ValueError):
+                return str(got) == str(want)
         if isinstance(want, (int, float)) and isinstance(got, (int, float)):
             return abs(float(got) - float(want)) <= max(
                 1e-4, abs(float(want)) * 1e-5
@@ -997,6 +1006,32 @@ def load_reference_test(path: str, shim: TdSqlShim):
         cm = ModuleType(cn)
         cm.__getattr__ = lambda _name: _Stub()
         client_fakes[cn] = cm
+    if "faker" not in sys.modules:
+        # deterministic stand-in for the Faker package (not installed):
+        # the reference uses it only to seed random fixture values
+        import random as _random
+        import string as _string
+
+        class _Faker:
+            def __init__(self, *a, **k):
+                self._r = _random.Random(42)
+
+            def random_int(self, min=0, max=9999, step=1):
+                return self._r.randrange(min, max + 1, step)
+
+            def pystr(self, min_chars=None, max_chars=20):
+                n = self._r.randint(min_chars or 8, max_chars)
+                return "".join(
+                    self._r.choice(_string.ascii_letters)
+                    for _ in range(n)
+                )
+
+            def pyfloat(self, left_digits=None, right_digits=None, **k):
+                return round(self._r.uniform(-999999.0, 999999.0), 6)
+
+        fakemod = ModuleType("faker")
+        fakemod.Faker = _Faker
+        client_fakes["faker"] = fakemod
     mod_names = (
         ["new_test_framework", "new_test_framework.utils"]
         + [f"new_test_framework.utils.{sn}" for sn in subnames]
