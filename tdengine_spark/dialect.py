@@ -395,6 +395,16 @@ def _rewrite_ops(expr: str) -> str:
             s,
         ),
     )
+    # bare (length-less) text cast targets — the reference accepts
+    # CAST(x AS VARCHAR) / NCHAR / BINARY; Spark's VARCHAR needs a length
+    expr = _outside_quotes(
+        expr,
+        lambda s: re.sub(
+            r"(?i)\bas\s+(?:binary|nchar|varchar)\s*(?=\))",
+            "as string",
+            s,
+        ),
+    )
     expr = _rewrite_call(expr, "to_char", tochar)
     expr = _outside_quotes(expr, _coerce_case_when_truthy)
     # timestamp ×/÷/% numeric: the reference demotes the timestamp
@@ -526,6 +536,13 @@ _EPOCH_CMP_RE = re.compile(
 
 _EPOCH_BETWEEN_RE = re.compile(
     rf"""\b(?P<col>{_TS_NAME})\s+BETWEEN\s+(?P<lo>\d{{12,19}})\s+AND\s+(?P<hi>\d{{12,19}})(?![\w.])""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+# BETWEEN with an epoch lo and a non-literal hi (`ts between
+# 1600000000000 and now + 1h`) — convert the lo side only
+_EPOCH_BETWEEN_LO_RE = re.compile(
+    rf"""\b(?P<col>{_TS_NAME})\s+BETWEEN\s+(?P<lo>\d{{12,19}})\s+AND\s+(?!\d)""",
     re.VERBOSE | re.IGNORECASE,
 )
 
@@ -672,7 +689,13 @@ def _rewrite_epoch_ts_literals(expr: str) -> str:
             between_short,
             _EPOCH_CMP_SHORT_RE.sub(
                 sub_short,
-                _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s)),
+                _EPOCH_BETWEEN_LO_RE.sub(
+                    lambda m: (
+                        f"{m.group('col')} BETWEEN "
+                        f"{_epoch_lit_sql(m.group('lo'))} AND "
+                    ),
+                    _EPOCH_BETWEEN_RE.sub(between, _EPOCH_CMP_RE.sub(sub, s)),
+                ),
             ),
         ),
     )
@@ -833,8 +856,66 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
         lambda a: str(tw.FIRST_DAY_OF_WEEK if tw.FIRST_DAY_OF_WEEK is not None else 4),
     )
     # the reference's stddev is POPULATION stddev (builtins.c stddevFunction:
-    # sum-of-squares/n), not Spark's default sample stddev
+    # sum-of-squares/n), not Spark's default sample stddev; likewise
+    # std and variance (11-Functions test_agg_smoking: std(1..5)=1.4142,
+    # variance(1..5)=2.0 — population). *_samp pass through unchanged.
     s = _rewrite_call(s, "stddev", lambda a: f"stddev_pop({a[0]})")
+    s = _rewrite_call(s, "std", lambda a: f"stddev_pop({a[0]})")
+    s = _rewrite_call(s, "variance", lambda a: f"var_pop({a[0]})")
+
+    def gconcat(a):
+        # group_concat(c1[, c2…][, 'sep']) — builtins.c:7559
+        # gconcatFunction: per row, concatenate the non-null params with
+        # no intra-row separator; 'sep' only between contributing rows;
+        # rows whose params are all NULL contribute nothing. Row order is
+        # scan (ts) order. Last param is the separator iff it's a string
+        # literal; default ','.
+        sep, cols = "','", a
+        if len(a) > 1 and re.match(r"^\s*'", a[-1]):
+            sep, cols = a[-1], a[:-1]
+        row = "concat_ws('', " + ", ".join(
+            f"cast({c} as string)" for c in cols) + ")"
+        nonnull = " OR ".join(f"{c} IS NOT NULL" for c in cols)
+        arr = (f"array_sort(collect_list(CASE WHEN {nonnull} THEN "
+               f"struct({ts_col} as _o, {row} as _v) END))")
+        # element_at(transform(array(x), a -> …), 1) is a let-binding
+        # that keeps the whole rewrite ONE balanced call (the window
+        # paths parse select items as `call(...) [alias]`)
+        return (f"element_at(transform(array({arr}), a -> "
+                f"CASE WHEN size(a) > 0 THEN "
+                f"array_join(transform(a, x -> x._v), {sep}) END), 1)")
+
+    s = _rewrite_call(s, "group_concat", gconcat)
+
+    def lsq(a):
+        # leastsquares(col, start, step) — builtinsimpl.c leastSQRFinalize:
+        # OLS of col (non-null rows, scan order) against the arithmetic
+        # sequence x_i = start + step*i, rendered '{slop:%.6lf,
+        # intercept:%.6lf}'. NULL when no rows or zero x-variance.
+        col, x0, dx = a[0], a[1], a[2]
+        arr = (f"array_sort(collect_list(CASE WHEN {col} IS NOT NULL THEN "
+               f"struct({ts_col} as _o, cast({col} as double) as _v) END))")
+        pairs = (f"zip_with({arr}, sequence(0, size({arr}) - 1), (e, i) -> "
+                 f"struct(cast({x0} as double) + cast({dx} as double) * i "
+                 f"as x, e._v as y))")
+        sums = (f"aggregate({pairs}, named_struct('n', 0.0D, 'sx', 0.0D, "
+                f"'sy', 0.0D, 'sxx', 0.0D, 'sxy', 0.0D), (a, p) -> "
+                f"named_struct('n', a.n + 1.0D, 'sx', a.sx + p.x, "
+                f"'sy', a.sy + p.y, 'sxx', a.sxx + p.x * p.x, "
+                f"'sxy', a.sxy + p.x * p.y))")
+        # element_at(transform(array(x), s -> …), 1) is a let-binding:
+        # the aggregate runs once, s names its result in the lambda, and
+        # the whole rewrite stays ONE balanced call for the item parsers
+        return (
+            f"element_at(transform(array({sums}), s -> "
+            f"CASE WHEN s.n > 0 AND s.n * s.sxx - s.sx * s.sx <> 0 "
+            f"THEN format_string('{{slop:%.6f, intercept:%.6f}}', "
+            f"(s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), "
+            f"(s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - "
+            f"s.sx * s.sx) * s.sx) / s.n) END), 1)"
+        )
+
+    s = _rewrite_call(s, "leastsquares", lsq)
     return s
 
 
@@ -2723,7 +2804,9 @@ def _translate_inner(
     # known after the subquery branch, whose outer re-translate applies
     # this same rewrite with the resolved pk
     if not re.search(r"(?i)\bfrom\s*\(\s*select\b", sql):
-        sql = _outside_quotes(sql, lambda s: re.sub(r"\b_c0\b", ts_col, s))
+        sql = _outside_quotes(
+            sql, lambda s: re.sub(r"(?i)\b_c0\b", ts_col, s)
+        )
     # planner-mode hint (SELECT SCALAR .../SELECT AGG ... — the reference's
     # debug tokens forcing the window operator's scalar/aggregate
     # implementation, test/cases/13-TimeSeriesExt/09-WindowProjection):
@@ -3561,7 +3644,9 @@ def _promote_floats(base, g):
         # BOOL in arithmetic computes as its 0/1 integer (sclConvertOp
         # C truthiness): `c7 * 12` — Spark rejects boolean operands
         bnames = "|".join(re.escape(c) for c in bcols)
-        bfwd = re.compile(rf"\b({bnames})\b(\s*[-+*/%]\s*(?!\s))")
+        bfwd = re.compile(
+            rf"\b({bnames})\b(\s*(?:[+*/%]|-(?!>))\s*(?!\s))"
+        )
         brev = re.compile(rf"([-+*/%]\s*)\b({bnames})\b")
         # a bool-selection aggregate in arithmetic (`first(c7)*12`)
         # computes on the 0/1 integer too
@@ -3603,7 +3688,9 @@ def _promote_floats(base, g):
                 "([eE][-+]?[0-9]+)?', 0) as double), cast(0 as double))"
             )
 
-        sfwd = re.compile(rf"\b({snames})\b(\s*[-+*/%]\s*(?!\s))")
+        sfwd = re.compile(
+            rf"\b({snames})\b(\s*(?:[+*/%]|-(?!>))\s*(?!\s))"
+        )
         srev = re.compile(rf"([-+*/%]\s*)\b({snames})\b")
         g = dict(g)
         for k in ("select", "where", "having"):
@@ -5842,13 +5929,16 @@ def _view_exists(spark: SparkSession, name: str) -> bool:
 
 
 def _split_select(select: str) -> list[str]:
-    items, depth, cur = [], 0, []
+    items, depth, cur, in_str = [], 0, [], False
     for ch in select:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             items.append("".join(cur).strip())
             cur = []
         else:
