@@ -81,6 +81,9 @@ class SuperTable:
     #: re-project to this declared order so ``SELECT *`` and ordinal
     #: checkData indices stay stable.
     data_cols: tuple[str, ...] = ()
+    #: columns declared UNSIGNED (stored one Spark tier wider — there
+    #: is no unsigned type); INSERT range validation keys off this
+    unsigned_cols: tuple[str, ...] = ()
 
     # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
     # The reference records ALTERs as mnode metadata (schema version

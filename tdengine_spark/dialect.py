@@ -405,6 +405,15 @@ def _rewrite_ops(expr: str) -> str:
             s,
         ),
     )
+    # log(v[, base]) — sclfunc.c tlog/tlog2: value FIRST, base second
+    # (Spark's two-arg log is log(base, expr) — reversed)
+    expr = _rewrite_call(
+        expr,
+        "log",
+        lambda a: (
+            f"(ln({a[0]}) / ln({a[1]}))" if len(a) == 2 else f"ln({a[0]})"
+        ),
+    )
     expr = _rewrite_call(expr, "to_char", tochar)
     expr = _outside_quotes(expr, _coerce_case_when_truthy)
     # timestamp ×/÷/% numeric: the reference demotes the timestamp
@@ -785,8 +794,14 @@ def _rewrite_call(s: str, name: str, render) -> str:
     return "".join(out)
 
 
-def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
-    """Dialect aggregate names → Spark equivalents (text level)."""
+def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
+                  float_cols: "set[str] | None" = None) -> str:
+    """Dialect aggregate names → Spark equivalents (text level).
+
+    ``float_cols``: float/double column names of the FROM table — avg/
+    sum/stddev/var over them get the reference's non-finite guard
+    (tavgfunction.c avgFinalize, builtinsimpl.c:685: an inf/nan result
+    renders as NULL, not inf)."""
     s = select
 
     def cols_fn(a):
@@ -916,6 +931,27 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None) -> str:
         )
 
     s = _rewrite_call(s, "leastsquares", lsq)
+
+    if float_cols:
+        fre = re.compile(
+            r"\b(" + "|".join(re.escape(c) for c in float_cols) + r")\b"
+        )
+
+        def finguard(name):
+            def wrap(a):
+                call = f"{name}(" + ", ".join(a) + ")"
+                if not any(fre.search(x) for x in a):
+                    return call
+                return (
+                    f"element_at(transform(array({call}), v -> "
+                    f"CASE WHEN isnan(v) OR abs(v) = double('Infinity') "
+                    f"THEN NULL ELSE v END), 1)"
+                )
+            return wrap
+
+        for fn in ("avg", "sum", "stddev_pop", "stddev_samp",
+                   "var_pop", "var_samp"):
+            s = _rewrite_call(s, fn, finguard(fn))
     return s
 
 
@@ -3178,9 +3214,16 @@ def _translate_inner(
             g["select"],
         )
     st_pk = db.tables.get(table)
+    from pyspark.sql.types import DoubleType as _DblT
+    from pyspark.sql.types import FloatType as _FltT
+
     select = _rewrite_aggs(
         _rewrite_ops(g["select"]), ts_col,
         pk_col=st_pk.pk_col if st_pk else None,
+        float_cols={
+            f.name for f in base.schema.fields
+            if isinstance(f.dataType, (_FltT, _DblT))
+        },
     )
     items = _split_select(select)
 
@@ -3702,6 +3745,34 @@ def _promote_floats(base, g):
                         sfwd.sub(
                             lambda m: strtod(m.group(1)) + m.group(2), s
                         ),
+                    ),
+                )
+
+    from pyspark.sql.types import IntegralType as _IntgT
+
+    icols = [
+        f.name for f in base.schema.fields
+        if isinstance(f.dataType, _IntgT)
+    ]
+    if icols:
+        # integer columns in +,-,*,% arithmetic promote to DOUBLE (the
+        # reference's binary arithmetic always yields double —
+        # parTranslater createOperator resType; Spark's int+int wraps at
+        # INT_MAX instead). `/` already divides true in Spark. `->` (the
+        # JSON operator) and `-N` alias-less negation are excluded.
+        inames = "|".join(re.escape(c) for c in icols)
+        ifwd = re.compile(
+            rf"\b({inames})\b(\s*(?:[+*%]|-(?!>))\s*(?!\s))"
+        )
+        irev = re.compile(rf"((?:[+*%]|-(?!>))\s*)\b({inames})\b")
+        g = dict(g)
+        for k in ("select", "where", "having", "group", "partition"):
+            if g.get(k):
+                g[k] = _outside_quotes(
+                    g[k],
+                    lambda s: irev.sub(
+                        r"\1cast(\2 as double)",
+                        ifwd.sub(r"cast(\1 as double)\2", s),
                     ),
                 )
 
@@ -4795,6 +4866,45 @@ def _split_value_groups(text: str) -> list[list]:
     return groups
 
 
+#: VALUES range validation (parInsertSql.c rejects literals outside the
+#: declared type's range; the *_MIN / *_MAX sentinel of each width is
+#: reserved for NULL, so the valid range excludes it)
+_SIGNED_BOUNDS = {
+    "tinyint": (-127, 127), "smallint": (-32767, 32767),
+    "int": (-2147483647, 2147483647),
+    "bigint": (-(2**63 - 1), 2**63 - 1),
+}
+#: keyed by the WIDENED storage type (see _UNSIGNED_WIDEN)
+_UNSIGNED_BOUNDS = {
+    "smallint": (0, 254), "int": (0, 65534),
+    "bigint": (0, 2**32 - 2), "decimal(20,0)": (0, 2**64 - 2),
+}
+
+
+def _validate_insert_ranges(db, target, schema, data) -> None:
+    """Reject integer VALUES literals outside the declared column
+    range, like the reference parser does (out-of-range INSERT must
+    error, not wrap — its side effects would corrupt later rows)."""
+    ucols = set(db.tables.get(target).unsigned_cols
+                if target in db.tables else ())
+    for f in schema:
+        st = f.dataType.simpleString()
+        bounds = (_UNSIGNED_BOUNDS.get(st) if f.name in ucols
+                  else _SIGNED_BOUNDS.get(st))
+        if not bounds:
+            continue
+        lo, hi = bounds
+        for d in data:
+            v = d.get(f.name)
+            if isinstance(v, int) and not isinstance(v, bool) and (
+                v < lo or v > hi
+            ):
+                raise ValueError(
+                    f"value {v} out of range for column "
+                    f"{f.name} ({st})"
+                )
+
+
 def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
     """``INSERT INTO tbl [USING stable [(tagcols)] TAGS(...)] [(cols)]
     VALUES (...)[(...)…]`` (grammar sql.y INSERT rules; the reference's
@@ -4930,6 +5040,8 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         cols = cols[: len(rows[0])]
     data = [dict(zip(cols, r), **extra) for r in rows]
     if schema is not None:
+        _validate_insert_ranges(db, target, schema, data)
+    if schema is not None:
         # route literals through strings + cast: '2024-…' → timestamp,
         # '1.5' → double, etc., exactly as the reference parser coerces
         # VALUES literals against the table schema
@@ -5059,6 +5171,14 @@ _CREATE_TABLE_RE = re.compile(
 )
 
 
+#: UNSIGNED integer columns widen one storage tier (Spark has no
+#: unsigned types; ttypes.h TSDB_DATA_TYPE_U* value ranges must fit)
+_UNSIGNED_WIDEN = {
+    "TINYINT": "smallint", "SMALLINT": "int",
+    "INT": "bigint", "INTEGER": "bigint", "BIGINT": "decimal(20,0)",
+}
+
+
 def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
     """[(name, spark_type)] — column options (PRIMARY KEY, ENCODE/
     COMPRESS, sql.y column_options) are consumed by _parse_pk_col."""
@@ -5066,6 +5186,9 @@ def _parse_col_defs(defs: str) -> "list[tuple[str, str]]":
     for item in _split_select(defs):
         name, _, rest = item.strip().partition(" ")
         ty = re.sub(r"\(.*\)", "", rest.split("(")[0].split()[0]).upper()
+        if re.search(r"(?i)\bunsigned\b", rest) and ty in _UNSIGNED_WIDEN:
+            out.append((name, _UNSIGNED_WIDEN[ty]))
+            continue
         if ty in ("DECIMAL", "DECIMAL64"):
             # DECIMAL(p[, s]) / DECIMAL64 (reference ttypes.h decimal64/
             # decimal128) → Spark DecimalType, precision/scale preserved
@@ -5199,6 +5322,11 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
     t.managed = True
     t.pk_col = _parse_pk_col(g["cols"])
     t.data_cols = tuple(n for n, _ in cols)
+    t.unsigned_cols = tuple(
+        item.strip().split()[0]
+        for item in _split_select(g["cols"] + "," + (g["tags"] or ""))
+        if item.strip() and re.search(r"(?i)\bunsigned\b", item)
+    )
     return name
 
 

@@ -24,6 +24,7 @@ Conventions handled:
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import sys
@@ -616,6 +617,10 @@ class TdSqlShim:
         self.query(sql)
         return self.rows[0][0]
 
+    def getResult(self, sql, *a, **k):
+        self.query(sql)
+        return self.rows
+
     def checkData(self, r, c, want, *a, **k):
         self.stats["checks"] += 1
         try:
@@ -748,6 +753,16 @@ def load_reference_test(path: str, shim: TdSqlShim):
         decls from [{'type','count','len'}] elements, 1-based, varchar/
         binary/nchar (lowercase spelling, as the framework matches) get
         their (len)."""
+
+        _name_seq = [0]
+
+        @classmethod
+        def getLongName(cls, length=10, mode="letters"):
+            # deterministic stand-in for the framework's random table
+            # names (utils/common.py getLongName)
+            cls._name_seq[0] += 1
+            base = f"gn{cls._name_seq[0]:04d}"
+            return (base + "abcdefghijklmnopqrstuvwxyz")[:max(length, 4)]
 
         @staticmethod
         def _gen(prefix, elms):
@@ -999,6 +1014,18 @@ def load_reference_test(path: str, shim: TdSqlShim):
         sm.__getattr__ = lambda _name: _Stub()
         subs[sn] = sm
         setattr(utils, sn, sm)
+    # utils/sqlset.py is pure SQL-string generation (no client deps):
+    # exec the REAL file into the fake module so TDSetSql works
+    _sqlset_path = (
+        "/root/reference/test/new_test_framework/utils/sqlset.py"
+    )
+    if os.path.exists(_sqlset_path):
+        src = open(_sqlset_path).read().replace(
+            "from .sql import tdSql", ""
+        )
+        subs["sqlset"].tdSql = shim
+        exec(compile(src, _sqlset_path, "exec"), subs["sqlset"].__dict__)
+        utils.TDSetSql = subs["sqlset"].TDSetSql
     # the reference's native client packages — some files import them at
     # module level without using them through the tdSql path
     client_fakes = {}

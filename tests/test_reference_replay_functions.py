@@ -1,0 +1,101 @@
+"""Replay the reference's 11-Functions pytest files on this engine.
+
+Same shim as tests/test_reference_replay.py — the reference's own
+DDL/INSERT/checkData drive tdengine_spark.dialect. Covers the
+aggregate- and scalar-function families the 13-TimeSeriesExt replays
+don't touch (std/variance population semantics, group_concat,
+leastsquares, bound-value inserts, log arg order, …).
+"""
+
+import os
+
+import pytest
+
+from test_reference_replay import _replay
+
+REF13 = "/root/reference/test/cases/13-TimeSeriesExt"
+FUNC = "../11-Functions"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF13), reason="reference test tree not present"
+)
+
+
+def _freplay(spark, relpath, methods, **kw):
+    return _replay(spark, f"{FUNC}/{relpath}", methods, **kw)
+
+
+def test_replay_agg_smoking(spark):
+    """02-Aggregate/test_agg_smoking.py — std/stddev_samp/variance/
+    var_samp/var_pop population-vs-sample semantics + group_concat."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_agg_smoking.py",
+        ["test_func_agg_smoking", "test_fun_agg_stddev_samp",
+         "test_fun_agg_var_samp", "test_fun_agg_variance",
+         "test_func_agg_var_pop", "test_fun_agg_group_concat"],
+        tz_shift_hours=0, min_checks=8,
+    )
+    print(stats)
+
+
+def test_replay_agg_gconcat(spark):
+    """02-Aggregate/test_agg_gconcat.py — group_concat over windows,
+    PARTITION BY + count_window, NULL rows, custom separators."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_agg_gconcat.py",
+        ["test_func_gconcat", "test_group_concat_regression"],
+        tz_shift_hours=0, min_checks=55,
+    )
+    print(stats)
+
+
+def test_replay_agg_leastsquares(spark):
+    """02-Aggregate/test_agg_leastsquares.py — leastsquares(col, start,
+    step) OLS string rendering '{slop:…, intercept:…}'."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_agg_leastsquares.py",
+        ["test_func_leastsquares"], tz_shift_hours=0, min_checks=6,
+    )
+    print(stats)
+
+
+def test_replay_agg_distinct(spark):
+    """02-Aggregate/test_agg_distinct.py — sum/count DISTINCT over
+    child + super tables, all-null groups, subquery equivalence."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_agg_distinct.py",
+        ["test_count_distinct_int", "test_count_distinct_bigint",
+         "test_count_distinct_float", "test_count_distinct_double",
+         "test_count_distinct_bool", "test_count_distinct_varchar",
+         "test_count_distinct_nchar", "test_count_distinct_all_null",
+         "test_count_distinct_empty_table",
+         "test_count_distinct_single_value", "test_sum_distinct_int",
+         "test_sum_distinct_bigint", "test_sum_distinct_all_null",
+         "test_avg_distinct_int", "test_avg_distinct_all_null",
+         "test_count_distinct_group_by",
+         "test_count_distinct_group_by_tag",
+         "test_count_distinct_supertable", "test_sum_distinct_supertable",
+         "test_count_distinct_interval", "test_count_distinct_with_where",
+         "test_mixed_distinct_and_normal",
+         "test_count_distinct_in_subquery", "test_error_distinct_star",
+         "test_error_distinct_on_scalar", "test_distinct_on_min_max",
+         "test_count_distinct_timestamp",
+         "test_count_distinct_expression",
+         "test_count_distinct_matches_subquery",
+         "test_sum_distinct_matches_subquery"],
+        tz_shift_hours=0, min_checks=40,
+    )
+    print(stats)
+
+
+def test_replay_fun_agg_avg(spark):
+    """02-Aggregate/test_fun_agg_avg.py — avg over every numeric type,
+    bound values (INT_MAX rows, ±DBL_MAX → NULL-on-inf finalize),
+    out-of-range INSERT rejection, int-arithmetic double promotion.
+    known: ins_databases row counts are cross-method state the replay
+    runs sequentially (the reference CI resets per method)."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_avg.py",
+        ["test_func_agg_avg"], tz_shift_hours=0, min_checks=100,
+    )
+    print(stats)
