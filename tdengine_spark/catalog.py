@@ -341,6 +341,12 @@ class Database:
 
     root: str
     tables: dict[str, SuperTable] = field(default_factory=dict)
+    #: database name (information_schema db_name column); "db" when the
+    #: caller doesn't track one
+    name: str = "db"
+    #: sibling databases of the same session (cross-db introspection:
+    #: ins_tables/ins_vgroups list EVERY db the session knows)
+    siblings: "dict | None" = None
     #: CREATE DATABASE … PRECISION 'ms'|'us'|'ns' — the unit bare-integer
     #: epoch arithmetic on timestamps resolves to (Spark stores us;
     #: ns semantics floor to the microsecond)

@@ -795,7 +795,8 @@ def _rewrite_call(s: str, name: str, render) -> str:
 
 
 def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
-                  float_cols: "set[str] | None" = None) -> str:
+                  float_cols: "set[str] | None" = None,
+                  ts_cols: "set[str] | None" = None) -> str:
     """Dialect aggregate names → Spark equivalents (text level).
 
     ``float_cols``: float/double column names of the FROM table — avg/
@@ -840,7 +841,17 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         return f"{pick}({a[1]}, {key}){alias}"
 
     s = _rewrite_call(s, "cols", cols_fn)
-    s = _rewrite_call(s, "spread", lambda a: f"(max({a[0]}) - min({a[0]}))")
+    def spread_fn(a):
+        # spread over a TIMESTAMP column returns ticks in the db
+        # precision (builtinsimpl.c spreadFunction computes on the
+        # epoch int), not an interval
+        if ts_cols and a[0].strip().split(".")[-1] in ts_cols:
+            div = {"ms": 1000.0, "us": 1.0, "ns": 0.001}[_DB_PRECISION]
+            return (f"((unix_micros(max({a[0]})) - "
+                    f"unix_micros(min({a[0]}))) / {div})")
+        return f"(max({a[0]}) - min({a[0]}))"
+
+    s = _rewrite_call(s, "spread", spread_fn)
     s = _rewrite_call(
         s,
         "elapsed",
@@ -849,17 +860,16 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
     # composite-pk tables: last_row ties on ts break on the larger pk
     # (reference pk-aware row order, sql.y:3250 PRIMARY KEY option)
     lr_key = f"struct({ts_col}, {pk_col})" if pk_col else ts_col
-    s = _rewrite_call(s, "last_row", lambda a: f"max_by({a[0]}, {lr_key})")
-    s = _rewrite_call(
-        s,
-        "last",
-        lambda a: f"max_by({a[0]}, CASE WHEN {a[0]} IS NOT NULL THEN {ts_col} END)",
-    )
-    s = _rewrite_call(
-        s,
-        "first",
-        lambda a: f"min_by({a[0]}, CASE WHEN {a[0]} IS NOT NULL THEN {ts_col} END)",
-    )
+    # multi-column selection (`last(c2, c3)` — the reference expands to
+    # one output per column, parTranslater multi-param SELECT functions)
+    s = _rewrite_call(s, "last_row", lambda a: ", ".join(
+        f"max_by({x}, {lr_key})" for x in a))
+    s = _rewrite_call(s, "last", lambda a: ", ".join(
+        f"max_by({x}, CASE WHEN {x} IS NOT NULL THEN {ts_col} END)"
+        for x in a))
+    s = _rewrite_call(s, "first", lambda a: ", ".join(
+        f"min_by({x}, CASE WHEN {x} IS NOT NULL THEN {ts_col} END)"
+        for x in a))
     s = _rewrite_call(
         s,
         "apercentile",
@@ -1547,6 +1557,36 @@ def _register_views(spark: SparkSession, db: Database, sql: str) -> None:
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(\w+)", re.IGNORECASE)
 
 
+def _split_top_and(expr: str) -> "list[str]":
+    """Split a predicate on depth-0 ANDs outside string literals."""
+    parts, depth, in_str, cur = [], 0, False, []
+    toks = re.split(r"(?i)(\bAND\b)", expr)
+    for t in toks:
+        if t.upper() == "AND" and depth == 0 and not in_str:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        for ch in t:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+        cur.append(t)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _session_dbs(db: Database) -> dict:
+    """All databases the session knows (information_schema spans dbs):
+    the current one plus its registered siblings."""
+    out = dict(db.siblings or {})
+    out[getattr(db, "name", "db") or "db"] = db
+    return out
+
+
 def _resolve_information_schema(
     spark: SparkSession, db: Database, sql: str
 ) -> str:
@@ -1561,7 +1601,7 @@ def _resolve_information_schema(
     for name in _db_tables(db):
         db.table(name)
     for v in views:
-        information_schema(spark, {"db": db}, v).createOrReplaceTempView(
+        information_schema(spark, _session_dbs(db), v).createOrReplaceTempView(
             f"_is_{v}"
         )
     return _INFO_SCHEMA_RE.sub(lambda m: f"_is_{m.group(1).lower()}", sql)
@@ -2971,6 +3011,46 @@ def _translate_inner(
         out = _translate_inner(
             spark, db, dsm.group(1) + rest, ts_col, tsma_catalog
         ).distinct()
+        # DISTINCT over meta columns only (tbname/tags) is a TagScan in
+        # the reference — it reads table METADATA, so registered children
+        # with no data rows still appear (test_fun_agg_count
+        # query_empty_stb: distinct tbname on an empty stb = tbnum)
+        dm2 = re.match(
+            r"(?is)^\s*([\w\s,]*?)\s+from\s+([\w.]+)\s*;?\s*$", rest
+        )
+        if dm2:
+            dcols = [c.strip() for c in dm2.group(1).split(",")]
+            tname = dm2.group(2).split(".")[-1]
+            stm = db.tables.get(tname)
+            if stm is not None and not stm.child and all(
+                c == stm.tbname_col or c in (stm.tag_cols or ())
+                for c in dcols
+            ):
+                regrows = [
+                    tuple(
+                        ch.name if c == stm.tbname_col
+                        else dict(zip(stm.tag_cols, ch.tag_values)).get(c)
+                        for c in dcols
+                    )
+                    for ch in db.tables.values()
+                    if ch.parent == tname
+                ]
+                if regrows:
+                    from pyspark.sql import types as _T
+
+                    reg_df = spark.createDataFrame(
+                        [tuple(None if v is None else str(v) for v in r)
+                         for r in regrows],
+                        _T.StructType([
+                            _T.StructField(c, _T.StringType())
+                            for c in dcols
+                        ]),
+                    )
+                    osch = {f.name: f.dataType for f in out.schema}
+                    reg_df = reg_df.select(*[
+                        _lit_cast(c, osch[c]) for c in dcols
+                    ])
+                    out = out.union(reg_df.toDF(*out.columns)).distinct()
         return out.limit(lim) if lim is not None else out
     selm = _match_selection_stmt(sql)
     if selm:
@@ -3082,7 +3162,9 @@ def _translate_inner(
         sql = _dequalify_tables(sql, db)
         _register_views(spark, db, sql)
         sql = _promote_ts_numeric_cmp(spark, sql)
-        return spark.sql(_rewrite_ops(sql))
+        # dialect agg spellings (spread/hyperloglog/...) still need
+        # their Spark forms on the join fallback
+        return spark.sql(_rewrite_ops(_rewrite_aggs(sql, ts_col)))
     m = _CLAUSE_RE.match(sql)
     if not m:
         # no dialect clause structure recognized — let Spark SQL parse it
@@ -3150,9 +3232,12 @@ def _translate_inner(
         child = _child_slice(spark, db, table)
         if child is None:
             # std-SQL table/view → Catalyst parses the whole query
-            return spark.sql(_rewrite_ops(sql))
+            # (dialect agg names still need their Spark spellings —
+            # `select hyperloglog(1) from <subquery view>`)
+            return spark.sql(_rewrite_ops(_rewrite_aggs(sql, ts_col)))
         base = child
     base, g = _promote_floats(base, g)
+    base_prefilter = base
     if g["where"]:
         base = base.where(
             F.expr(_filter_expr_sql(
@@ -3217,12 +3302,18 @@ def _translate_inner(
     from pyspark.sql.types import DoubleType as _DblT
     from pyspark.sql.types import FloatType as _FltT
 
+    from pyspark.sql.types import TimestampType as _TssT
+
     select = _rewrite_aggs(
         _rewrite_ops(g["select"]), ts_col,
         pk_col=st_pk.pk_col if st_pk else None,
         float_cols={
             f.name for f in base.schema.fields
             if isinstance(f.dataType, (_FltT, _DblT))
+        },
+        ts_cols={
+            f.name for f in base.schema.fields
+            if isinstance(f.dataType, _TssT)
         },
     )
     items = _split_select(select)
@@ -3271,7 +3362,7 @@ def _translate_inner(
             items = fixed_items
         keys = new_keys
     gkeys_extra = (
-        [c.strip() for c in g["group"].split(",")] if g["group"] else []
+        [c.strip() for c in _split_select(g["group"])] if g["group"] else []
     )
     ts_eff = ts_col
     if ts_col not in base.columns:
@@ -3429,6 +3520,26 @@ def _translate_inner(
                 used.add(nm)
                 sel_cols.append(nm)
                 continue
+            if not _AGG_CALL_RE.search(it) and st_pk is not None:
+                # tag/tbname companion scalar (`select t0, count(c1) …
+                # partition by tbname`): tags are per-group constants in
+                # the reference's per-table groups — project any_value
+                amt = _ITEM_ALIAS_RE.match(it.strip())
+                bodyt = amt.group("expr") if amt else it
+                metac = {st_pk.tbname_col, *(st_pk.tag_cols or ())}
+                if _refs_only_cols(bodyt, metac):
+                    nm = (amt.group("alias") if amt and amt.group("alias")
+                          else re.sub(r"\W+", "_", bodyt.strip()).strip("_")
+                          or "expr")
+                    if nm[0].isdigit():
+                        nm = "_" + nm
+                    while nm in used:
+                        nm += "_"
+                    aggs.append(F.expr(f"any_value({bodyt})").alias(nm))
+                    agg_pairs.append((bodyt, nm))
+                    used.add(nm)
+                    sel_cols.append(nm)
+                    continue
             am3 = _ITEM_ALIAS_RE.match(it.strip())
             if am3 and am3.group("alias"):
                 # `max(c1) as c1` AND the bare-alias form `max(c1) c1`
@@ -3445,7 +3556,101 @@ def _translate_inner(
                 agg_pairs.append((it, nm))
             used.add(nm)
             sel_cols.append(nm)
+        _gdummy = None
+        if not aggs:
+            # `select c1 … group by c1`: the select list is group keys
+            # only — grouped projection (one row per group, no agg)
+            _gdummy = "_gdummy"
+            aggs.append(F.count(F.lit(1)).alias(_gdummy))
         out = base.groupBy(*gb_cols).agg(*aggs)
+        if _gdummy:
+            out = out.drop(_gdummy)
+        # GROUP/PARTITION BY tbname/tags runs per child table in the
+        # reference (per-vnode table groups): a child with no surviving
+        # rows (empty, or WHERE-filtered) still emits a group WHEN a
+        # count() aggregate is selected — count 0, other aggs NULL
+        # (countFunction always has a result; test_fun_agg_count
+        # query_empty_stb). The key universe = unfiltered data distinct
+        # ∪ REGISTERED children (child-table cardinality, not data).
+        _cnt_cols = [
+            nm for e, nm in agg_pairs
+            if re.match(r"(?is)^\s*count\s*\(", e)
+        ]
+        _meta = {st_pk.tbname_col, *(st_pk.tag_cols or ())} \
+            if st_pk is not None and not st_pk.child else set()
+        _kplain = [k.strip() for k in gkeys]
+        if (
+            _cnt_cols and _kplain
+            and all(
+                re.match(r"^[A-Za-z_]\w*$", k) and k in _meta
+                and k in base_prefilter.columns
+                for k in _kplain
+            )
+        ):
+            # the universe carries EVERY meta column so tag-only WHERE
+            # conjuncts can prune table groups like the reference's
+            # per-vnode tag filter; projected to the keys afterwards
+            _mcols = [
+                c for c in base_prefilter.columns if c in _meta
+            ]
+            universe = base_prefilter.select(*_mcols)
+            tname = table.split(".")[-1]
+            regrows = []
+            for ch in db.tables.values():
+                if ch.parent != tname:
+                    continue
+                vals = dict(zip(st_pk.tag_cols, ch.tag_values))
+                vals[st_pk.tbname_col] = ch.name
+                regrows.append(tuple(
+                    None if vals.get(c) is None else str(vals.get(c))
+                    for c in _mcols
+                ))
+            if not regrows and not st_pk.tag_cols:
+                # a NORMAL table is its own (only) table group — an
+                # empty one still emits its tbname group
+                regrows.append(tuple(
+                    tname if c == st_pk.tbname_col else None
+                    for c in _mcols
+                ))
+            if regrows:
+                from pyspark.sql import types as _T
+
+                reg_df = spark.createDataFrame(
+                    regrows,
+                    _T.StructType([
+                        _T.StructField(c, _T.StringType())
+                        for c in _mcols
+                    ]),
+                )
+                uni_schema = dict(
+                    (f.name, f.dataType) for f in universe.schema
+                )
+                reg_df = reg_df.select(*[
+                    _lit_cast(c, uni_schema[c]) for c in _mcols
+                ])
+                universe = universe.union(reg_df)
+            if g["where"]:
+                # tag-only WHERE conjuncts prune whole table groups
+                # (the reference's per-vnode tag filter runs before the
+                # scan); data-involving conjuncts can't prune — those
+                # children still emit with count 0
+                for conj in _split_top_and(g["where"]):
+                    if _refs_only_cols(conj, _meta):
+                        try:
+                            universe = universe.where(F.expr(
+                                _filter_expr_sql(
+                                    universe.schema, _rewrite_ops(conj)
+                                )
+                            ))
+                        except Exception:
+                            pass
+            universe = universe.select(*_kplain).distinct()
+            out = universe.join(out, on=_kplain, how="left")
+            out = out.select(*[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                if c in _cnt_cols else F.col(c)
+                for c in out.columns
+            ])
         # an agg alias may shadow its own group key (`select max(c1) c1
         # … group by c1`): positional-rename the key so the select-list
         # projection resolves the ALIAS (reference output scope)
@@ -3514,7 +3719,10 @@ def _translate_inner(
     else:
         if any(_has_agg(it) for it in items):
             has_count = bool(
-                re.search(r"(?i)\bcount\s*\(", " ".join(items))
+                re.search(
+                    r"(?i)\b(?:count|approx_count_distinct)\s*\(",
+                    " ".join(items),
+                )
             )
             base, items = _prepare_groupfns(base, items, [], ts_col)
             out = base.agg(*[F.expr(it) for it in items])
@@ -3595,12 +3803,30 @@ _SIMPLE_AGG_RE = re.compile(
 )
 
 
+_FINGUARD_RE = re.compile(
+    r"(?is)^element_at\(transform\(array\((.*)\), v -> "
+    r"CASE WHEN isnan\(v\) OR abs\(v\) = double\('Infinity'\) "
+    r"THEN NULL ELSE v END\), 1\)"
+)
+
+
+def _unwrap_finguard(it: str) -> str:
+    """Strip the non-finite-result guard wrapper (see _rewrite_aggs
+    float_cols) so plan matchers (TSMA eligibility, fast paths) still
+    see the plain aggregate call."""
+    m = _FINGUARD_RE.match(it.strip())
+    if m:
+        rest = it.strip()[m.end():]
+        return m.group(1) + rest
+    return it
+
+
 def _parse_simple_aggs(items: list[str]):
     """[(op, metric, out_alias)] when every item is a plain rollup-able
     aggregate (TSMA rewrite eligibility), else None."""
     out = []
     for it in items:
-        m = _SIMPLE_AGG_RE.match(it.strip())
+        m = _SIMPLE_AGG_RE.match(_unwrap_finguard(it).strip())
         if not m or m.group(2) == "*":
             return None
         op, metric = m.group(1).lower(), m.group(2)
@@ -3698,7 +3924,7 @@ def _promote_floats(base, g):
             rf"(?:{bnames})\s*\))(\s*[-+*/%])"
         )
         g = dict(g)
-        for k in ("select", "where", "having"):
+        for k in ("select", "where", "having", "group", "partition"):
             if g.get(k):
                 g[k] = _outside_quotes(
                     g[k],
@@ -3736,7 +3962,7 @@ def _promote_floats(base, g):
         )
         srev = re.compile(rf"([-+*/%]\s*)\b({snames})\b")
         g = dict(g)
-        for k in ("select", "where", "having"):
+        for k in ("select", "where", "having", "group", "partition"):
             if g.get(k):
                 g[k] = _outside_quotes(
                     g[k],
@@ -4881,6 +5107,26 @@ _UNSIGNED_BOUNDS = {
 }
 
 
+def _lit_cast(name, dtype):
+    """Cast a STRING literal column to ``dtype`` with the dialect's
+    VALUES coercion rules: bare integer → epoch for timestamps
+    (magnitude-disambiguated like _epoch_lit_sql)."""
+    from pyspark.sql.types import TimestampType as _TsT
+
+    c = F.col(name)
+    if isinstance(dtype, _TsT):
+        v = c.cast("bigint")
+        return F.when(
+            c.rlike(r"^-?\d+$"),
+            F.when(F.abs(v) < F.lit(10**14), F.timestamp_millis(v))
+            .when(F.abs(v) < F.lit(10**17), F.timestamp_micros(v))
+            .otherwise(F.timestamp_micros(
+                F.expr(f"cast(`{name}` as bigint) div 1000")
+            )),
+        ).otherwise(c.cast("timestamp")).alias(name)
+    return c.cast(dtype).alias(name)
+
+
 def _validate_insert_ranges(db, target, schema, data) -> None:
     """Reject integer VALUES literals outside the declared column
     range, like the reference parser does (out-of-range INSERT must
@@ -5638,7 +5884,8 @@ def _execute_inner(
             out = out.where(F.col("view_name").like(shvm.group(1)))
         return out
     sm = re.match(
-        r"^\s*SHOW\s+(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
+        r"^\s*SHOW\s+(?:[A-Za-z_]\w*\.)?"
+        r"(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
         r"CLUSTER|DNODES|VARIABLES)"
         r"(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$",
         sql,
@@ -5661,7 +5908,7 @@ def _execute_inner(
         if view in ("ins_tables", "ins_stables", "ins_databases", "ins_vgroups"):
             for name in _db_tables(db):
                 db.table(name)
-        out = information_schema(spark, {"db": db}, view)
+        out = information_schema(spark, _session_dbs(db), view)
         if sm.group(2) is not None:
             namecol = {
                 "ins_tables": "table_name",
@@ -5675,13 +5922,14 @@ def _execute_inner(
                     F.col(namecol).like(sm.group(2))
                 )
         return out
-    dm = re.match(r"^\s*DESCRIBE\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
+    dm = re.match(r"^\s*DESC(?:RIBE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
     if dm:
         from tdengine_spark.catalog import information_schema
 
-        db.table(dm.group(1))
-        cols = information_schema(spark, {"db": db}, "ins_columns")
-        return cols.where(F.col("table_name") == dm.group(1)).select(
+        tname = dm.group(1).split(".")[-1]
+        db.table(tname)
+        cols = information_schema(spark, _session_dbs(db), "ins_columns")
+        return cols.where(F.col("table_name") == tname).select(
             F.col("col_name").alias("field"),
             F.col("col_type").alias("type"),
             F.col("col_position").alias("position"),

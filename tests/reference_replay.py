@@ -43,6 +43,9 @@ class ReplayCheckError(AssertionError):
 class _Stub:
     """Accept any attribute/call chain as a no-op (tdLog, tdStream, …)."""
 
+    def __init__(self, *a, **k):
+        pass
+
     def __getattr__(self, _name):
         return _Stub()
 
@@ -231,7 +234,7 @@ class TdSqlShim:
         name = k.get("dbname") or (
             a[0] if a and isinstance(a[0], str) else "db"
         )
-        self.dbs[name] = Database(root=d)
+        self.dbs[name] = Database(root=d, name=name, siblings=self.dbs)
         self.db = self.dbs[name]
 
     def close(self):
@@ -307,7 +310,8 @@ class TdSqlShim:
             d = tempfile.mkdtemp(prefix="tds_replay_")
             self._dirs.append(d)
             self.dbs[name] = Database(
-                root=d, precision=pm.group(1) if pm else "ms"
+                root=d, precision=pm.group(1) if pm else "ms",
+                name=name, siblings=self.dbs,
             )
             self.db = self.dbs[name]
             return
@@ -1014,11 +1018,11 @@ def load_reference_test(path: str, shim: TdSqlShim):
         sm.__getattr__ = lambda _name: _Stub()
         subs[sn] = sm
         setattr(utils, sn, sm)
-    # utils/sqlset.py is pure SQL-string generation (no client deps):
-    # exec the REAL file into the fake module so TDSetSql works
-    _sqlset_path = (
-        "/root/reference/test/new_test_framework/utils/sqlset.py"
-    )
+    # utils/sqlset.py and utils/autogen.py are pure SQL-string
+    # generation (no client deps): exec the REAL files into the fake
+    # modules so TDSetSql / AutoGen drive the shim like any test body
+    _utils_dir = "/root/reference/test/new_test_framework/utils"
+    _sqlset_path = f"{_utils_dir}/sqlset.py"
     if os.path.exists(_sqlset_path):
         src = open(_sqlset_path).read().replace(
             "from .sql import tdSql", ""
@@ -1026,6 +1030,19 @@ def load_reference_test(path: str, shim: TdSqlShim):
         subs["sqlset"].tdSql = shim
         exec(compile(src, _sqlset_path, "exec"), subs["sqlset"].__dict__)
         utils.TDSetSql = subs["sqlset"].TDSetSql
+    _autogen_path = f"{_utils_dir}/autogen.py"
+    if os.path.exists(_autogen_path):
+        src = open(_autogen_path).read()
+        src = src.replace("from .log import *", "").replace(
+            "from .sql import *", ""
+        )
+        ns = subs["autogen"].__dict__
+        ns["tdSql"] = shim
+        ns["tdLog"] = utils.tdLog
+        exec(compile(src, _autogen_path, "exec"), ns)
+        # deterministic fixture values across replays
+        ns["random"].seed(42)
+        utils.AutoGen = ns["AutoGen"]
     # the reference's native client packages — some files import them at
     # module level without using them through the tdSql path
     client_fakes = {}

@@ -88,6 +88,20 @@ def test_replay_agg_distinct(spark):
     print(stats)
 
 
+def test_replay_fun_agg_count(spark):
+    """02-Aggregate/test_fun_agg_count.py — count over every type,
+    empty-table group semantics (count() emits empty child groups),
+    tag-filter group pruning, multi-column last(), distribute checks.
+    check_count_with_sma_data drives `taos -f` via os.system — no
+    analog, patched out."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_count.py",
+        ["test_func_agg_count"], tz_shift_hours=0, min_checks=450,
+        patch_out=("check_count_with_sma_data",),
+    )
+    print(stats)
+
+
 def test_replay_fun_agg_avg(spark):
     """02-Aggregate/test_fun_agg_avg.py — avg over every numeric type,
     bound values (INT_MAX rows, ±DBL_MAX → NULL-on-inf finalize),
