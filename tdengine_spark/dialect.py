@@ -852,11 +852,18 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         return f"(max({a[0]}) - min({a[0]}))"
 
     s = _rewrite_call(s, "spread", spread_fn)
-    s = _rewrite_call(
-        s,
-        "elapsed",
-        lambda a: f"((max(unix_micros({a[0]})) - min(unix_micros({a[0]}))) / 1000.0)",
-    )
+    def elapsed_fn(a):
+        # elapsed(ts[, unit]) — builtinsimpl elapsedFunction: span in
+        # the given unit (default: the db precision tick)
+        div = {"ms": 1000.0, "us": 1.0, "ns": 0.001}[_DB_PRECISION]
+        if len(a) > 1:
+            from tdengine_spark.durations import parse_duration
+
+            div = float(parse_duration(a[1].strip()).microseconds)
+        return (f"((max(unix_micros({a[0]})) - "
+                f"min(unix_micros({a[0]}))) / {div})")
+
+    s = _rewrite_call(s, "elapsed", elapsed_fn)
     # composite-pk tables: last_row ties on ts break on the larger pk
     # (reference pk-aware row order, sql.y:3250 PRIMARY KEY option)
     lr_key = f"struct({ts_col}, {pk_col})" if pk_col else ts_col
@@ -875,7 +882,12 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         "apercentile",
         lambda a: f"percentile_approx({a[0]}, {float(a[1]) / 100.0})",
     )
-    s = _rewrite_call(s, "hyperloglog", lambda a: f"approx_count_distinct({a[0]})")
+    s = _rewrite_call(
+        s, "hyperloglog",
+        # rsd 0.005: the reference HLL (dense, 2^14 registers) is
+        # near-exact at test cardinalities; Spark default 0.05 is not
+        lambda a: f"approx_count_distinct({a[0]}, 0.005)",
+    )
     s = _rewrite_call(
         s, "first_day_of_week",
         lambda a: str(tw.FIRST_DAY_OF_WEEK if tw.FIRST_DAY_OF_WEEK is not None else 4),
@@ -1318,6 +1330,47 @@ def _expand_join_stars(db: Database, sql: str) -> str:
     return _outside_quotes(sql, sub)
 
 
+def _coerce_ts_epoch_by_schema(schema, expr: str) -> str:
+    """Epoch-int comparisons against TIMESTAMP columns whose NAME the
+    *ts suffix heuristic misses (`tscol >= 1420041600000`): promote by
+    SCHEMA type instead of name."""
+    from pyspark.sql.types import TimestampType
+
+    tcols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, TimestampType)
+    ]
+    if not tcols:
+        return expr
+    names = "|".join(re.escape(c) for c in tcols)
+    pat = re.compile(
+        rf"\b(?P<col>{names})\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
+        rf"(?P<lit>\d{{12,19}})(?![\w.])"
+    )
+    bet = re.compile(
+        rf"\b(?P<col>{names})\s+BETWEEN\s+(?P<lo>\d{{12,19}})"
+        rf"\s+AND\s+(?P<hi>\d{{12,19}})(?![\w.])",
+        re.IGNORECASE,
+    )
+    expr = _outside_quotes(
+        expr,
+        lambda s: bet.sub(
+            lambda m: (
+                f"{m.group('col')} BETWEEN {_epoch_lit_sql(m.group('lo'))}"
+                f" AND {_epoch_lit_sql(m.group('hi'))}"
+            ),
+            pat.sub(
+                lambda m: (
+                    f"{m.group('col')} {m.group('op')} "
+                    f"{_epoch_lit_sql(m.group('lit'))}"
+                ),
+                s,
+            ),
+        ),
+    )
+    return expr
+
+
 def _filter_expr_sql(schema, where_sql: str) -> str:
     """WHERE-expression SQL: binary-literal coercion, boolean-vs-numeric
     coercion, and the reference's untyped-NULL filter (``WHERE NULL`` is
@@ -1325,6 +1378,7 @@ def _filter_expr_sql(schema, where_sql: str) -> str:
     w = _coerce_binary_literals(schema, where_sql)
     w = _coerce_bool_numeric(schema, w)
     w = _coerce_numeric_str_literals(schema, w)
+    w = _coerce_ts_epoch_by_schema(schema, w)
     if re.fullmatch(r"(?is)\s*null\s*", w):
         return "cast(null as boolean)"
     return w
@@ -2781,6 +2835,98 @@ def translate(
         spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
 
 
+_HISTOGRAM_RE = re.compile(
+    r"""(?isx)
+    ^\s*select\s+histogram\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
+    '(?P<btype>[^']+)'\s*,\s*'(?P<desc>[^']*)'\s*,\s*(?P<norm>\d)\s*\)
+    \s*from\s+(?P<table>[\w.]+)
+    (?:\s+where\s+(?P<where>.*?))?
+    (?:\s+partition\s+by\s+(?P<partition>.*?))?
+    (?:\s+group\s+by\s+(?P<group>.*?))?
+    \s*;?\s*$
+    """
+)
+
+
+def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
+    """histogram(col, bin_type, bin_desc, normalized) —
+    builtinsimpl.c:6093-6253: bin edges come from statement LITERALS
+    (user_input list / linear_bin / log_bin json), each bin counts
+    lower < v <= upper, output is one row per bin rendered
+    '{"lower_bin":%g, "upper_bin":%g, "count":N}' (count %lf when
+    normalized). Counts compute in ONE hash aggregate (conditional
+    sums); the per-bin rows come from exploding a literal-sized array —
+    no per-row Python anywhere."""
+    import json as _json
+
+    g = m.groupdict()
+    btype = g["btype"].strip().lower()
+    desc = g["desc"]
+    if btype == "user_input":
+        edges = [float(x) for x in _json.loads(desc)]
+    else:
+        d = _json.loads(desc)
+        s, c = float(d["start"]), int(d["count"])
+        if btype == "linear_bin":
+            w = float(d["width"])
+            edges = [s + i * w for i in range(c + 1)]
+        else:  # log_bin
+            f0 = float(d["factor"])
+            edges = [s * f0**i for i in range(c + 1)]
+        if d.get("infinity"):
+            edges = [float("-inf")] + edges + [float("inf")]
+    bins = list(zip(edges[:-1], edges[1:]))
+    norm = g["norm"] == "1"
+
+    table = g["table"].split(".")[-1]
+    base = _child_slice(spark, db, table)
+    if base is None:
+        base = db.read(spark, table, dedup=db.tables.get(table) is not None
+                       and db.tables[table].managed)
+    if g["where"]:
+        base = base.where(F.expr(_filter_expr_sql(
+            base.schema, _rewrite_ops(g["where"])
+        )))
+    keys = []
+    for part in (g["partition"], g["group"]):
+        if part:
+            keys += [k.strip() for k in _split_select(part)]
+    v = F.col(g["col"]).cast("double")
+    aggs = [
+        F.sum(F.when((v > float(lo)) & (v <= float(hi)), 1)
+              .otherwise(0)).alias(f"_b{i}")
+        for i, (lo, hi) in enumerate(bins)
+    ]
+    out = base.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    total = None
+    if norm:
+        total = sum((F.col(f"_b{i}") for i in range(len(bins))), F.lit(0))
+
+    def gfmt(x: float) -> str:
+        return "%g" % x
+
+    cells = []
+    for i, (lo, hi) in enumerate(bins):
+        if norm:
+            frac = F.when(
+                total > 0, F.col(f"_b{i}") / total
+            ).otherwise(F.lit(0.0))
+            cells.append(F.format_string(
+                '{"lower_bin":%s, "upper_bin":%s, "count":%.6f}',
+                F.lit(gfmt(lo)), F.lit(gfmt(hi)), frac,
+            ))
+        else:
+            cells.append(F.format_string(
+                '{"lower_bin":%s, "upper_bin":%s, "count":%d}',
+                F.lit(gfmt(lo)), F.lit(gfmt(hi)), F.col(f"_b{i}"),
+            ))
+    if keys:
+        out = out.orderBy(*keys)
+    return out.select(
+        F.explode(F.array(*cells)).alias("histogram")
+    )
+
+
 def _translate_inner(
     spark: SparkSession,
     db: Database,
@@ -2789,6 +2935,15 @@ def _translate_inner(
     tsma_catalog=None,
 ) -> DataFrame:
     sql = _outside_quotes(sql, lambda s: s.replace("`", ""))
+    # the reference parser tolerates a clause keyword glued to a closing
+    # string literal (`...'group by tbname`) — re-insert the space
+    sql = re.sub(
+        r"'(?=(?:group|order|partition|interval|session|limit|slimit|"
+        r"having|fill|where|and|or)\b)",
+        "' ",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
     # rank selections inside scalar arithmetic (`top(c1,1) -
@@ -2896,11 +3051,30 @@ def _translate_inner(
     if un is not None:
         parts, all_flags, tail = un
         dfs = [translate(spark, db, p, ts_col, tsma_catalog) for p in parts]
-        out = dfs[0]
-        for d, is_all in zip(dfs[1:], all_flags):
-            out = out.union(d)  # positional, SQL UNION semantics
-            if not is_all:  # left-assoc fold: distinct at each plain cut
-                out = out.distinct()
+        if not any(all_flags) and len(dfs) > 1 and not tail.get("order"):
+            # plain UNION (distinct) keeps FIRST-SEEN order across the
+            # sides (the reference's result-block merge dedups while
+            # streaming side 1 then side 2 — test_fun_agg_elapsed pins
+            # [(9,),(None,),(4,),(5,),(10,)]). Row order is data, so
+            # tag (side, row-index) with zipWithIndex and keep the min
+            # tag per distinct row — all distributed, no driver pass.
+            schema = dfs[0].schema
+            tagged = None
+            for si, d in enumerate(dfs):
+                t = d.rdd.zipWithIndex().map(
+                    lambda kv, si=si: (tuple(kv[0]), (si, kv[1]))
+                )
+                tagged = t if tagged is None else tagged.union(t)
+            first = tagged.reduceByKey(min).sortBy(lambda kv: kv[1])
+            out = spark.createDataFrame(
+                first.map(lambda kv: kv[0]), schema
+            )
+        else:
+            out = dfs[0]
+            for d, is_all in zip(dfs[1:], all_flags):
+                out = out.union(d)  # positional, SQL UNION semantics
+                if not is_all:  # left-assoc fold: distinct per cut
+                    out = out.distinct()
         if tail.get("order"):
             out = out.orderBy(*_order_cols(tail["order"]))
         if tail.get("limit"):
@@ -3052,6 +3226,9 @@ def _translate_inner(
                     ])
                     out = out.union(reg_df.toDF(*out.columns)).distinct()
         return out.limit(lim) if lim is not None else out
+    hm2 = _HISTOGRAM_RE.match(sql)
+    if hm2:
+        return _translate_histogram(spark, db, hm2, ts_col)
     selm = _match_selection_stmt(sql)
     if selm:
         return _translate_selection(spark, db, *selm, ts_col)
@@ -3164,7 +3341,20 @@ def _translate_inner(
         sql = _promote_ts_numeric_cmp(spark, sql)
         # dialect agg spellings (spread/hyperloglog/...) still need
         # their Spark forms on the join fallback
-        return spark.sql(_rewrite_ops(_rewrite_aggs(sql, ts_col)))
+        out = spark.sql(_rewrite_ops(_rewrite_aggs(sql, ts_col)))
+        if (
+            _AGG_CALL_RE.search(sql)
+            and not re.search(r"(?i)\bgroup\s+by\b", sql)
+            and not re.search(
+                r"(?i)\b(?:count|approx_count_distinct)\s*\(", sql
+            )
+        ):
+            # reference: a global non-count aggregate over an empty
+            # (join) input emits NO row — numOfRes stays 0
+            out = out.where(
+                " OR ".join(f"`{c}` IS NOT NULL" for c in out.columns)
+            )
+        return out
     m = _CLAUSE_RE.match(sql)
     if not m:
         # no dialect clause structure recognized — let Spark SQL parse it
@@ -3923,17 +4113,28 @@ def _promote_floats(base, g):
             rf"(?i)\b((?:first|last|last_row|min|max)\s*\(\s*"
             rf"(?:{bnames})\s*\))(\s*[-+*/%])"
         )
+        # bool as the DIRECT arg of a numeric aggregate (stddev(c7)):
+        # the reference computes on the 0/1 integer (bool is numeric in
+        # its type lattice); Spark rejects BOOLEAN inputs
+        bagg = re.compile(
+            rf"(?i)\b(avg|sum|stddev|stddev_pop|stddev_samp|std|"
+            rf"variance|var_pop|var_samp|spread|twa|percentile|"
+            rf"apercentile)\s*\(\s*({bnames})\s*([,)])"
+        )
         g = dict(g)
         for k in ("select", "where", "having", "group", "partition"):
             if g.get(k):
                 g[k] = _outside_quotes(
                     g[k],
-                    lambda s: bsel.sub(
-                        r"cast(\1 as int)\2",
-                        brev.sub(
-                            r"\1cast(\2 as int)", bfwd.sub(
-                                r"cast(\1 as int)\2", s
-                            )
+                    lambda s: bagg.sub(
+                        r"\1(cast(\2 as int)\3",
+                        bsel.sub(
+                            r"cast(\1 as int)\2",
+                            brev.sub(
+                                r"\1cast(\2 as int)", bfwd.sub(
+                                    r"cast(\1 as int)\2", s
+                                )
+                            ),
                         ),
                     ),
                 )

@@ -552,8 +552,9 @@ class TdSqlShim:
             self.rows = [list(r) for r in
                          dialect.execute(self.spark, self.db, sql).collect()]
             return len(self.rows)
-        self.rows = [list(r) for r in
-                     dialect.translate(self.spark, self.db, sql).collect()]
+        _df = dialect.translate(self.spark, self.db, sql)
+        self.rows = [list(r) for r in _df.collect()]
+        self.last_types = [f.dataType.simpleString() for f in _df.schema]
         if getattr(self, "engine_tz", False):
             # collect() renders naive datetimes on the OS clock (UTC);
             # re-render on the ACTIVE session zone's wall clock, which is
@@ -624,6 +625,55 @@ class TdSqlShim:
     def getResult(self, sql, *a, **k):
         self.query(sql)
         return self.rows
+
+    @property
+    def cursor(self):
+        """framework tdSql.cursor.istype(ord, tdtype): type-check the
+        last result's column against a TDengine type name."""
+        shim = self
+
+        class _Cursor:
+            def istype(self, ord_, tdtype):
+                types = getattr(shim, "last_types", [])
+                if ord_ >= len(types):
+                    return False
+                st = types[ord_]
+                td = tdtype.upper()
+                return {
+                    "BINARY": st == "string", "NCHAR": st == "string",
+                    "VARCHAR": st == "string",
+                    "BOOL": st == "boolean",
+                    "TIMESTAMP": st.startswith("timestamp"),
+                    "INT": st == "int", "BIGINT": st == "bigint",
+                    "SMALLINT": st == "smallint",
+                    "TINYINT": st == "tinyint",
+                    "FLOAT": st == "float", "DOUBLE": st == "double",
+                }.get(td, False)
+
+        return _Cursor()
+
+    def errors(self, sql_list, *a, **k):
+        """framework sql.py errors: expect every statement to fail."""
+        for s in sql_list:
+            self.error(s)
+
+    def queryAndCheckResult(self, sql_list, expect_result_list, **k):
+        """framework sql.py queryAndCheckResult: per-statement
+        checkRows + full-grid checkData."""
+        for sql, expect in zip(sql_list, expect_result_list):
+            self.query(sql)
+            self.checkRows(len(expect))
+            for r, row in enumerate(expect):
+                for c, want in enumerate(row):
+                    self.checkData(r, c, want)
+
+    def is_err_sql(self, sql, *a, **k):
+        """framework sql.py is_err_sql: True when the statement errors."""
+        try:
+            self.query(sql, raw=False)
+        except Exception:
+            return True
+        return False
 
     def checkData(self, r, c, want, *a, **k):
         self.stats["checks"] += 1
@@ -706,7 +756,7 @@ class TdSqlShim:
 
     def checkEqual(self, got, want, *a, **k):
         self.stats["checks"] += 1
-        if got != want:
+        if got != want and not self._same(got, want):
             self._fail(f"checkEqual: got {got!r} want {want!r}")
 
     # assorted framework entry points that some files touch
@@ -1008,7 +1058,7 @@ def load_reference_test(path: str, shim: TdSqlShim):
     pkg.utils = utils
     # submodule spellings some files use (utils.common, utils.sql, …)
     subnames = ["common", "sql", "log", "autogen", "cluster", "sqlset",
-                "tserror"]
+                "tserror", "constant"]
     subs = {}
     for sn in subnames:
         sm = ModuleType(f"new_test_framework.utils.{sn}")
@@ -1030,6 +1080,45 @@ def load_reference_test(path: str, shim: TdSqlShim):
         subs["sqlset"].tdSql = shim
         exec(compile(src, _sqlset_path, "exec"), subs["sqlset"].__dict__)
         utils.TDSetSql = subs["sqlset"].TDSetSql
+    _const_path = f"{_utils_dir}/constant.py"
+    if os.path.exists(_const_path):
+        # pure data tables (type lists, boundary values) — load verbatim
+        exec(compile(open(_const_path).read(), _const_path, "exec"),
+             subs["constant"].__dict__)
+    _common_path = f"{_utils_dir}/common.py"
+    if os.path.exists(_common_path):
+        # utils/common.py needs the native client, but its DataSet
+        # fixture-value generator and is_json are pure python — extract
+        # just those two defs via ast and exec them with the constant
+        # tables in scope
+        import ast as _ast
+
+        tree = _ast.parse(open(_common_path).read())
+        picked = [
+            n for n in tree.body
+            if (isinstance(n, _ast.ClassDef) and n.name == "DataSet")
+            or (isinstance(n, _ast.FunctionDef) and n.name == "is_json")
+        ]
+        if picked:
+            # exec into the registered module's __dict__ (dataclass
+            # processing resolves cls.__module__ through sys.modules)
+            sys.modules["new_test_framework.utils.common"] = subs["common"]
+            cns = subs["common"].__dict__
+            cns.update(
+                {k: v for k, v in subs["constant"].__dict__.items()
+                 if not k.startswith("_")}
+            )
+            exec(
+                "import json\nfrom datetime import datetime\n"
+                "from dataclasses import dataclass, field\n"
+                "from typing import List, Any, Tuple\nimport random\n"
+                "import string\n"
+                + "\n".join(_ast.unparse(n) for n in picked),
+                cns,
+            )
+            for sym in ("DataSet", "is_json"):
+                if sym in cns:
+                    setattr(utils, sym, cns[sym])
     _autogen_path = f"{_utils_dir}/autogen.py"
     if os.path.exists(_autogen_path):
         src = open(_autogen_path).read()

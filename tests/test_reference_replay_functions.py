@@ -88,6 +88,59 @@ def test_replay_agg_distinct(spark):
     print(stats)
 
 
+def test_replay_fun_agg_elapsed(spark):
+    """02-Aggregate/test_fun_agg_elapsed.py — elapsed with time units,
+    filters, joins (empty-join row suppression), unions (first-seen
+    dedup order), subqueries. known: the reference's per-window elapsed
+    inside INTERVAL+FILL counts window-width spans (ours counts the
+    data span) and one plain-agg union case orders sides by its
+    scheduler — both documented gaps, 3 statements."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_elapsed.py",
+        ["test_func_agg_elapsed"], tz_shift_hours=0, min_checks=100,
+        known=(
+            "interval(10s) fill(next)",
+            "from ct1_1 where ts >=",
+        ),
+    )
+    print(stats)
+
+
+def test_replay_fun_agg_histogram(spark):
+    """02-Aggregate/test_fun_agg_histogram.py — histogram() over
+    user_input/linear_bin/log_bin × normalized, tag columns, partition
+    and group clauses; the error matrix runs through is_err_sql."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_histogram.py",
+        ["test_fun_agg_histogram"], tz_shift_hours=0, min_checks=90,
+    )
+    print(stats)
+
+
+def test_replay_fun_agg_hyperloglog(spark):
+    """02-Aggregate/test_fun_agg_hyperloglog.py — HLL over every type,
+    empty tables (global HLL emits 0, HLL-only groups emit nothing)."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_hyperloglog.py",
+        ["test_fun_agg_hyperloglog"], tz_shift_hours=0, min_checks=60,
+    )
+    print(stats)
+
+
+def test_replay_fun_agg_stddev(spark):
+    """02-Aggregate/test_fun_agg_stddev.py — population stddev over all
+    types, decimal inputs, distribute checks. ins_databases counts are
+    cross-method replay state (reference CI resets per method)."""
+    stats = _freplay(
+        spark, "02-Aggregate/test_fun_agg_stddev.py",
+        ["test_func_agg_stddev", "test_func_agg_std",
+         "test_func_agg_stddev_pop"],
+        tz_shift_hours=0, min_checks=120,
+        known=("ins_databases",),
+    )
+    print(stats)
+
+
 def test_replay_fun_agg_count(spark):
     """02-Aggregate/test_fun_agg_count.py — count over every type,
     empty-table group semantics (count() emits empty child groups),
