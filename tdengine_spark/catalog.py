@@ -548,14 +548,19 @@ def information_schema(
             "name string, super int, enable int",
         )
     if view == "ins_vgroups":
-        # vgroup ↔ the unit of storage parallelism: one row per parquet
-        # data file (TSDB_INS_TABLE_VGROUPS); serving from footers only
+        # vgroup ↔ the unit of storage parallelism
+        # (TSDB_INS_TABLE_VGROUPS): one row per vgroup a db's tables
+        # map onto — the ids MUST be consistent with the vgroup_id
+        # column ins_tables assigns (the reference's distribute checks
+        # join the two); here that assignment is the same name-hash
         import os
 
         rows = []
-        vgid = 0
         for db_name, db in dbs.items():
+            vg = {}
             for t in db.tables.values():
+                vgid = sum(ord(ch) for ch in t.name) % 2 + 2
+                size = 0
                 paths = [t.path]
                 if os.path.isdir(t.path):
                     paths = [
@@ -564,12 +569,16 @@ def information_schema(
                         if f.endswith(".parquet")
                     ]
                 for p in paths:
-                    vgid += 1
-                    size = os.path.getsize(p) if os.path.exists(p) else 0
-                    rows.append((vgid, db_name, t.name, size, "ready"))
+                    if os.path.exists(p):
+                        size += os.path.getsize(p)
+                n, s = vg.get(vgid, (0, 0))
+                vg[vgid] = (n + 1, s + size)
+            for vgid in sorted(vg):
+                n, s = vg[vgid]
+                rows.append((vgid, db_name, n, s, "ready"))
         return spark.createDataFrame(
             rows,
-            "vgroup_id int, db_name string, table_name string, "
+            "vgroup_id int, db_name string, tables int, "
             "size_bytes long, status string",
         )
     if view == "ins_streams":

@@ -860,8 +860,12 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
             from tdengine_spark.durations import parse_duration
 
             div = float(parse_duration(a[1].strip()).microseconds)
-        return (f"((max(unix_micros({a[0]})) - "
-                f"min(unix_micros({a[0]}))) / {div})")
+        # explicit DOUBLE — the reference returns double
+        # (builtins.c elapsed resultType TSDB_DATA_TYPE_DOUBLE); under
+        # decimal-literal arithmetic the quotient may otherwise come
+        # back as DecimalType and leak decimal.Decimal into results
+        return (f"CAST((max(unix_micros({a[0]})) - "
+                f"min(unix_micros({a[0]}))) / {div} AS DOUBLE)")
 
     s = _rewrite_call(s, "elapsed", elapsed_fn)
     # composite-pk tables: last_row ties on ts break on the larger pk
@@ -882,6 +886,29 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         "apercentile",
         lambda a: f"percentile_approx({a[0]}, {float(a[1]) / 100.0})",
     )
+
+    def percentile_fn(a):
+        # percentile(col, p1 [, p2 …]) — p in [0,100] (builtins.c
+        # translatePercentile); >1 fraction renders the reference's
+        # multi-p VARCHAR '[v1.000000, v2.000000]' (%.6lf each,
+        # builtinsimpl.c:2115-2137)
+        ps = []
+        for x in a[1:]:
+            p = float(x)  # non-literal p → ValueError → reject (parity)
+            if p < 0 or p > 100:
+                raise ValueError(
+                    f"percentile fraction {p} out of range [0,100]")
+            ps.append(p / 100.0)
+        if not ps:
+            raise ValueError("percentile requires at least 2 parameters")
+        if len(ps) == 1:
+            return f"percentile({a[0]}, {ps[0]})"
+        cells = ", ', ', ".join(
+            f"format_string('%.6f', percentile({a[0]}, {p}))" for p in ps
+        )
+        return f"concat('[', {cells}, ']')"
+
+    s = _rewrite_call(s, "percentile", percentile_fn)
     s = _rewrite_call(
         s, "hyperloglog",
         # rsd 0.005: the reference HLL (dense, 2^14 registers) is
@@ -1612,14 +1639,27 @@ _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(\w+)", re.IGNORECASE)
 
 
 def _split_top_and(expr: str) -> "list[str]":
-    """Split a predicate on depth-0 ANDs outside string literals."""
+    """Split a predicate on depth-0 ANDs outside string literals.
+    The AND inside ``x BETWEEN a AND b`` joins BETWEEN's two bounds,
+    not two conjuncts — it must stay inside one part."""
     parts, depth, in_str, cur = [], 0, False, []
-    toks = re.split(r"(?i)(\bAND\b)", expr)
+    between = 0  # pending BETWEEN…AND pairs at any depth
+    toks = re.split(r"(?i)(\bAND\b|\bBETWEEN\b)", expr)
     for t in toks:
-        if t.upper() == "AND" and depth == 0 and not in_str:
-            parts.append("".join(cur))
-            cur = []
+        tu = t.upper()
+        if tu == "BETWEEN" and not in_str:
+            between += 1
+            cur.append(t)
             continue
+        if tu == "AND" and not in_str:
+            if between:
+                between -= 1
+                cur.append(t)
+                continue
+            if depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
         for ch in t:
             if ch == "'":
                 in_str = not in_str
@@ -2837,15 +2877,110 @@ def translate(
 
 _HISTOGRAM_RE = re.compile(
     r"""(?isx)
-    ^\s*select\s+histogram\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
-    '(?P<btype>[^']+)'\s*,\s*'(?P<desc>[^']*)'\s*,\s*(?P<norm>\d)\s*\)
+    ^\s*select\s+histogram\s*\(\s*
+    (?P<col>[A-Za-z_]\w*|[-+]?\d+(?:\.\d+)?)\s*,\s*
+    (?:'(?P<btype>[^']+)'|"(?P<btype2>[^"]+)")\s*,\s*
+    (?:'(?P<desc>[^']*)'|"(?P<desc2>[^"]*)")\s*,\s*(?P<norm>[01])\s*\)
     \s*from\s+(?P<table>[\w.]+)
+    (?:\s+(?!where\b|partition\b|group\b)[A-Za-z_]\w*)?  # table alias
     (?:\s+where\s+(?P<where>.*?))?
     (?:\s+partition\s+by\s+(?P<partition>.*?))?
     (?:\s+group\s+by\s+(?P<group>.*?))?
     \s*;?\s*$
     """
 )
+
+
+def _histogram_edges(btype: str, desc: str) -> "list[float]":
+    """Validate + materialize histogram bin edges, mirroring the
+    reference's validateHistogramBinDesc (builtins.c:786-955): binDesc
+    must parse as json; linear/log objects need exactly the 4 keys
+    start/count/infinity + width|factor; count in [1,1000]; width != 0;
+    log start != 0 and factor not in {<=0, 1}; no inf edges; user_input
+    arrays must be strictly increasing numbers.  Raises ValueError
+    (the dialect's parity with TSDB_CODE_FUNC_HISTOGRAM_ERROR) BEFORE
+    any plan is built — the reference's own error-probe with
+    count:10000000 must reject, not construct a 10M-bin plan."""
+    import json as _json
+    import math as _math
+
+    err = "HISTOGRAM function invalid format for binDesc parameter"
+    try:
+        parsed = _json.loads(desc)
+    except Exception:
+        raise ValueError(err)
+    if btype in ("linear_bin", "log_bin"):
+        if not isinstance(parsed, dict):
+            raise ValueError(err)
+        if len(parsed) != 4:
+            raise ValueError("HISTOGRAM function requires four parameters")
+        start = parsed.get("start")
+        count = parsed.get("count")
+        width = parsed.get("width")
+        factor = parsed.get("factor")
+        infinity = parsed.get("infinity")
+        _num = (int, float)
+        if (not isinstance(start, _num) or isinstance(start, bool)
+                or not isinstance(count, _num) or isinstance(count, bool)
+                or not isinstance(infinity, bool)):
+            raise ValueError(err)
+        # builtins.c:820 — count->valueint truncates toward zero
+        c = int(count)
+        if c <= 0 or c > 1000:
+            raise ValueError(
+                'HISTOGRAM function binDesc parameter "count" '
+                "should be in range [1, 1000]")
+        for x in (start, width, factor, count):
+            if isinstance(x, _num) and not isinstance(x, bool) \
+                    and _math.isinf(float(x)):
+                raise ValueError("HISTOGRAM function bin/parameter should "
+                                 "be in range [-DBL_MAX, DBL_MAX]")
+        s = float(start)
+        if btype == "linear_bin":
+            if not isinstance(width, _num) or isinstance(width, bool) \
+                    or factor is not None:
+                raise ValueError(err)
+            w = float(width)
+            if w == 0:
+                raise ValueError(
+                    'HISTOGRAM function binDesc parameter "width" cannot be 0')
+            edges = [s + i * w for i in range(c + 1)]
+        else:
+            if not isinstance(factor, _num) or isinstance(factor, bool) \
+                    or width is not None:
+                raise ValueError(err)
+            if s == 0:
+                raise ValueError('HISTOGRAM function binDesc parameter '
+                                 '"start" cannot be 0 with "log_bin" type')
+            f0 = float(factor)
+            if f0 <= 0 or f0 == 1:
+                raise ValueError('HISTOGRAM function binDesc parameter '
+                                 '"factor" cannot be negative or equal to 0/1')
+            edges = [s * f0**i for i in range(c + 1)]
+        if any(_math.isinf(e) for e in edges):
+            raise ValueError("HISTOGRAM function bin/parameter should "
+                             "be in range [-DBL_MAX, DBL_MAX]")
+        if infinity:
+            # builtins.c:897-907 — desc-ordered bins swap -inf/inf
+            if edges[0] > edges[-1]:
+                edges = [float("inf")] + edges + [float("-inf")]
+            else:
+                edges = [float("-inf")] + edges + [float("inf")]
+        return edges
+    if btype == "user_input":
+        if not isinstance(parsed, list) or not parsed:
+            raise ValueError(err)
+        edges = []
+        for x in parsed:
+            if not isinstance(x, (int, float)) or isinstance(x, bool):
+                raise ValueError(err)
+            v = float(x)
+            if edges and v <= edges[-1]:
+                raise ValueError(err)
+            edges.append(v)
+        return edges
+    raise ValueError("HISTOGRAM function binType parameter should be "
+                     "one of the following: user_input, linear_bin, log_bin")
 
 
 def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
@@ -2857,24 +2992,11 @@ def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
     normalized). Counts compute in ONE hash aggregate (conditional
     sums); the per-bin rows come from exploding a literal-sized array —
     no per-row Python anywhere."""
-    import json as _json
-
     g = m.groupdict()
-    btype = g["btype"].strip().lower()
-    desc = g["desc"]
-    if btype == "user_input":
-        edges = [float(x) for x in _json.loads(desc)]
-    else:
-        d = _json.loads(desc)
-        s, c = float(d["start"]), int(d["count"])
-        if btype == "linear_bin":
-            w = float(d["width"])
-            edges = [s + i * w for i in range(c + 1)]
-        else:  # log_bin
-            f0 = float(d["factor"])
-            edges = [s * f0**i for i in range(c + 1)]
-        if d.get("infinity"):
-            edges = [float("-inf")] + edges + [float("inf")]
+    btype = (g["btype"] if g["btype"] is not None
+             else g["btype2"]).strip().lower()
+    desc = g["desc"] if g["desc"] is not None else g["desc2"]
+    edges = _histogram_edges(btype, desc)
     bins = list(zip(edges[:-1], edges[1:]))
     norm = g["norm"] == "1"
 
@@ -2891,7 +3013,26 @@ def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
     for part in (g["partition"], g["group"]):
         if part:
             keys += [k.strip() for k in _split_select(part)]
-    v = F.col(g["col"]).cast("double")
+    colname = g["col"]
+    if re.fullmatch(r"[-+]?\d+(?:\.\d+)?", colname):
+        # the reference accepts a numeric CONSTANT as the histogram
+        # input (test_fun_agg_histogram cur_sqls col=1)
+        v = F.lit(float(colname))
+    else:
+        # ...but REJECTS non-numeric columns (binary/nchar/bool/ts are
+        # error probes; translateHistogram requires a numeric type) —
+        # a silent cast-to-null would succeed where the reference errors
+        ftype = next((f.dataType.simpleString() for f in base.schema
+                      if f.name.lower() == colname.lower()), None)
+        if ftype is None or not (
+            ftype in ("tinyint", "smallint", "int", "bigint",
+                      "float", "double")
+            or ftype.startswith("decimal")
+        ):
+            raise ValueError(
+                f"HISTOGRAM function requires a numeric column, got "
+                f"{colname}: {ftype}")
+        v = F.col(colname).cast("double")
     aggs = [
         F.sum(F.when((v > float(lo)) & (v <= float(hi)), 1)
               .otherwise(0)).alias(f"_b{i}")
@@ -2936,13 +3077,18 @@ def _translate_inner(
 ) -> DataFrame:
     sql = _outside_quotes(sql, lambda s: s.replace("`", ""))
     # the reference parser tolerates a clause keyword glued to a closing
-    # string literal (`...'group by tbname`) — re-insert the space
-    sql = re.sub(
+    # string literal (`...'group by tbname`) — re-insert the space, but
+    # ONLY at quotes that CLOSE a literal (odd count of preceding
+    # quotes); an opening quote followed by one of these words is the
+    # literal itself (`where c = 'order'`, `select 'and more'`)
+    _glued = re.compile(
         r"'(?=(?:group|order|partition|interval|session|limit|slimit|"
         r"having|fill|where|and|or)\b)",
-        "' ",
+        re.IGNORECASE,
+    )
+    sql = _glued.sub(
+        lambda m: "' " if sql.count("'", 0, m.start()) % 2 == 1 else "'",
         sql,
-        flags=re.IGNORECASE,
     )
     sql = _resolve_information_schema(spark, db, sql)
     sql = _dequalify_tables(sql, db)
@@ -3212,17 +3358,22 @@ def _translate_inner(
                 if regrows:
                     from pyspark.sql import types as _T
 
+                    # positional field names — dcols may repeat a column
+                    # (`distinct t0, t0`), which would make by-name
+                    # selection AMBIGUOUS_REFERENCE; the union is
+                    # positional anyway
                     reg_df = spark.createDataFrame(
                         [tuple(None if v is None else str(v) for v in r)
                          for r in regrows],
                         _T.StructType([
-                            _T.StructField(c, _T.StringType())
-                            for c in dcols
+                            _T.StructField(f"_rc{i}", _T.StringType())
+                            for i in range(len(dcols))
                         ]),
                     )
-                    osch = {f.name: f.dataType for f in out.schema}
+                    otypes = [f.dataType for f in out.schema]
                     reg_df = reg_df.select(*[
-                        _lit_cast(c, osch[c]) for c in dcols
+                        _lit_cast(f"_rc{i}", otypes[i])
+                        for i in range(len(dcols))
                     ])
                     out = out.union(reg_df.toDF(*out.columns)).distinct()
         return out.limit(lim) if lim is not None else out
@@ -3824,6 +3975,8 @@ def _translate_inner(
                 # (the reference's per-vnode tag filter runs before the
                 # scan); data-involving conjuncts can't prune — those
                 # children still emit with count 0
+                from pyspark.errors import AnalysisException as _AE
+
                 for conj in _split_top_and(g["where"]):
                     if _refs_only_cols(conj, _meta):
                         try:
@@ -3832,7 +3985,10 @@ def _translate_inner(
                                     universe.schema, _rewrite_ops(conj)
                                 )
                             ))
-                        except Exception:
+                        except (_AE, ValueError, KeyError):
+                            # a conjunct the prune dialect can't express
+                            # just doesn't prune — it still filters in
+                            # the main query
                             pass
             universe = universe.select(*_kplain).distinct()
             out = universe.join(out, on=_kplain, how="left")
@@ -5293,18 +5449,19 @@ def _split_value_groups(text: str) -> list[list]:
     return groups
 
 
-#: VALUES range validation (parInsertSql.c rejects literals outside the
-#: declared type's range; the *_MIN / *_MAX sentinel of each width is
-#: reserved for NULL, so the valid range excludes it)
+#: VALUES range validation — parInsertSql.c accepts the full C-type
+#: range per ttypes.h:310-317 (IS_VALID_TINYINT is >= INT8_MIN, i.e.
+#: -128 is a VALID tinyint literal; the MIN sentinel is a storage-side
+#: NULL marker, not a parser reject)
 _SIGNED_BOUNDS = {
-    "tinyint": (-127, 127), "smallint": (-32767, 32767),
-    "int": (-2147483647, 2147483647),
-    "bigint": (-(2**63 - 1), 2**63 - 1),
+    "tinyint": (-128, 127), "smallint": (-32768, 32767),
+    "int": (-2147483648, 2147483647),
+    "bigint": (-(2**63), 2**63 - 1),
 }
 #: keyed by the WIDENED storage type (see _UNSIGNED_WIDEN)
 _UNSIGNED_BOUNDS = {
-    "smallint": (0, 254), "int": (0, 65534),
-    "bigint": (0, 2**32 - 2), "decimal(20,0)": (0, 2**64 - 2),
+    "smallint": (0, 255), "int": (0, 65535),
+    "bigint": (0, 2**32 - 1), "decimal(20,0)": (0, 2**64 - 1),
 }
 
 
@@ -5485,7 +5642,16 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
             )
         cols = [f.name for f in schema if f.name not in extra]
         cols = cols[: len(rows[0])]
-    data = [dict(zip(cols, r), **extra) for r in rows]
+    # per-ROW version: within one INSERT statement, a later VALUES group
+    # overwrites an earlier one at the same (tbname, ts) (reference
+    # parInsertSql.c processes groups in order into the memtable) — a
+    # shared stamp would leave keep-last dedup tied and arbitrary
+    base_ver = extra.pop("_version")
+    data = [
+        dict(zip(cols, r), **extra, _version=base_ver + i)
+        for i, r in enumerate(rows)
+    ]
+    extra["_version"] = base_ver
     if schema is not None:
         _validate_insert_ranges(db, target, schema, data)
     if schema is not None:
@@ -6085,7 +6251,7 @@ def _execute_inner(
             out = out.where(F.col("view_name").like(shvm.group(1)))
         return out
     sm = re.match(
-        r"^\s*SHOW\s+(?:[A-Za-z_]\w*\.)?"
+        r"^\s*SHOW\s+(?:([A-Za-z_]\w*)\.)?"
         r"(TABLES|STABLES|DATABASES|USERS|VGROUPS|STREAMS|"
         r"CLUSTER|DNODES|VARIABLES)"
         r"(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$",
@@ -6105,12 +6271,20 @@ def _execute_inner(
             "CLUSTER": "ins_cluster",
             "DNODES": "ins_dnodes",
             "VARIABLES": "ins_configs",
-        }[sm.group(1).upper()]
+        }[sm.group(2).upper()]
         if view in ("ins_tables", "ins_stables", "ins_databases", "ins_vgroups"):
-            for name in _db_tables(db):
-                db.table(name)
+            for sdb in _session_dbs(db).values():
+                for name in _db_tables(sdb):
+                    sdb.table(name)
         out = information_schema(spark, _session_dbs(db), view)
-        if sm.group(2) is not None:
+        # the reference scopes SHOW TABLES/STABLES/VGROUPS to the
+        # current (or `SHOW db.TABLES`-qualified) database, never all
+        # session siblings (mndShowRetrieve* resolves one db)
+        if view in ("ins_tables", "ins_stables", "ins_vgroups"):
+            scope_db = sm.group(1) or getattr(db, "name", "db") or "db"
+            if "db_name" in out.columns:
+                out = out.where(F.col("db_name") == scope_db)
+        if sm.group(3) is not None:
             namecol = {
                 "ins_tables": "table_name",
                 "ins_stables": "stable_name",
@@ -6120,17 +6294,29 @@ def _execute_inner(
             }.get(view)
             if namecol and namecol in out.columns:
                 out = out.where(
-                    F.col(namecol).like(sm.group(2))
+                    F.col(namecol).like(sm.group(3))
                 )
         return out
     dm = re.match(r"^\s*DESC(?:RIBE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.IGNORECASE)
     if dm:
         from tdengine_spark.catalog import information_schema
 
-        tname = dm.group(1).split(".")[-1]
-        db.table(tname)
+        parts = dm.group(1).split(".")
+        tname = parts[-1]
+        # DESCRIBE db.tbl resolves against the QUALIFIED db, not the
+        # session's current one
+        tdb = db
+        if len(parts) > 1:
+            qual = parts[-2]
+            sess = _session_dbs(db)
+            if qual in sess:
+                tdb = sess[qual]
+        tdb.table(tname)
+        dbname = getattr(tdb, "name", "db") or "db"
         cols = information_schema(spark, _session_dbs(db), "ins_columns")
-        return cols.where(F.col("table_name") == tname).select(
+        return cols.where(
+            (F.col("table_name") == tname) & (F.col("db_name") == dbname)
+        ).select(
             F.col("col_name").alias("field"),
             F.col("col_type").alias("type"),
             F.col("col_position").alias("position"),
@@ -6373,7 +6559,10 @@ def _translate_rowsel(base, items, found, keys, ts_col):
 
 
 _GROUPFN_CALL_RE = re.compile(
-    r"(?i)\b(twa|irate)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+    # arg: a paren-free scalar expression — covers bare columns,
+    # dot-qualified refs and arithmetic (`twa(c1+c2)`,
+    # builtins.c translateTwa accepts any numeric expression)
+    r"(?i)\b(twa|irate)\s*\(\s*([^(),']+?)\s*\)"
 )
 
 
@@ -6403,7 +6592,7 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
     t = F.unix_micros(F.col(ts_col)).cast("double")
     newcols, mapping = [], {}
     for i, (fn, col) in enumerate(calls):
-        v = F.col(col).cast("double")
+        v = F.expr(col).cast("double")
         tn = F.when(v.isNotNull(), t)
         prev_t = F.last(tn, ignorenulls=True).over(wprev)
         prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wprev)

@@ -72,6 +72,10 @@ def histogram_linear(
     """histogram(col, 'linear_bin', ...) (builtins.c:4032): fixed-width
     bins [start + i*width, start + (i+1)*width). Returns one row per
     non-empty bin: (partition..., bin_lower, bin_upper, bin_count)."""
+    if not 1 <= int(count) <= 1000:  # builtins.c:788 binDesc "count" bound
+        raise ValueError('histogram "count" should be in range [1, 1000]')
+    if width == 0:
+        raise ValueError('histogram "width" cannot be 0')
     keys = list(partition_by or [])
     v = F.col(col).cast("double")
     idx = F.floor((v - start) / width)
@@ -102,6 +106,12 @@ def histogram_log(
     partition_by: "list[str] | None" = None,
 ) -> DataFrame:
     """histogram(col, 'log_bin', ...): bins [start*base^i, start*base^(i+1))."""
+    if not 1 <= int(count) <= 1000:  # builtins.c:788 binDesc "count" bound
+        raise ValueError('histogram "count" should be in range [1, 1000]')
+    if start == 0:
+        raise ValueError('histogram "start" cannot be 0 with "log_bin" type')
+    if base <= 0 or base == 1:
+        raise ValueError('histogram "factor" cannot be negative or 0/1')
     keys = list(partition_by or [])
     v = F.col(col).cast("double")
     idx = F.floor(F.log(float(base), v / start))

@@ -100,6 +100,10 @@ def _shift_epoch_ints(sql: str, offset_ms: int) -> str:
     def sub(m):
         v = int(m.group(1))
         n = len(m.group(1))
+        if v > 4_000_000_000_000_000_000:
+            # not a plausible ns epoch (year > ~2096) — INT64_MAX-ish
+            # VALUE literals (bound-value inserts) must not be shifted
+            return m.group(1)
         if n <= 14:
             return str(v + offset_ms)
         if n <= 17:
@@ -755,9 +759,22 @@ class TdSqlShim:
         return str(got) == str(want)
 
     def checkEqual(self, got, want, *a, **k):
+        # the reference framework's checkEqual is EXACT equality —
+        # keep it strict; allow the tolerant _same comparator only for
+        # numeric-representation gaps (int vs float vs Decimal), never
+        # string-form coercion of mismatched types
         self.stats["checks"] += 1
-        if got != want and not self._same(got, want):
-            self._fail(f"checkEqual: got {got!r} want {want!r}")
+        if got == want:
+            return
+        from decimal import Decimal as _Dec
+        _nums = (int, float, _Dec)
+        numeric_pair = (
+            isinstance(got, _nums) and not isinstance(got, bool)
+            and isinstance(want, _nums) and not isinstance(want, bool)
+        )
+        if numeric_pair and self._same(got, want):
+            return
+        self._fail(f"checkEqual: got {got!r} want {want!r}")
 
     # assorted framework entry points that some files touch
     def checkCols(self, n, *a, **k):

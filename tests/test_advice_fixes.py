@@ -201,3 +201,139 @@ def test_subst_agg_refs_normalized():
         "`s` > 3 AND `c` < 9"
     )
     assert _subst_agg_refs("avg(y) > 1", items) == "avg(y) > 1"
+
+
+# --- round-11 ADVICE fixes ----------------------------------------------
+
+
+def test_glued_quote_fixup_not_inside_literals(spark, tmp_path):
+    """The glued-clause-keyword space re-insertion must only fire at
+    quotes that CLOSE a literal — `'order'` / `'and more'` literals
+    must round-trip unchanged (r11 ADVICE high)."""
+    import os
+
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import translate
+
+    spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00", c="order", v=1.0),
+         Row(ts="2024-01-01 00:00:01", c="other", v=2.0)]
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "c", "v"
+    ).write.parquet(str(tmp_path / "t1.parquet"))
+    db = Database(str(tmp_path))
+    # literal 'order' as a comparison value
+    rows = translate(
+        spark, db, "select v from t1 where c = 'order'"
+    ).collect()
+    assert [r.v for r in rows] == [1.0]
+    # literal starting with a clause keyword, projected
+    rows = translate(spark, db, "select 'and more' as lit from t1").collect()
+    assert all(r.lit == "and more" for r in rows)
+    # glued CLOSING quote still gets the space re-inserted
+    rows = translate(
+        spark, db,
+        "select count(*) as n from t1 where c = 'order'and v > 0"
+    ).collect()
+    assert rows[0].n == 1
+
+
+def test_split_top_and_keeps_between_whole():
+    """BETWEEN x AND y must stay one conjunct (r11 ADVICE medium)."""
+    from tdengine_spark.dialect import _split_top_and
+
+    assert _split_top_and("t1 between 1 and 3") == ["t1 between 1 and 3"]
+    assert _split_top_and("a > 0 and t1 between 1 and 3 and b < 9") == [
+        "a > 0", "t1 between 1 and 3", "b < 9"
+    ]
+    assert _split_top_and(
+        "ts between '2024-01-01' and '2024-01-02' and v = 1"
+    ) == ["ts between '2024-01-01' and '2024-01-02'", "v = 1"]
+    # plain split still works
+    assert _split_top_and("a = 1 and b = 2") == ["a = 1", "b = 2"]
+
+
+def test_histogram_binds_validated():
+    """binDesc validation mirrors builtins.c:786-955 (r11 verdict #1:
+    count:10000000 must reject BEFORE building a plan, no JVM OOM)."""
+    import pytest as _pytest
+
+    from tdengine_spark.dialect import _histogram_edges
+
+    # the reference's own OOM-probe: linear_bin count 10M
+    with _pytest.raises(ValueError, match=r"\[1, 1000\]"):
+        _histogram_edges(
+            "linear_bin",
+            '{"start": 1, "width": 1, "count": 10000000, "infinity": false}',
+        )
+    with _pytest.raises(ValueError, match="width"):
+        _histogram_edges(
+            "linear_bin",
+            '{"start": 1, "width": 0, "count": 10, "infinity": false}',
+        )
+    with _pytest.raises(ValueError, match="factor"):
+        _histogram_edges(
+            "log_bin",
+            '{"start": 1, "factor": 1, "count": 4, "infinity": true}',
+        )
+    with _pytest.raises(ValueError, match="start"):
+        _histogram_edges(
+            "log_bin",
+            '{"start": 0, "factor": 4, "count": 4, "infinity": true}',
+        )
+    with _pytest.raises(ValueError):  # non-increasing user_input
+        _histogram_edges("user_input", "[3, 0, 10]")
+    with _pytest.raises(ValueError):  # 5th key
+        _histogram_edges(
+            "linear_bin",
+            '{"start":1,"width":1,"count":2,"infinity":false,"other":1}',
+        )
+    # valid descriptors produce edges
+    assert _histogram_edges("user_input", "[0, 3, 6, 9]") == [0, 3, 6, 9]
+    e = _histogram_edges(
+        "linear_bin", '{"start": 0, "width": 5, "count": 2, "infinity": true}'
+    )
+    assert e == [float("-inf"), 0, 5, 10, float("inf")]
+    # fractional count truncates like cJSON valueint (cur_sqls count:1.5)
+    e = _histogram_edges(
+        "linear_bin",
+        '{"start": 1, "width": 1, "count": 1.5, "infinity": false}',
+    )
+    assert e == [1, 2]
+
+
+def test_tinyint_full_c_range_accepted():
+    """ttypes.h:310 IS_VALID_TINYINT accepts INT8_MIN — bounds must be
+    the full C range (r11 verdict #3)."""
+    from tdengine_spark.dialect import _SIGNED_BOUNDS, _UNSIGNED_BOUNDS
+
+    assert _SIGNED_BOUNDS["tinyint"] == (-128, 127)
+    assert _SIGNED_BOUNDS["smallint"] == (-32768, 32767)
+    assert _SIGNED_BOUNDS["int"] == (-2147483648, 2147483647)
+    assert _SIGNED_BOUNDS["bigint"] == (-(2 ** 63), 2 ** 63 - 1)
+    assert _UNSIGNED_BOUNDS["smallint"] == (0, 255)
+    assert _UNSIGNED_BOUNDS["int"] == (0, 65535)
+
+
+def test_show_tables_scoped_to_db(spark, tmp_path):
+    """SHOW TABLES lists only the current db's tables; SHOW db.TABLES
+    honors the qualifier (r11 ADVICE medium)."""
+    import os
+
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    d1 = tmp_path / "dba"
+    d2 = tmp_path / "dbb"
+    os.makedirs(d1 / "t_one.parquet")
+    os.makedirs(d2 / "t_two.parquet")
+    dba = Database(str(d1))
+    dbb = Database(str(d2))
+    dba.name, dbb.name = "dba", "dbb"
+    dba.siblings = {"dbb": dbb}
+    shown = {r.table_name for r in
+             execute(spark, dba, "show tables").collect()}
+    assert "t_one" in shown and "t_two" not in shown
+    shown2 = {r.table_name for r in
+              execute(spark, dba, "show dbb.tables").collect()}
+    assert "t_two" in shown2 and "t_one" not in shown2

@@ -635,7 +635,20 @@ def test_show_command_family(spark):
     assert len(dbs) == 1 and dbs[0].ntables >= 10
     users = execute(spark, _db(), "SHOW USERS").collect()
     assert len(users) == 1 and users[0].super == 1
-    assert execute(spark, _db(), "SHOW VGROUPS").count() >= 10
+    # one row per vgroup of the CURRENT db; ids must agree with the
+    # vgroup_id column ins_tables assigns (the reference's distribute
+    # checks join the two)
+    vg = execute(spark, _db(), "SHOW VGROUPS").collect()
+    assert 1 <= len(vg) <= 2
+    vg_ids = {r.vgroup_id for r in vg}
+    tbl_vgs = {
+        r.vgroup_id
+        for r in translate(
+            spark, _db(),
+            "select vgroup_id from information_schema.ins_tables",
+        ).collect()
+    }
+    assert tbl_vgs <= vg_ids
     cluster = execute(spark, _db(), "SHOW CLUSTER").collect()
     assert cluster[0].version.startswith("4.")
     assert execute(spark, _db(), "SHOW DNODES").count() >= 1

@@ -97,7 +97,11 @@ def test_replay_fun_agg_elapsed(spark):
     scheduler — both documented gaps, 3 statements."""
     stats = _freplay(
         spark, "02-Aggregate/test_fun_agg_elapsed.py",
-        ["test_func_agg_elapsed"], tz_shift_hours=0, min_checks=100,
+        ["test_func_agg_elapsed"], min_checks=100,
+        # the file mixes epoch-int inserts (start_ts is an
+        # Asia/Shanghai wall) with '15:00' string literals — run
+        # wall-to-wall in the reference CI's zone
+        session_tz="Asia/Shanghai",
         known=(
             "interval(10s) fill(next)",
             "from ct1_1 where ts >=",
@@ -164,5 +168,23 @@ def test_replay_fun_agg_avg(spark):
     stats = _freplay(
         spark, "02-Aggregate/test_fun_agg_avg.py",
         ["test_func_agg_avg"], tz_shift_hours=0, min_checks=100,
+    )
+    print(stats)
+
+
+# --- 04-Timeseries replays (r12) ---------------------------------------------
+
+
+def test_replay_fun_ts_twa(spark):
+    """04-Timeseries/test_fun_ts_twa.py — twa over all numeric types,
+    partition/group by tbname and tags, union all, equi-ts join, mixup
+    with max/elapsed. patch_out: check_distribute_datas inspects real
+    vgroup placement; check_week_sliding_interval_across_blocks shells
+    out to the taos binary."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_twa.py",
+        ["test_func_ts_twa"], tz_shift_hours=0, min_checks=40,
+        patch_out=("check_distribute_datas",
+                   "check_week_sliding_interval_across_blocks"),
     )
     print(stats)
