@@ -84,6 +84,10 @@ class SuperTable:
     #: columns declared UNSIGNED (stored one Spark tier wider — there
     #: is no unsigned type); INSERT range validation keys off this
     unsigned_cols: tuple[str, ...] = ()
+    #: (name, declared-type-text) pairs from CREATE TABLE, in declared
+    #: order (data cols then tags) — DESCRIBE renders the reference's
+    #: type names (VARCHAR/NCHAR with declared lengths) from these
+    declared_types: tuple = ()
 
     # -- schema evolution (ALTER TABLE/STABLE, sql.y:1091-1117) -------
     # The reference records ALTERs as mnode metadata (schema version

@@ -859,7 +859,14 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         if len(a) > 1:
             from tdengine_spark.durations import parse_duration
 
-            div = float(parse_duration(a[1].strip()).microseconds)
+            u = a[1].strip()
+            if re.fullmatch(r"(?i)\d+b", u):
+                # ns unit: timestamps are stored at us precision, so the
+                # result is the us-floored span in ns — sub-us deltas
+                # are a documented precision gap
+                div = int(u[:-1]) / 1000.0
+            else:
+                div = float(parse_duration(u).microseconds)
         # explicit DOUBLE — the reference returns double
         # (builtins.c elapsed resultType TSDB_DATA_TYPE_DOUBLE); under
         # decimal-literal arithmetic the quotient may otherwise come
@@ -1737,6 +1744,13 @@ def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
         return db.read(
             spark, name, dedup=bool(reg0 is not None and reg0.managed)
         )
+    if name in db.tables:
+        # registry FIRST: join translation registers temp views under
+        # table names — after a drop/create-database cycle those views
+        # point at the previous generation's data
+        child = _child_slice(spark, db, name)
+        if child is not None:
+            return child
     if _view_exists(spark, name):
         return spark.table(name)
     child = _child_slice(spark, db, name)
@@ -1854,6 +1868,15 @@ def _translate_selection(
     """
     g = m.groupdict()
     base = _read_rel(spark, db, g["table"])
+    if "tbname" not in base.columns and any(
+        re.search(r"(?i)\btbname\b", re.sub(r"'[^']*'", "''", it))
+        for it in items
+    ):
+        # tbname over a NORMAL table is the table's own name
+        # (parTranslater translates the pseudo-column for any kind)
+        base = base.withColumn(
+            "tbname", F.lit(g["table"].split(".")[-1])
+        )
     if g["where"]:
         base = base.where(
             F.expr(_filter_expr_sql(
@@ -2608,9 +2631,11 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
         # rows (projectoperator.c indef emission). The window is
         # deliberately global — the reference's join output is one
         # ts-ordered stream.
-        icols, iemit = _build_indef_items(
+        icols, iemit, ipref = _build_indef_items(
             [f"{c} as {n}" for n, c in calls], [], ts_col
         )
+        if ipref is not None:
+            out = out.where(ipref)
         sel = [F.col(c) for c in out.columns] + list(icols)
         if iemit is not None:
             out = (
@@ -2621,6 +2646,12 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
         else:
             out = out.select(*sel)
         return out.selectExpr(*sub_items)
+    if _collect_groupfn_calls(items):
+        # twa()/irate() over the join result (`select twa(tb1.c1),
+        # twa(tb2.c2) from tb1, tb2 where tb1.ts=tb2.ts`): the join
+        # output is one ts-ordered stream, so the lag pre-pass is
+        # global — the rewritten items are then a plain global agg
+        out, items = _prepare_groupfns(out, items, [], ts_col)
     return out.selectExpr(*items)
 
 
@@ -3486,6 +3517,52 @@ def _translate_inner(
                 spark, db, f"select {sel2} from {view} {tail2}",
                 wts, tsma_catalog,
             )
+        jm2 = re.match(r"(?is)^\s*select\s+(.*?)\s+from\s+(.*)$", sql)
+        if jm2 and (
+            _collect_groupfn_calls([jm2.group(1)])
+            or re.search(
+                r"(?i)\b(?:diff|csum|mavg|derivative|statecount|"
+                r"stateduration|sample)\s*\(",
+                jm2.group(1),
+            )
+        ):
+            # twa()/irate()/indef functions over a join: project the
+            # qualified refs (plus the equi-join ts) through the plain
+            # join fallback into a view, then re-enter the dialect —
+            # the lag pre-pass / indef windows run over the view's
+            # single ts-ordered stream (same shape as the
+            # window-over-join rewrite)
+            head_sel, head_rest = jm2.group(1), jm2.group(2)
+            proj = {}
+
+            def q2a2(m3):
+                key = f"{m3.group(1)}__{m3.group(2)}"
+                proj[key] = f"{m3.group(1)}.{m3.group(2)}"
+                return key
+
+            qref2 = r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b"
+            sel2 = re.sub(qref2, q2a2, head_sel)
+            jtm = re.search(
+                rf"(?i)\b([A-Za-z_]\w*)\.({re.escape(ts_col)})\s*=",
+                head_rest,
+            )
+            items2 = [f"{v} as {k}" for k, v in proj.items()]
+            wts2 = ts_col
+            if jtm:
+                wts2 = "_jts"
+                items2.append(f"{jtm.group(0)[:-1].strip()} as _jts")
+            inner2 = (
+                "select " + (", ".join(items2) or "*")
+                + " from " + head_rest
+            )
+            view2 = f"_dialect_gfjoin_{abs(hash(sql)) % 10**8}"
+            _translate_inner(
+                spark, db, inner2, ts_col, tsma_catalog
+            ).createOrReplaceTempView(view2)
+            return _translate_inner(
+                spark, db, f"select {sel2} from {view2}",
+                wts2, tsma_catalog,
+            )
         sql = _rewrite_join_firstlast(db, sql)
         sql = _dequalify_tables(sql, db)
         _register_views(spark, db, sql)
@@ -3562,10 +3639,14 @@ def _translate_inner(
             r"\s*\(",
             g["select"],
         )
-    ) and _view_exists(spark, table):
+    ) and _view_exists(spark, table) and table not in db.tables:
         # dialect clauses over a registered view (e.g. a translated
         # FROM-subquery) — read the view instead of parquet; expose its
-        # recorded presentation order to the window assignment below
+        # recorded presentation order to the window assignment below.
+        # A name the CURRENT db's registry knows is never served from a
+        # temp view: join translation registers views under table names,
+        # and after a drop/create-database cycle those views point at
+        # the PREVIOUS generation's data
         base = spark.table(table)
         global _ACTIVE_SUB_ORDER
         _ACTIVE_SUB_ORDER = _VIEW_ORDER.get(table)
@@ -3743,15 +3824,33 @@ def _translate_inner(
         # row-indexed functions (diff/csum/…): PARTITION BY keys become
         # the ordered-window partition; rows where the function output
         # is undefined are dropped (reference indef emission)
-        icols, iemit = indef_cols
+        icols, iemit, ipref = indef_cols
+        if ipref is not None:
+            base = base.where(ipref)
+        # SLIMIT needs the partition keys post-projection — carry them
+        # under hidden names, select groups, then drop
+        _skeys = []
+        if g["slimit"] and keys:
+            _skeys = [
+                F.expr(k).alias(f"_sk{i}") for i, k in enumerate(keys)
+            ]
         if iemit is not None:
             out = (
-                base.select(*icols, iemit.alias("_emit"))
+                base.select(*icols, *_skeys, iemit.alias("_emit"))
                 .where(F.col("_emit"))
                 .drop("_emit")
             )
         else:
-            out = base.select(*icols)
+            out = base.select(*icols, *_skeys)
+        if _skeys:
+            from tdengine_spark.operators.slimit import slimit as _slimit
+
+            out = _slimit(
+                out, [f"_sk{i}" for i in range(len(keys))],
+                int(g["slimit"]), int(g.get("soffset") or 0),
+            ).drop(*[f"_sk{i}" for i in range(len(keys))])
+            g = dict(g)
+            g["slimit"] = None
     elif (rs := _match_rowsel(items)) is not None:
         out = _translate_rowsel(base, items, rs, keys, ts_col)
     elif (
@@ -4087,7 +4186,18 @@ def _translate_inner(
             out = base.selectExpr(*items)
 
     if g["having"] and not window:
-        out = out.where(F.expr(_rewrite_ops(g["having"])))
+        # substitute aggregate spellings to their output columns first
+        # (`having count(c5) > 0` filters the aggregated frame — the
+        # raw call can't re-evaluate there); items not in the select
+        # list fall through as-is
+        hv = _rewrite_ops(g["having"])
+        ocols = list(out.columns)
+        pairs = [
+            (re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it), oc)
+            for it, oc in zip(items, ocols[len(ocols) - len(items):])
+        ] if len(ocols) >= len(items) else []
+        hv = _subst_agg_refs(_rewrite_aggs(hv, ts_col), pairs)
+        out = out.where(F.expr(hv))
     if g["slimit"] and keys and not window:
         from tdengine_spark.operators.slimit import slimit as _slimit
 
@@ -4734,7 +4844,9 @@ def _windowed_projection(
     win_key = "_wstart" if wl.startswith("interval") else WINDOW_ID
     indef_cols = _build_indef_items(items, keys + [win_key], ts_col)
     if indef_cols is not None:
-        icols, iemit = indef_cols
+        icols, iemit, ipref = indef_cols
+        if ipref is not None:
+            filtered = filtered.where(ipref)
         data = filtered.select(*icols)
         if iemit is not None:
             data = (
@@ -4935,7 +5047,7 @@ def _windowed(
             continue
         norm.append(it)
     items = norm
-    if any(_GROUPFN_CALL_RE.search(it) for it in items):
+    if _collect_groupfn_calls(items):
         # twa()/irate() in a window query: the lag pre-pass partitions
         # by (keys, window bucket). Interval tumbling buckets are pure
         # ts expressions; data-driven windows fall back to keys only.
@@ -5388,6 +5500,9 @@ def _windowed(
 _INSERT_RE = re.compile(
     r"""
     ^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*)
+    # column list may come BEFORE the USING clause
+    # (`insert into dev1(ts, c1) using st tags(1) values…`)
+    (?:\s*\(\s*(?P<cols_pre>[^)]*?)\s*\)(?=\s*USING\b))?
     (?:\s+USING\s+(?P<stable>[A-Za-z_][\w.]*)
         \s*(?:\(\s*(?P<tagcols>[^)]*?)\s*\))?
         \s*TAGS\s*\((?P<tags>.*?)\))?
@@ -5575,7 +5690,8 @@ def translate_insert(spark: SparkSession, db: Database, sql: str) -> int:
         rows = _split_value_groups(g["values"])
     if not rows:
         raise ValueError("INSERT with no VALUES rows")
-    cols = [c.strip() for c in g["cols"].split(",")] if g["cols"] else None
+    col_list = g["cols"] or g.get("cols_pre")
+    cols = [c.strip() for c in col_list.split(",")] if col_list else None
     # db-qualified targets (`db.tb0`): the db prefix is the session
     # database in these statements — the registry keys bare names
     target = (g["stable"] or g["table"]).split(".")[-1]
@@ -5940,6 +6056,12 @@ def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
         for item in _split_select(g["cols"] + "," + (g["tags"] or ""))
         if item.strip() and re.search(r"(?i)\bunsigned\b", item)
     )
+    t.declared_types = tuple(
+        (item.strip().split()[0],
+         " ".join(item.strip().split()[1:]))
+        for item in _split_select(g["cols"] + "," + (g["tags"] or ""))
+        if item.strip()
+    )
     return name
 
 
@@ -5998,6 +6120,21 @@ def translate_alter_table(spark: SparkSession, db: Database, sql: str) -> str:
     rest = m.group("rest").strip()
     t = db.table(name)
     ov = t.load_overlay()
+
+    def _decl_set(col, typ_text):
+        # keep DESCRIBE's declared-type rendering in step with ALTERs
+        dt = [list(p) for p in (t.declared_types or ())]
+        if typ_text is None:
+            dt = [p for p in dt if p[0] != col]
+        else:
+            for p in dt:
+                if p[0] == col:
+                    p[1] = typ_text
+                    break
+            else:
+                dt.append([col, typ_text])
+        t.declared_types = tuple(tuple(p) for p in dt)
+
     for kind, cre in _ALTER_CLAUSES:
         cm = cre.match(rest)
         if not cm:
@@ -6013,6 +6150,7 @@ def translate_alter_table(spark: SparkSession, db: Database, sql: str) -> str:
                 ov["phys"][col] = f"{col}__v{v}"
             if all(c != col for c, _ in ov["add"]):
                 ov["add"].append([col, typ])
+            _decl_set(col, cm.group(2))
             if kind == "add_tag" and col not in t.tag_cols:
                 t.tag_cols = (*t.tag_cols, col)
         elif kind in ("drop_col", "drop_tag"):
@@ -6024,12 +6162,18 @@ def translate_alter_table(spark: SparkSession, db: Database, sql: str) -> str:
                     ov["drop"].append(phys)
             elif col not in ov["drop"]:
                 ov["drop"].append(col)
+            _decl_set(col, None)
             if kind == "drop_tag":
                 t.tag_cols = tuple(c for c in t.tag_cols if c != col)
         elif kind in ("modify_col", "modify_tag"):
             ov["retype"][cm.group(1)] = _spark_type(cm.group(2))
+            _decl_set(cm.group(1), cm.group(2))
         elif kind in ("rename_col", "rename_tag"):
             old, new = cm.group(1), cm.group(2)
+            t.declared_types = tuple(
+                (new if c == old else c, ty)
+                for c, ty in (t.declared_types or ())
+            )
             ov["add"] = [[new if c == old else c, ty] for c, ty in ov["add"]]
             if old not in [a[0] for a in ov["add"]]:
                 ov["rename"][old] = new
@@ -6088,6 +6232,44 @@ _DELETE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+#: reference type-name rendering (ttypes.c tDataTypes[].name): DESCRIBE
+#: shows these, with the storage byte width as `length`
+_REF_TYPE_NAMES = {
+    "binary": ("VARCHAR", None), "varchar": ("VARCHAR", None),
+    "nchar": ("NCHAR", None), "string": ("VARCHAR", None),
+    "bool": ("BOOL", 1), "boolean": ("BOOL", 1),
+    "timestamp": ("TIMESTAMP", 8),
+    "tinyint": ("TINYINT", 1), "smallint": ("SMALLINT", 2),
+    "int": ("INT", 4), "integer": ("INT", 4), "bigint": ("BIGINT", 8),
+    "float": ("FLOAT", 4), "double": ("DOUBLE", 8),
+    "json": ("JSON", 4095), "varbinary": ("VARBINARY", None),
+    "geometry": ("GEOMETRY", None), "decimal": ("DECIMAL", 8),
+}
+
+
+def _ref_type_name(decl, stored: str, unsigned: bool) -> "tuple[str, int]":
+    """(reference type name, length) for one DESCRIBE row.
+
+    ``decl``: the CREATE TABLE type text when known ('nchar(32)',
+    'int unsigned', 'timestamp primary key'); ``stored``: the Spark
+    simpleString fallback (unsigned columns are stored one tier wider —
+    narrow back when the declared text is missing but the registry says
+    unsigned)."""
+    src = (decl or stored).strip().lower()
+    m = re.match(r"([a-z]+)\s*(?:\(\s*(\d+)(?:\s*,\s*\d+)?\s*\))?", src)
+    base = m.group(1) if m else src
+    ln = int(m.group(2)) if m and m.group(2) else None
+    uns = unsigned or bool(re.search(r"(?i)\bunsigned\b", src))
+    if decl is None and uns:
+        # widened storage → declared width (see _UNSIGNED_WIDEN)
+        base = {"smallint": "tinyint", "int": "smallint",
+                "bigint": "int", "decimal": "bigint"}.get(base, base)
+    name, width = _REF_TYPE_NAMES.get(base, (base.upper(), None))
+    if uns and name in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+        name += " UNSIGNED"
+    return name, ln if ln is not None else (width or 0)
 
 
 def _db_tables(db: Database) -> "list[str]":
@@ -6311,15 +6493,34 @@ def _execute_inner(
             sess = _session_dbs(db)
             if qual in sess:
                 tdb = sess[qual]
-        tdb.table(tname)
-        dbname = getattr(tdb, "name", "db") or "db"
-        cols = information_schema(spark, _session_dbs(db), "ins_columns")
-        return cols.where(
-            (F.col("table_name") == tname) & (F.col("db_name") == dbname)
-        ).select(
-            F.col("col_name").alias("field"),
-            F.col("col_type").alias("type"),
-            F.col("col_position").alias("position"),
+        t = tdb.table(tname)
+        # a child table shares the parent's schema + declared types
+        meta = t
+        if t.parent and t.parent in tdb.tables:
+            meta = tdb.table(t.parent)
+        declared = dict(meta.declared_types or ())
+        schema = [
+            f for f in meta.read(spark).schema
+            if f.name not in ("_version", meta.tbname_col)
+        ]
+        tagset = set(meta.tag_cols or ())
+        rows = []
+        for pos, f in enumerate(schema, start=1):
+            tname_, tlen = _ref_type_name(
+                declared.get(f.name), f.dataType.simpleString(),
+                f.name in set(meta.unsigned_cols or ()),
+            )
+            rows.append((
+                f.name, tname_, tlen,
+                "TAG" if f.name in tagset else "", pos,
+            ))
+        # reference DESCRIBE row order: data columns first, tags last;
+        # exactly the reference's 4 columns (field, type, length, note)
+        # — its tests index note as row[-1]
+        rows.sort(key=lambda r: (r[3] == "TAG", r[4]))
+        rows = [r[:4] for r in rows]
+        return spark.createDataFrame(
+            rows, "field string, type string, length int, note string",
         )
     return translate(spark, db, sql, ts_col, tsma_catalog=tsma_catalog)
 
@@ -6396,10 +6597,18 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
     any_indef = False
     cols = []
     emit = None
+    #: NULL-input rows are SKIPPED by the reference's mavg/diff/
+    #: derivative kernels (they don't advance the moving window or the
+    #: delta chain) — callers filter base on this BEFORE the windows
+    prefilter = None
 
     def add_emit(c):
         nonlocal emit
         emit = c if emit is None else (emit & c)
+
+    def add_pref(c):
+        nonlocal prefilter
+        prefilter = c if prefilter is None else (prefilter & c)
 
     for it in items:
         m = _INDEF_ITEM_RE.match(it.strip())
@@ -6430,6 +6639,7 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
         args = [a.strip() for a in _split_select(m.group(2))]
         alias = m.group(3) or fn
         if fn == "diff":
+            add_pref(F.expr(args[0]).isNotNull())
             c = indef.diff(
                 args[0], ts_col, keys,
                 ignore_negative=len(args) > 1 and args[1] in ("1", "3"),
@@ -6437,11 +6647,13 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
             add_emit(F.lag(F.lit(0)).over(w).isNotNull())
         elif fn == "csum":
             c = indef.csum(args[0], ts_col, keys)
-            add_emit(F.col(args[0]).isNotNull())
+            add_emit(F.expr(args[0]).isNotNull())
         elif fn == "mavg":
+            add_pref(F.expr(args[0]).isNotNull())
             c = indef.mavg(args[0], int(args[1]), ts_col, keys)
-            add_emit(c.isNotNull() & F.col(args[0]).isNotNull())
+            add_emit(c.isNotNull() & F.expr(args[0]).isNotNull())
         elif fn == "derivative":
+            add_pref(F.expr(args[0]).isNotNull())
             # bare-integer time_interval = ticks in the db precision (ms)
             unit = unq(args[1])
             if re.fullmatch(r"\d+", unit):
@@ -6459,7 +6671,7 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
                 unq(args[3]) if len(args) > 3 else "1s", ts_col, keys,
             )
         cols.append(c.alias(alias))
-    return (cols, emit) if any_indef else None
+    return (cols, emit, prefilter) if any_indef else None
 
 
 def _sel_anchor(items, ts_col):
@@ -6535,8 +6747,14 @@ def _translate_rowsel(base, items, found, keys, ts_col):
         )
     elif fn == "sample":
         col = args[0]
+        if re.fullmatch(r"[-+]?\d+(?:\.\d+)?", col):
+            # constant arg (`sample(123, 1)`): every row carries the
+            # constant; project it under a stable name for the select
+            base = base.withColumn("_sample_const", F.lit(float(col))
+                                   if "." in col else F.lit(int(col)))
+            col = "_sample_const"
         df = S.sample(
-            base.where(F.col(col).isNotNull()), int(args[1]), keys
+            base.where(F.expr(col).isNotNull()), int(args[1]), keys
         )
     elif fn == "tail":
         col = args[0]
@@ -6558,12 +6776,19 @@ def _translate_rowsel(base, items, found, keys, ts_col):
     return df.select(*sel)
 
 
-_GROUPFN_CALL_RE = re.compile(
-    # arg: a paren-free scalar expression — covers bare columns,
-    # dot-qualified refs and arithmetic (`twa(c1+c2)`,
-    # builtins.c translateTwa accepts any numeric expression)
-    r"(?i)\b(twa|irate)\s*\(\s*([^(),']+?)\s*\)"
-)
+def _collect_groupfn_calls(items):
+    """Balanced-paren collection of twa()/irate() calls in the select
+    items — the arg may be any scalar expression, including ones an
+    earlier rewrite wrapped in casts (`twa(cast(c1 as double)+…)`)."""
+    calls = set()
+    for it in items:
+        for fn in ("twa", "irate"):
+            def grab(a, fn=fn):
+                calls.add((fn, ", ".join(a)))
+                return f"{fn}({', '.join(a)})"  # leave text unchanged
+
+            _rewrite_call(it, fn, grab)
+    return sorted(calls)
 
 
 def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
@@ -6574,11 +6799,7 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
     by (keys, window-bucket) in ts order; the rewritten item is then an
     ordinary aggregate, freely combinable with avg/count/… in the same
     groupBy. Returns (base, items) unchanged when no call is present."""
-    calls = sorted({
-        (m.group(1).lower(), m.group(2))
-        for it in items
-        for m in _GROUPFN_CALL_RE.finditer(it)
-    })
+    calls = _collect_groupfn_calls(items)
     if not calls:
         return base, items
     from pyspark.sql.window import Window as _W
@@ -6680,9 +6901,11 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
     base = base.select("*", *newcols)
 
     def rep(it):
-        return _GROUPFN_CALL_RE.sub(
-            lambda m: mapping[(m.group(1).lower(), m.group(2))], it
-        )
+        for fn in ("twa", "irate"):
+            it = _rewrite_call(
+                it, fn, lambda a, fn=fn: mapping[(fn, ", ".join(a))]
+            )
+        return it
 
     return base, [rep(it) for it in items]
 

@@ -32,6 +32,16 @@ def _w(partition_by, ts_col):
     return Window.partitionBy(*keys).orderBy(ts_col)
 
 
+def _v(val_col):
+    """Resolve a value argument: Column passes through; a string is a
+    column name, scalar expression, or numeric CONSTANT (the reference
+    accepts `csum(1)` — cumulative count — builtins.c indef translate
+    takes any numeric expression)."""
+    if isinstance(val_col, Column):
+        return val_col
+    return F.expr(str(val_col))
+
+
 def diff(
     val_col: "str | Column",
     ts_col: str = "ts",
@@ -41,7 +51,7 @@ def diff(
     """diff(col[, ignore_negative]) (builtins.c:4221): value minus previous
     value; first row per key → NULL (dropped by the reference; callers
     filter)."""
-    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    v = _v(val_col)
     d = v - F.lag(v).over(_w(partition_by, ts_col))
     if ignore_negative:
         d = F.when(d >= 0, d)
@@ -54,7 +64,7 @@ def csum(
     partition_by: "list[str] | None" = None,
 ) -> Column:
     """csum(col) (builtins.c:4343): running sum in ts order."""
-    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    v = _v(val_col)
     return F.sum(v).over(
         _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -69,7 +79,7 @@ def mavg(
     """mavg(col, k) (builtins.c:4368): moving average of the last k rows.
     Reference emits NULL until k rows are available — replicated via a
     count guard."""
-    v = (F.col(val_col) if isinstance(val_col, str) else val_col).cast("double")
+    v = _v(val_col).cast("double")
     frame = _w(partition_by, ts_col).rowsBetween(-(k - 1), 0)
     avg = F.avg(v).over(frame)
     cnt = F.count(v).over(frame)
@@ -86,7 +96,7 @@ def derivative(
     """derivative(col, unit, ignore_negative) (builtins.c:3603):
     (v - prev_v) / (ts - prev_ts) scaled to per-``unit``."""
     w = _w(partition_by, ts_col)
-    v = (F.col(val_col) if isinstance(val_col, str) else val_col).cast("double")
+    v = _v(val_col).cast("double")
     t = F.unix_micros(F.col(ts_col)).cast("double")
     unit_us = parse_duration(interval_unit).microseconds
     d = (v - F.lag(v).over(w)) / (t - F.lag(t).over(w)) * unit_us
@@ -102,23 +112,28 @@ def statecount(
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
 ) -> Column:
-    """statecount(col, op, val) (builtins.c:4256): consecutive-rows counter
-    while the condition holds; -1 when it doesn't.
+    """statecount(col, op, val) (builtinsimpl.c stateCountFunction):
+    consecutive-true counter; -1 on a false row (counter resets);
+    NULL input rows emit NULL and leave the counter UNCHANGED (they
+    neither count nor reset).
 
-    Kernel: rows where the condition flips start a new run (running sum of
-    flip flags = run id), then a row_number within the run."""
-    v = F.col(val_col) if isinstance(val_col, str) else val_col
-    cond = _CMP[op.lower()](v, F.lit(threshold)).cast("int")
-    w = _w(partition_by, ts_col)
-    run_flag = F.when(
-        F.lag(cond).over(w).isNull() | (F.lag(cond).over(w) != cond), 1
-    ).otherwise(0)
-    run_id = F.sum(run_flag).over(
-        _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    )
+    Kernel: non-null false rows open a new run (cumulative reset
+    count = run id); within a run, count the non-null true rows."""
+    v = _v(val_col)
+    cond = _CMP[op.lower()](v, F.lit(threshold))
+    cum = _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    reset = F.when(v.isNotNull() & ~cond, 1).otherwise(0)
+    run_id = F.sum(reset).over(cum)
     keys = list(partition_by or [])
-    in_run = F.row_number().over(Window.partitionBy(*keys, run_id).orderBy(ts_col))
-    return F.when(cond == 1, in_run).otherwise(F.lit(-1))
+    wg = Window.partitionBy(*keys, run_id).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cnt = F.sum(F.when(v.isNotNull() & cond, 1).otherwise(0)).over(wg)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(cond, cnt)
+        .otherwise(F.lit(-1))
+    )
 
 
 def stateduration(
@@ -129,21 +144,32 @@ def stateduration(
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
 ) -> Column:
-    """stateduration(col, op, val[, unit]) (builtins.c:4296): elapsed time
-    since the current true-run began (0 at the run's first row); -1 when
-    the condition is false."""
-    v = F.col(val_col) if isinstance(val_col, str) else val_col
-    cond = _CMP[op.lower()](v, F.lit(threshold)).cast("int")
-    w = _w(partition_by, ts_col)
-    run_flag = F.when(
-        F.lag(cond).over(w).isNull() | (F.lag(cond).over(w) != cond), 1
-    ).otherwise(0)
-    run_id = F.sum(run_flag).over(
-        _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    )
+    """stateduration(col, op, val[, unit]) (builtinsimpl.c
+    stateDurationFunction): elapsed time since the current true-run's
+    FIRST true row (0 there); -1 on a false row (run restarts); NULL
+    input rows emit NULL and leave the run UNCHANGED."""
+    v = _v(val_col)
+    cond = _CMP[op.lower()](v, F.lit(threshold))
+    cum = _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    reset = F.when(v.isNotNull() & ~cond, 1).otherwise(0)
+    run_id = F.sum(reset).over(cum)
     keys = list(partition_by or [])
-    run_w = Window.partitionBy(*keys, run_id).orderBy(ts_col)
+    wg = Window.partitionBy(*keys, run_id).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     t = F.unix_micros(F.col(ts_col))
-    unit_us = parse_duration(unit).microseconds
-    dur = (t - F.first(t).over(run_w)) / F.lit(unit_us)
-    return F.when(cond == 1, dur.cast("long")).otherwise(F.lit(-1))
+    start = F.min(F.when(v.isNotNull() & cond, t)).over(wg)
+    import re as _re
+
+    u = str(unit)
+    if _re.fullmatch(r"(?i)\d+b", u):
+        # ns unit: ts stores at us precision — scale the us span to ns
+        unit_us = int(u[:-1]) / 1000.0
+    else:
+        unit_us = parse_duration(unit).microseconds
+    dur = (t - start) / F.lit(unit_us)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(cond, dur.cast("long"))
+        .otherwise(F.lit(-1))
+    )

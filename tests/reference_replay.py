@@ -776,6 +776,23 @@ class TdSqlShim:
             return
         self._fail(f"checkEqual: got {got!r} want {want!r}")
 
+    def getColNameList(self, sql, col_tag=None):
+        """framework sql.py getColNameList: run the query, return its
+        output column names (and crude type names with col_tag)."""
+        self._flush()
+        df = dialect.translate(
+            self.spark, self.db,
+            _shift_epoch_ints(
+                _shift_literals(str(sql).strip().rstrip(";"),
+                                self.lit_shift),
+                self.epoch_shift_ms,
+            ),
+        )
+        names = list(df.columns)
+        if col_tag:
+            return names, [f.dataType.simpleString() for f in df.schema]
+        return names
+
     # assorted framework entry points that some files touch
     def checkCols(self, n, *a, **k):
         self.stats["checks"] += 1

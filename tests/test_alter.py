@@ -41,7 +41,7 @@ def test_add_column_flow(spark, db):
 
     dialect.execute(spark, db, "alter table tb add column b smallint")
     assert _describe(spark, db, "tb") == [
-        ("ts", "timestamp"), ("a", "int"), ("b", "smallint"),
+        ("ts", "TIMESTAMP"), ("a", "INT"), ("b", "SMALLINT"),
     ]
     # old rows read NULL for the new column; new inserts carry it
     rows = dialect.execute(
@@ -65,13 +65,13 @@ def test_drop_modify_rename_column(spark, db):
         spark, db, "insert into tb values('2024-01-01 00:00:00', 1, 2)"
     )
     dialect.execute(spark, db, "alter table tb drop column b")
-    assert _describe(spark, db, "tb") == [("ts", "timestamp"), ("a", "int")]
+    assert _describe(spark, db, "tb") == [("ts", "TIMESTAMP"), ("a", "INT")]
     assert "b" not in dialect.execute(spark, db, "select * from tb").columns
 
     # MODIFY COLUMN widens the type (reference: bytes/type widening)
     dialect.execute(spark, db, "alter table tb modify column a bigint")
     assert _describe(spark, db, "tb") == [
-        ("ts", "timestamp"), ("a", "bigint"),
+        ("ts", "TIMESTAMP"), ("a", "BIGINT"),
     ]
     # RENAME COLUMN
     dialect.execute(spark, db, "alter table tb rename column a a2")

@@ -437,8 +437,8 @@ def test_delete_show_describe(spark, tmp_path):
     tables = execute(spark, db, "SHOW TABLES").collect()
     assert [t.table_name for t in tables] == ["sensors"]
     desc = execute(spark, db, "DESCRIBE sensors").collect()
-    assert [(d.field, d.type) for d in sorted(desc, key=lambda r: r.position)] == [
-        ("ts", "timestamp"), ("v", "double")
+    assert [(d.field, d.type) for d in desc] == [
+        ("ts", "TIMESTAMP"), ("v", "DOUBLE")
     ]
 
 

