@@ -208,6 +208,34 @@ class SuperTable:
                 df = df.dropDuplicates(keys)
             if "_version" in df.columns:
                 df = df.drop("_version")
+            if (
+                self.pk_col
+                and self.pk_col in df.columns
+                and self.tbname_col in df.columns
+            ):
+                # cross-child composite-pk merge: the reference's
+                # TableMergeScan emits ONE row per (ts, pk) across
+                # child tables — the earliest-created child wins
+                # (test_fun_ts_diff.py withPkTest: duplicate (ts, pk)
+                # in a later sibling doesn't change the stream). uid
+                # creation order approximated by tbname sort order.
+                other = [
+                    c for c in df.columns
+                    if c not in (self.ts_col, self.pk_col)
+                ]
+                df = (
+                    df.select(
+                        self.ts_col, self.pk_col,
+                        F.struct(*other).alias("_row"),
+                        F.col(self.tbname_col).alias("_tb"),
+                    )
+                    .groupBy(self.ts_col, self.pk_col)
+                    .agg(F.min_by("_row", "_tb").alias("_row"))
+                    .select(
+                        self.ts_col, self.pk_col,
+                        *[F.col(f"_row.{c}").alias(c) for c in other],
+                    )
+                )
         return self._canonical_order(df)
 
     def _canonical_order(self, df: DataFrame) -> DataFrame:

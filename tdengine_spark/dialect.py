@@ -3795,7 +3795,11 @@ def _translate_inner(
         ts_eff = "_wstart" if "_wstart" in base.columns else next(
             (f.name for f in base.schema.fields
              if isinstance(f.dataType, _TsTyp)), ts_col)
-    indef_cols = None if window else _build_indef_items(items, keys, ts_eff)
+    indef_cols = None if window else _build_indef_items(
+        items, keys, ts_eff, dtypes=dict(base.dtypes),
+        pk_col=(st_pk.pk_col if st_pk and getattr(st_pk, "pk_col", None)
+                in base.columns else None),
+    )
     if window:
         # PARTITION BY tags + window + GROUP BY residue: residual group
         # keys fold into the window partitioning (reference planner puts
@@ -3834,6 +3838,22 @@ def _translate_inner(
             _skeys = [
                 F.expr(k).alias(f"_sk{i}") for i, k in enumerate(keys)
             ]
+        # ORDER BY columns outside the projection (`… partition by
+        # tbname order by tbname`) ride through hidden, sorted here
+        _osort = []
+        if g["order"]:
+            _oparts = [p.strip() for p in g["order"].split(",")]
+            _onames = [p.split()[0] for p in _oparts if p]
+            if all(n in base.columns for n in _onames):
+                _skeys += [
+                    F.col(n).alias(f"_ok{i}")
+                    for i, n in enumerate(_onames)
+                ]
+                _osort = [
+                    F.col(f"_ok{i}").desc()
+                    if p.lower().endswith(" desc") else F.col(f"_ok{i}")
+                    for i, p in enumerate(_oparts)
+                ]
         if iemit is not None:
             out = (
                 base.select(*icols, *_skeys, iemit.alias("_emit"))
@@ -3842,7 +3862,7 @@ def _translate_inner(
             )
         else:
             out = base.select(*icols, *_skeys)
-        if _skeys:
+        if g["slimit"] and keys:
             from tdengine_spark.operators.slimit import slimit as _slimit
 
             out = _slimit(
@@ -3851,8 +3871,16 @@ def _translate_inner(
             ).drop(*[f"_sk{i}" for i in range(len(keys))])
             g = dict(g)
             g["slimit"] = None
+        if _osort:
+            out = out.orderBy(*_osort).drop(
+                *[c for c in out.columns if c.startswith("_ok")]
+            )
+            g = dict(g)
+            g["order"] = None
     elif (rs := _match_rowsel(items)) is not None:
         out = _translate_rowsel(base, items, rs, keys, ts_col)
+    elif (rsm := _match_rowsel_multi(items)) is not None:
+        out = _translate_rowsel_multi(base, rsm, keys, ts_col)
     elif (
         keys
         and not g["group"]
@@ -5113,6 +5141,12 @@ def _windowed(
                         .where(F.col("_plim") <= plimit)
                         .drop("_plim")
                     )
+            # pseudo-column output aliases (`_wstart as ws`) apply in
+            # projection mode too — the sel() rename below is skipped
+            # by this early return
+            for _pk, _pv in pseudo_alias.items():
+                if _pk in out.columns:
+                    out = out.withColumnRenamed(_pk, _pv)
             return out
         const_mode = True
         items = [
@@ -6553,9 +6587,21 @@ def _indef_call_sql(call: str, keys: list[str], ts_col: str):
         " rows between unbounded preceding and current row)"
     )
     if fn == "diff":
-        base = f"({args[0]} - lag({args[0]}) {over})"
+        # skip-chain: delta vs the previous NON-NULL value (NULL rows
+        # don't break the chain — builtinsimpl.c diffFunction)
+        prev = (
+            f"last({args[0]}, true) over ({part}order by {ts_col}"
+            " rows between unbounded preceding and 1 preceding)"
+        )
+        base = f"({args[0]} - {prev})"
+        opt = args[1] if len(args) > 1 else "0"
+        if opt in ("2", "3"):
+            emit = f"({args[0]} is not null and {prev} is not null)"
+            if opt == "3":
+                emit = f"({emit} and {base} >= 0)"
+            return base, emit
         emit = f"(lag(0) {over} is not null)"
-        if len(args) > 1 and args[1] in ("1", "3"):
+        if opt == "1":
             return f"(case when {base} >= 0 then {base} end)", emit
         return base, emit
     if fn == "csum":
@@ -6574,7 +6620,9 @@ def _indef_call_sql(call: str, keys: list[str], ts_col: str):
     return None, None
 
 
-def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
+def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
+                       dtypes: "dict[str, str] | None" = None,
+                       pk_col: "str | None" = None):
     """(columns, emit-condition) when ≥1 select item calls an indef
     function (diff, csum, mavg, derivative, statecount, stateduration —
     reference ``SELECT diff(v) FROM t PARTITION BY tag`` shape), else
@@ -6597,10 +6645,13 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
     any_indef = False
     cols = []
     emit = None
-    #: NULL-input rows are SKIPPED by the reference's mavg/diff/
-    #: derivative kernels (they don't advance the moving window or the
-    #: delta chain) — callers filter base on this BEFORE the windows
+    #: NULL-input rows are SKIPPED by the reference's mavg/derivative
+    #: kernels (they don't advance the moving window or the delta
+    #: chain) — callers filter base on this BEFORE the windows. diff
+    #: does NOT prefilter: its skip-chain keeps NULL rows (option 0/1
+    #: emits them as NULL output).
     prefilter = None
+    diff_emits: list = []
 
     def add_emit(c):
         nonlocal emit
@@ -6639,12 +6690,35 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
         args = [a.strip() for a in _split_select(m.group(2))]
         alias = m.group(3) or fn
         if fn == "diff":
-            add_pref(F.expr(args[0]).isNotNull())
-            c = indef.diff(
-                args[0], ts_col, keys,
-                ignore_negative=len(args) > 1 and args[1] in ("1", "3"),
-            )
-            add_emit(F.lag(F.lit(0)).over(w).isNotNull())
+            a0 = args[0]
+            if dtypes and dtypes.get(a0) == "boolean":
+                # reference diff() accepts bool (0/1 deltas,
+                # builtins.c translateDiff: TSDB_DATA_TYPE_BOOL valid)
+                a0 = f"cast({a0} as int)"
+            elif dtypes and dtypes.get(a0, "").startswith("timestamp"):
+                # diff(timestamp) = epoch-tick delta in the db precision
+                # as BIGINT (builtinsimpl.c diffFunction TIMESTAMP case)
+                a0 = f"(unix_micros({a0}){_EPOCH_FACTOR[_DB_PRECISION]})"
+            elif dtypes and dtypes.get(a0) in ("tinyint", "smallint", "int"):
+                # sub-bigint int diffs widen to BIGINT (reference output
+                # type: INT_MAX - INT_MIN prints 4294967295, not a wrap)
+                a0 = f"cast({a0} as bigint)"
+            opt = int(unq(args[1])) if len(args) > 1 else 0
+            # a FROM-subquery's ORDER BY drives the delta chain
+            # (orderbyOtherTS: diff over `(select * … order by ts desc)`
+            # runs in that presentation order); a composite PRIMARY KEY
+            # tie-breaks the ts-merge (withPkTest: stb5 (ts, col1) pk)
+            ord_spec = [F.col(ts_col), F.col(pk_col)] if pk_col else ts_col
+            if _ACTIVE_SUB_ORDER:
+                ord_spec = [
+                    F.col(cn).desc() if dsc else F.col(cn)
+                    for (cn, dsc) in _ACTIVE_SUB_ORDER
+                ]
+            c, d_emit = indef.diff_parts(a0, ord_spec, keys, opt)
+            # multi-diff rows are the UNION of each diff's emitted rows
+            # (reference ignoreTest: diff(col1,3), diff(col2,0) emits
+            # 5 rows) — OR'd below, then AND'd with non-diff emits
+            diff_emits.append(d_emit)
         elif fn == "csum":
             c = indef.csum(args[0], ts_col, keys)
             add_emit(F.expr(args[0]).isNotNull())
@@ -6666,11 +6740,19 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str):
         elif fn == "statecount":
             c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
         else:  # stateduration
+            # default unit = one tick of the db precision (builtins.c
+            # translateStateDuration: "default is db precision")
+            dflt = {"ms": "1a", "us": "1u", "ns": "1b"}.get(_DB_PRECISION, "1a")
             c = indef.stateduration(
                 args[0], unq(args[1]), float(args[2]),
-                unq(args[3]) if len(args) > 3 else "1s", ts_col, keys,
+                unq(args[3]) if len(args) > 3 else dflt, ts_col, keys,
             )
         cols.append(c.alias(alias))
+    if diff_emits:
+        du = diff_emits[0]
+        for de in diff_emits[1:]:
+            du = du | de
+        add_emit(du)
     return (cols, emit, prefilter) if any_indef else None
 
 
@@ -6753,9 +6835,23 @@ def _translate_rowsel(base, items, found, keys, ts_col):
             base = base.withColumn("_sample_const", F.lit(float(col))
                                    if "." in col else F.lit(int(col)))
             col = "_sample_const"
-        df = S.sample(
-            base.where(F.expr(col).isNotNull()), int(args[1]), keys
+        nn = F.expr(col).isNotNull()
+        df = S.sample(base.where(nn), int(args[1]), keys)
+        # a non-empty group with ZERO non-null values emits ONE NULL
+        # row (builtinsimpl.c sampleFinalize: numSampled == 0 →
+        # colDataSetNULL; companions come from the group's saved tuple)
+        from pyspark.sql.window import Window as _W
+
+        gw = _W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1))
+        ordc = F.col(ts_col) if ts_col in base.columns else F.lit(1)
+        allnull = (
+            base.withColumn("_has", F.max(nn.cast("int")).over(gw))
+            .where(F.col("_has") == 0)
+            .withColumn("_rn", F.row_number().over(gw.orderBy(ordc)))
+            .where(F.col("_rn") == 1)
+            .drop("_has", "_rn")
         )
+        df = df.unionByName(allnull)
     elif fn == "tail":
         col = args[0]
         df = S.tail(
@@ -6774,6 +6870,80 @@ def _translate_rowsel(base, items, found, keys, ts_col):
         e = F.expr(am.group("expr"))
         sel.append(e.alias(am.group("alias")) if am.group("alias") else e)
     return df.select(*sel)
+
+
+_ROWSEL_FNS = ("top", "bottom", "sample", "tail", "unique")
+
+
+def _match_rowsel_multi(items):
+    """(new_items, calls) when the select contains ≥2 multi-row
+    selection calls, or a call nested inside a scalar expression
+    (``sample(c1,100)+2``, ``abs(sample(c1,100))``) — the shapes the
+    single-call companion path can't take. Every call is substituted
+    with a placeholder column ``_rs{j}``; non-call items must be scalar
+    expressions (no bare column companions here). None when no call."""
+    calls: list = []
+    new_items: list = []
+    for it in items:
+        txt = it
+        for fn in _ROWSEL_FNS:
+            def grab(a, fn=fn):
+                calls.append((fn, a))
+                return f"_rs{len(calls) - 1}"
+
+            txt = _rewrite_call(txt, fn, grab)
+        new_items.append(txt)
+    if not calls:
+        return None
+    return new_items, calls
+
+
+def _translate_rowsel_multi(base, matched, keys, ts_col):
+    """N multi-row selection calls zip positionally per group: each
+    call expands to its own k rows; row i of each joins into output row
+    i (reference rows-func lockstep — test_fun_ts_sample.py:763
+    ``select top(c1,2), sample(c1,2)`` returns 2 rows). Scalar wrappers
+    apply to the placeholder columns after the zip."""
+    from pyspark.sql.window import Window as _W
+
+    from tdengine_spark.functions import selection as S
+
+    new_items, calls = matched
+    joined = None
+    for j, (fn, args) in enumerate(calls):
+        col = args[0]
+        if fn in ("top", "bottom"):
+            df = (S.top if fn == "top" else S.bottom)(
+                base, col, int(args[1]), ts_col, keys
+            )
+        elif fn == "sample":
+            df = S.sample(
+                base.where(F.expr(col).isNotNull()), int(args[1]), keys
+            )
+        elif fn == "tail":
+            df = S.tail(
+                base, int(args[1]),
+                int(args[2]) if len(args) > 2 else 0, ts_col, keys,
+            )
+        else:  # unique
+            df = S.unique(base, col, ts_col, keys)
+        nm = f"_rs{j}"
+        d = df.select(*keys, F.expr(col).alias(nm))
+        parts = [F.col(k) for k in keys] if keys else [F.lit(1)]
+        d = d.withColumn(
+            "_ri",
+            F.row_number().over(_W.partitionBy(*parts).orderBy(F.col(nm))),
+        )
+        joined = d if joined is None else joined.join(
+            d, keys + ["_ri"], "full"
+        )
+    sel = []
+    for i, it in enumerate(new_items):
+        am = _ITEM_ALIAS_RE.match(it.strip())
+        e = F.expr(am.group("expr")) if am else F.expr(it)
+        alias = am.group("alias") if am else None
+        sel.append(e.alias(alias) if alias else e)
+    return joined.select(*sel)
 
 
 def _collect_groupfn_calls(items):

@@ -29,7 +29,8 @@ _CMP = {
 
 def _w(partition_by, ts_col):
     keys = list(partition_by or [])
-    return Window.partitionBy(*keys).orderBy(ts_col)
+    order = ts_col if isinstance(ts_col, list) else [ts_col]
+    return Window.partitionBy(*keys).orderBy(*order)
 
 
 def _v(val_col):
@@ -42,20 +43,59 @@ def _v(val_col):
     return F.expr(str(val_col))
 
 
+def diff_parts(
+    val_col: "str | Column",
+    ts_col: str = "ts",
+    partition_by: "list[str] | None" = None,
+    option: int = 0,
+) -> "tuple[Column, Column]":
+    """``(value, emit)`` per the reference diffFunction
+    (builtinsimpl.c diffFunction + test_fun_ts_diff.py ignoreTest):
+    the delta is taken against the previous NON-NULL value — NULL
+    inputs do not break the chain. ignore_option:
+
+      0 (default): emit every row except the group's first; NULL input
+        or no prior non-null → NULL output.
+      1: like 0, but negative deltas are suppressed to NULL (the value
+        still advances the chain).
+      2: NULL-input rows and chain-start rows are DROPPED (not
+        emitted) — only defined deltas appear.
+      3: like 2, and rows with negative deltas are dropped too (the
+        value still advances the chain)."""
+    v = _v(val_col)
+    w = _w(partition_by, ts_col)
+    prev = F.last(v, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = v - prev
+    # negative test on the ORIGINAL values, not the delta: int64 deltas
+    # wrap in C (reference intOverflowTest expects the wrapped value
+    # with the TRUE sign deciding suppression — 9.2e18 - (-9.2e18)
+    # prints -10 under option 1, not NULL)
+    neg = v < prev
+    not_first = F.lag(F.lit(0)).over(w).isNotNull()
+    if option == 0:
+        return d, not_first
+    if option == 1:
+        return F.when(~neg, d), not_first
+    if option == 2:
+        e = v.isNotNull() & prev.isNotNull()
+        return F.when(e, d), e
+    e = v.isNotNull() & prev.isNotNull() & ~neg
+    return F.when(e, d), e
+
+
 def diff(
     val_col: "str | Column",
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
     ignore_negative: bool = False,
 ) -> Column:
-    """diff(col[, ignore_negative]) (builtins.c:4221): value minus previous
-    value; first row per key → NULL (dropped by the reference; callers
-    filter)."""
-    v = _v(val_col)
-    d = v - F.lag(v).over(_w(partition_by, ts_col))
-    if ignore_negative:
-        d = F.when(d >= 0, d)
-    return d
+    """diff(col[, ignore_negative]) — value column only (see
+    ``diff_parts`` for the emit condition and full option semantics)."""
+    return diff_parts(
+        val_col, ts_col, partition_by, 1 if ignore_negative else 0
+    )[0]
 
 
 def csum(

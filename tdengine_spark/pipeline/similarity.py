@@ -168,6 +168,7 @@ def cosine_near_dup_pairs(
     nbits: int = 8,
     probe_radius: int = 1,
     seed: int = 42,
+    quantized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) —
     the vector-space member of the dedup family (exact / MinHash /
@@ -192,10 +193,11 @@ def cosine_near_dup_pairs(
         if dim is None:
             raise ValueError("method='lsh' needs dim")
         planes = random_hyperplanes(dim, nbits, seed)
+        bucket_fn = lsh_bucket_int if quantized else lsh_bucket
         base = emb.select(
             F.col(id_col).alias("_id"),
             vcast.alias("_v"),
-            lsh_bucket(vcast, planes).alias("_b0"),
+            bucket_fn(vcast, planes).alias("_b0"),
         )
         probed = base.select(
             "_id", "_v",
@@ -229,6 +231,43 @@ def cosine_near_dup_pairs(
 def random_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).tolist()
+
+
+#: quantization scale for the cross-engine-reproducible bucket variant —
+#: a power of two so ``v * INT_BUCKET_SCALE`` is an exact exponent shift
+#: in IEEE double (no rounding), making floor() identical in every engine
+INT_BUCKET_SCALE = 4096
+
+
+def quantized_planes(planes: list[list[float]],
+                     scale: int = INT_BUCKET_SCALE) -> list[list[int]]:
+    """Hyperplane coefficients floor-quantized to 1/scale ticks
+    (int64). Shared by the Spark kernel and the SQL-oracle builder so
+    both engines test the sign of the SAME exact integer dot product."""
+    return np.floor(
+        np.asarray(planes, dtype=np.float64) * scale
+    ).astype(np.int64).tolist()
+
+
+def lsh_bucket_int(vec: Column, planes: list[list[float]],
+                   scale: int = INT_BUCKET_SCALE) -> Column:
+    """Integer-quantized hyperplane bucket: plane coefficients AND
+    vector components are floor-quantized to 1/scale ticks and the sign
+    test runs on exact int64 arithmetic — bit-reproducible in any
+    engine. (The float path's dot-product summation order can flip a
+    sign-boundary bit between numpy matmul and a SQL engine's
+    sequential list_sum, which would silently desync an external
+    value-oracle of the bucket join.)"""
+    Pq = np.asarray(quantized_planes(planes, scale), dtype=np.int64).T
+    weights = (1 << np.arange(Pq.shape[1], dtype=np.int64)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(sv: pd.Series) -> pd.Series:
+        V = np.floor(_mat(sv) * scale).astype(np.int64)
+        bits = (V @ Pq) > 0
+        return pd.Series(bits @ weights)
+
+    return _bucket(vec)
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -272,9 +311,12 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     probe_radius: int = 0,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket equi-join, then exact
-    cosine rank within the probed bucket(s).
+    cosine rank within the probed bucket(s). ``quantized=True`` uses the
+    integer-exact bucket kernel (``lsh_bucket_int``) so the whole
+    algorithm is value-oracle-reproducible in external SQL engines.
 
     Scale path: the corpus is bucketed once (can be materialized as a
     bucketed Parquet table); each query touches ``1 + nbits + C(nbits,2)``
@@ -284,17 +326,18 @@ def lsh_ann_topk(
     shuffled-hash/SMJ path, no cross join.
     """
     planes = random_hyperplanes(dim, nbits, seed)
+    bucket_fn = lsh_bucket_int if quantized else lsh_bucket
     vcast = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vcast.alias("_cv"),
-        lsh_bucket(vcast, planes).alias("_bucket"),
+        bucket_fn(vcast, planes).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vcast.alias("_qv"),
         F.explode(
-            _probe_buckets(lsh_bucket(vcast, planes), nbits, probe_radius)
+            _probe_buckets(bucket_fn(vcast, planes), nbits, probe_radius)
         ).alias("_bucket"),
     )
     scored = (

@@ -1005,7 +1005,10 @@ _PRIORITY: list[str] = [
     # --- materially changed in round 4 (hash unification, surrogate-id
     # JLIMIT fixes, rounding-path unification) ---
     "minhash_near_dup_pairs",
-    "simhash_near_pairs",
+    # simhash: the VALUE-ORACLED variant holds the driver-checked slot
+    # (r11 ask #7); the raw hamming-6 pair query stays in the registry
+    # tail for completeness
+    "simhash_verified_pairs",
     "lsh_ann_topk",
     "cosine_topk_bruteforce",
     "asof_join_jlimit3",

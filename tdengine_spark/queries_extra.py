@@ -944,16 +944,24 @@ def q_right_asof(spark, sf_dir):
     )
 
 
-@q("ann_multiprobe_topk")  # rows-only: bucket boundary effects are seed-specific
+def _ann_multiprobe_oracle() -> str:
+    from tdengine_spark.queries_pipeline import _ANN_MULTIPROBE_SQL
+
+    return _ANN_MULTIPROBE_SQL
+
+
+@q("ann_multiprobe_topk", _ann_multiprobe_oracle())
 def q_ann_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (probe_radius=1): recall recovered by probing
-    all Hamming-1 buckets — fan-out on the broadcast query side only."""
+    all Hamming-1 buckets — fan-out on the broadcast query side only.
+    Integer-exact buckets; value-oracled by a DuckDB replay of the same
+    probe/join/rank algorithm."""
     from tdengine_spark.pipeline import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return sim.lsh_ann_topk(
-        emb, queries, dim=64, k=5, nbits=8, probe_radius=1
+        emb, queries, dim=64, k=5, nbits=8, probe_radius=1, quantized=True
     )
 
 

@@ -258,12 +258,94 @@ def q_simhash_verified(spark, sf_dir):
     )
 
 
-@q("lsh_ann_topk")  # rows-only: bucket boundary effects are seed-specific
+# ---------------------------------------------------------------------------
+# Quantized-LSH value oracles: the hyperplane bucket kernel is integer-
+# exact (floor-quantized planes and vectors, int64 dot product — see
+# similarity.lsh_bucket_int), so DuckDB can replay the SAME algorithm
+# bit-identically: same buckets, same candidate join, same rounded
+# cosine. This oracles the LSH path itself (recall-independent), not a
+# brute-force stand-in.
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES_LIT = "[" + ",".join(
+    "[" + ",".join(str(x) for x in row) + "]"
+    for row in sim.quantized_planes(sim.random_hyperplanes(64, 8, 42))
+) + "]"
+
+#: bucket CTEs shared by the three LSH oracles (b = corpus buckets,
+#: qp = multi-probe fan-out of radius 1)
+_LSH_BUCKET_CTE = f"""
+    pl AS (SELECT {_LSH_PLANES_LIT}::BIGINT[][] AS p),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN list_dot_product(
+                        [CAST(FLOOR(x*4096) AS BIGINT) FOR x IN v], p[j]) > 0
+                      THEN 1<<(j-1) ELSE 0 END
+                      FOR j IN generate_series(1,8)]) AS bucket
+          FROM e, pl)
+"""
+
+_LSH_ANN_TOPK_SQL = f"""
+    WITH {_LSH_BUCKET_CTE},
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (ROUND(list_cosine_similarity(q.v, c.v) + 0.0000001, 4) + 0) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM s QUALIFY rank <= 5
+"""
+
+_ANN_MULTIPROBE_SQL = f"""
+    WITH {_LSH_BUCKET_CTE},
+    qp AS (
+      SELECT vec_id, v,
+             unnest([bucket] || [xor(bucket, 1<<(i-1))
+                                 FOR i IN generate_series(1,8)]) AS bucket
+      FROM b WHERE vec_id < 10
+    ),
+    s AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (ROUND(list_cosine_similarity(q.v, c.v) + 0.0000001, 4) + 0) AS cosine
+      FROM qp q JOIN b c ON q.bucket = c.bucket
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM s QUALIFY rank <= 5
+"""
+
+_EMB_NEAR_DUP_LSH_SQL = f"""
+    WITH {_LSH_BUCKET_CTE},
+    qp AS (
+      SELECT vec_id, v,
+             unnest([bucket] || [xor(bucket, 1<<(i-1))
+                                 FOR i IN generate_series(1,8)]) AS bucket
+      FROM b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+      FROM qp a JOIN b b2 ON a.bucket = b2.bucket
+      WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b,
+           (ROUND(list_cosine_similarity(va, vb) + 0.0000001, 4) + 0) AS cosine
+    FROM pairs WHERE cosine >= 0.35
+"""
+
+
+@q("lsh_ann_topk", _LSH_ANN_TOPK_SQL)
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 100 TB path for ANN)."""
+    """LSH-bucketed approximate top-k (the 100 TB path for ANN) —
+    integer-exact bucket kernel, value-oracled by a DuckDB replay of
+    the same buckets/join/rank."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return sim.lsh_ann_topk(emb, queries, dim=64, k=5, nbits=8)
+    return sim.lsh_ann_topk(emb, queries, dim=64, k=5, nbits=8, quantized=True)
 
 
 # ---------------------------------------------------------------------------
@@ -383,11 +465,14 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.cosine_near_dup_pairs(emb, threshold=0.35, method="exact")
 
 
-@q("embedding_near_dup_lsh")  # rows-only: LSH recall is seed/bucket-specific
+@q("embedding_near_dup_lsh", _EMB_NEAR_DUP_LSH_SQL)
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding-cosine near-dup via hyperplane buckets + multi-probe —
-    candidate generation is a bucket equi-join, no all-pairs product."""
+    candidate generation is a bucket equi-join, no all-pairs product.
+    Integer-exact buckets; value-oracled by a DuckDB replay of the
+    same algorithm (recall-independent)."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs(
-        emb, threshold=0.35, method="lsh", dim=64, nbits=8, probe_radius=1
+        emb, threshold=0.35, method="lsh", dim=64, nbits=8, probe_radius=1,
+        quantized=True,
     )

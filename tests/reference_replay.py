@@ -520,10 +520,14 @@ class TdSqlShim:
             # environment introspection: the two builtin schema dbs +
             # the databases this replay created (the reference always
             # lists information_schema and performance_schema)
-            self.rows = (
+            rows = (
                 [["information_schema"], ["performance_schema"]]
                 + [[n] for n in self.dbs]
             )
+            nm = re.search(r"(?i)where\s+name\s*=\s*'([^']*)'", sql)
+            if nm:
+                rows = [r for r in rows if r[0] == nm.group(1)]
+            self.rows = rows
             self.last_sql = sql
             return len(self.rows)
         if getattr(self, "engine_tz", False):
@@ -1219,9 +1223,17 @@ def load_reference_test(path: str, shim: TdSqlShim):
         mod.__file__ = path
         sys.modules["ref_replay"] = mod
         ns: dict = mod.__dict__
+        # sibling helper modules (fun_ts_window_case_helper) import from
+        # the faked framework — resolvable only inside this window
+        _dirp = os.path.dirname(os.path.abspath(path))
+        sys.path.insert(0, _dirp)
         exec(compile(open(path).read(), path, "exec"), ns)
     finally:
         sys.modules.pop("ref_replay", None)
+        try:
+            sys.path.remove(_dirp)
+        except ValueError:
+            pass
         for k, v in old.items():
             if v is None:
                 sys.modules.pop(k, None)

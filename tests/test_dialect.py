@@ -467,8 +467,10 @@ def test_create_stable_then_insert_select(spark, tmp_path):
     ).collect()
     assert len(out) == 2 and all(r.n == 1 for r in out)
     desc = {r.field: r.type for r in execute(spark, db, "DESCRIBE meters").collect()}
-    assert desc["ts"] == "timestamp" and desc["voltage"] == "int"
-    assert desc["location"] == "string"
+    # DESCRIBE renders reference-shaped TYPE NAMES (taos shell caps:
+    # "TIMESTAMP", "INT", "VARCHAR")
+    assert desc["ts"] == "TIMESTAMP" and desc["voltage"] == "INT"
+    assert desc["location"] == "VARCHAR"
 
 
 def test_right_window_join_dialect(spark):

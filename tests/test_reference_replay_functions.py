@@ -239,3 +239,52 @@ def test_replay_fun_ts_mavg(spark):
         ["test_func_ts_mavg"], min_checks=20,
     )
     print(stats)
+
+
+def test_replay_fun_ts_statecount(spark):
+    """04-Timeseries/test_fun_ts_statecount.py — statecount over every
+    operator (LT/GT/LE/GE/NE/EQ), NULL rows emit NULL and keep the run
+    counter unchanged, unit-time variants, boundary values, error
+    cases across non-numeric columns."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_statecount.py",
+        ["test_func_ts_statedcount"], min_checks=50,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_stateduration(spark):
+    """04-Timeseries/test_fun_ts_stateduration.py — stateduration with
+    unit args (1s/1m/1h, ns on us-floored storage), operators, NULL
+    semantics, boundary values."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_stateduration.py",
+        ["test_func_ts_stateduration"], min_checks=50,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_diff(spark):
+    """04-Timeseries/test_fun_ts_diff.py — diff ignore-option 0-3 (the
+    skip-chain delta: NULL inputs emit NULL under 0/1 and drop under
+    2/3; negatives suppress under 1 and drop under 3, sign tested on
+    the ORIGINAL values so int64 wrap prints the wrapped delta),
+    BIGINT-widened int diffs, composite-pk merge, ordered-subquery
+    chains, partition by tbname, order-by-tbname carry-through."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_diff.py",
+        ["test_func_ts_diff"], min_checks=100,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_sample(spark):
+    """04-Timeseries/test_fun_ts_sample.py — sample(col, k) membership
+    checks (values drawn from the column), k bounds [1,1000], per-type
+    support, partition by tbname, all-NULL groups emit one NULL row,
+    top+sample zip, scalar-wrapped sample."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_sample.py",
+        ["test_func_ts_sample"], min_checks=20,
+    )
+    print(stats)
