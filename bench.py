@@ -100,6 +100,12 @@ def main():
         if name in REGISTRY:
             times[name] = round(run(name), 3)
     total = round(sum(times.values()), 3)
+    # streaming BEFORE the 10× scale probe: the probe writes + scans a
+    # 6M-row synthetic table and leaves JVM heap/shuffle pressure that
+    # depressed the streaming numbers ~25-30% in r10/r11 (r9, with no
+    # probe, measured 12.7k rows/s where r11 read 8.7k from the same
+    # code) — each section now measures from a comparable warm state
+    streaming = _bench_streaming(spark, sf_dir)
     probe, superlinear = _scale_probe(spark, sf_dir, run, times)
     print(
         json.dumps(
@@ -109,7 +115,7 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming": _bench_streaming(spark, sf_dir),
+                "streaming": streaming,
                 "scale_probe_10x": probe,
                 "scale_probe_superlinear": superlinear,
             }

@@ -19,6 +19,7 @@ Spark-first mapping:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -497,6 +498,15 @@ def information_schema(
                     db_name, t.name, t.ts_col, t.tbname_col,
                     ",".join(t.tag_cols), t.parent or "",
                     sum(ord(ch) for ch in t.name) % 2 + 2,
+                    # uid: stable per-table id (reference assigns a
+                    # monotone uid at create time; a crc of the name
+                    # keeps it deterministic across sessions — Python's
+                    # hash() is salted per process)
+                    __import__("zlib").crc32(
+                        f"{db_name}.{t.name}".encode()
+                    ),
+                    0,  # ttl: never expires (reference default)
+                    datetime(2024, 1, 1),  # create_time placeholder
                 )
                 for t in db.tables.values()
                 if t.name not in parents
@@ -505,7 +515,7 @@ def information_schema(
             rows,
             "db_name string, table_name string, ts_col string, "
             "tbname_col string, tags string, stable_name string, "
-            "vgroup_id int",
+            "vgroup_id int, uid bigint, ttl int, create_time timestamp",
         )
     if view == "ins_stables":
         rows = []

@@ -204,6 +204,11 @@ def _pg_to_java_fmt(fmt: str) -> str:
 #: timestamp resolves to its epoch count in this unit
 _DB_PRECISION = "ms"
 
+#: the active statement's primary-timestamp column name (set by
+#: translate — an outer query over a derived table may carry an
+#: aliased pk, e.g. `ts as t1`); _rowts resolves to it
+_ACTIVE_TS = "ts"
+
 #: epoch-count SQL relative to unix_micros() per precision (ns floors
 #: to Spark's microsecond storage)
 _EPOCH_FACTOR = {"ms": " div 1000", "us": "", "ns": " * 1000"}
@@ -317,9 +322,11 @@ def _rewrite_ops(expr: str) -> str:
             f" div {u} AS BIGINT)"
         )
 
-    # _rowts pseudo-column = the row's primary timestamp (parser TK_ROWTS)
+    # _rowts pseudo-column = the row's primary timestamp (parser
+    # TK_ROWTS) — the ACTIVE statement's pk column, which over a
+    # derived table may be an alias (`ts as t1` → _rowts is t1)
     expr = _outside_quotes(
-        expr, lambda s: re.sub(r"\b_rowts\b", "ts", s)
+        expr, lambda s: re.sub(r"\b_rowts\b", _ACTIVE_TS, s)
     )
     # `… IN ('2020-10-01 …', …)`: Spark resolves IN over mixed
     # timestamp/string operands as STRING comparison (least common
@@ -769,7 +776,8 @@ def _rewrite_call(s: str, name: str, render) -> str:
         if not m:
             out.append(s[i:])
             break
-        if s.count("'", 0, m.start()) % 2 == 1:  # inside a string literal
+        if (s.count("'", 0, m.start()) % 2 == 1  # inside a string literal
+                or s.count("`", 0, m.start()) % 2 == 1):  # inside an alias
             out.append(s[i : m.end()])
             i = m.end()
             continue
@@ -796,7 +804,9 @@ def _rewrite_call(s: str, name: str, render) -> str:
 
 def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
                   float_cols: "set[str] | None" = None,
-                  ts_cols: "set[str] | None" = None) -> str:
+                  ts_cols: "set[str] | None" = None,
+                  nchar_cols: "set[str] | None" = None,
+                  bin_cols: "set[str] | None" = None) -> str:
     """Dialect aggregate names → Spark equivalents (text level).
 
     ``float_cols``: float/double column names of the FROM table — avg/
@@ -805,42 +815,118 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
     renders as NULL, not inf)."""
     s = select
 
+    def length_fn(a):
+        # reference LENGTH() = storage BYTES (sclfunc.c lengthFunction):
+        # NCHAR stores UCS-4 → 4 bytes/char; VARCHAR/VARBINARY utf-8
+        # bytes. Spark's length() counts characters.
+        arg = a[0].strip() if a else ""
+        base = arg.split(".")[-1]
+        if len(a) == 1 and nchar_cols and base in nchar_cols:
+            return f"(length({a[0]}) * 4)"
+        if len(a) == 1 and bin_cols and base in bin_cols:
+            return f"octet_length({a[0]})"
+        return f"length({', '.join(a)})"
+
     def cols_fn(a):
         # cols(sel_fn(c), expr): expr evaluated at the row the selection
         # function picks (builtins.c colsFunction, v3.3.6)
         m = re.match(
-            r"(?is)^\s*(first|last|last_row|min|max)\s*\(\s*(.+?)\s*\)\s*$",
+            r"(?is)^\s*(first|last|last_row|min|max|mode)\s*\(\s*(.+?)\s*\)\s*$",
             a[0],
         )
+        if not m:
+            # the join path rewrites first/last to min_by/max_by BEFORE
+            # this pass — recover the selection from the rewritten form
+            m = re.match(
+                r"(?is)^\s*(min_by|max_by)\s*\(\s*([A-Za-z_][\w.]*)\s*,",
+                a[0],
+            )
+            if m:
+                fn = "first" if m.group(1).lower() == "min_by" else "last"
+                c = m.group(2)
+                m = (fn, c)
         if not m or len(a) < 2:
             return "cols(" + ", ".join(a) + ")"
-        fn, c = m.group(1).lower(), m.group(2)
-        # the projection operand may carry its own alias:
-        # cols(max(x), ts as max_ts) → max_by(ts, …) as max_ts
-        proj, alias = a[1], ""
-        pm2 = re.match(
-            r"(?is)^(.*?)\s+as\s+([A-Za-z_]\w*)\s*$", proj
-        )
-        if pm2:
-            proj, alias = pm2.group(1), f" as {pm2.group(2)}"
-        a = [a[0], proj] + list(a[2:])
-        if fn == "first":
-            pick, key = "min_by", f"CASE WHEN {c} IS NOT NULL THEN {ts_col} END"
+        if isinstance(m, tuple):
+            fn, c = m
+        else:
+            fn, c = m.group(1).lower(), m.group(2)
+        # a ts-less relation (information_schema views) has no row-order
+        # tie-break — fall back to a constant
+        _tsx = (f"unix_micros({ts_col})"
+                if ts_cols is None or ts_col in ts_cols else "0")
+        if fn == "mode" and re.fullmatch(r"\w+", c):
+            # cols(mode(x), p): p at the row of the most frequent x —
+            # the per-group value count rides in as a window pre-pass
+            # column (__modecnt_x__, added by the group path); ties on
+            # the newest ts (the reference calls the tie row "random")
+            pick = "max_by"
+            key = (f"struct(coalesce(__modecnt_{c}__, 0),"
+                   f" {_tsx})")
+        elif fn == "first":
+            pick, key = "min_by", f"CASE WHEN {c} IS NOT NULL THEN {_tsx} END"
         elif fn == "last":
-            pick, key = "max_by", f"CASE WHEN {c} IS NOT NULL THEN {ts_col} END"
+            pick, key = "max_by", f"CASE WHEN {c} IS NOT NULL THEN {_tsx} END"
         elif fn == "last_row":
-            pick, key = "max_by", ts_col
+            pick, key = "max_by", _tsx
         elif fn == "min":
             pick = "min_by"
             key = (f"struct(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END,"
-                   f" {c}, unix_micros({ts_col}))")
+                   f" {c}, {_tsx})")
         else:
             pick = "max_by"
             key = (f"struct(CASE WHEN {c} IS NULL THEN 0 ELSE 1 END,"
-                   f" {c}, -unix_micros({ts_col}))")
-        return f"{pick}({a[1]}, {key}){alias}"
+                   f" {c}, -({_tsx}))")
+        # every projection operand gets its own pick at the SAME
+        # selected row; each may carry its own alias (`ts as f_ts` or
+        # bare `ts f_ts`); unaliased projections take their RAW TEXT as
+        # the output name (reference checkResColNameList: 'length(c2)
+        # + 2', 'c0+1') — backquoted so later rewrite passes skip it
+        outs = []
+        for proj in a[1:]:
+            pm2 = re.match(
+                r"(?is)^(.*?)\s+(?:as\s+)?([A-Za-z_]\w*)\s*$", proj
+            )
+            if pm2 and not re.search(r"[()+\-*/%]", pm2.group(2)) and (
+                re.search(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", proj)
+                or re.fullmatch(r"[A-Za-z_.]\w*(\.\w+)?\s+[A-Za-z_]\w*",
+                                proj.strip())
+            ):
+                # TSDB_COL_NAME_LEN: output names cap at 64 chars
+                alias = f" as {pm2.group(2)[:64]}"
+                proj = pm2.group(1)
+            else:
+                # derived name = the user's text: undo the float-
+                # promotion cast an earlier rewrite may have wrapped in;
+                # the reference truncates output names to 64 chars
+                # (TSDB_COL_NAME_LEN - 1)
+                nm = re.sub(
+                    r"(?is)\bcast\(\s*(\w+(?:\.\w+)?)\s+as\s+double\s*\)",
+                    r"\1", proj.strip(),
+                )[:64]
+                alias = (f" as {nm}" if re.fullmatch(r"[A-Za-z_]\w*", nm)
+                         else f" as `{nm}`")
+            outs.append(f"{pick}({proj}, {key}){alias}")
+        return ", ".join(outs)
 
     s = _rewrite_call(s, "cols", cols_fn)
+    # `cols(last(ts), ts) as t1`: an OUTER alias on a single-projection
+    # cols overrides the derived name — collapse the double alias
+    # (keyword guard: `as p ROWS BETWEEN …` is not an alias pair)
+    s = re.sub(
+        r"(?is)as\s+(`[^`]*`|[A-Za-z_]\w*)\s+(?:as\s+)?"
+        r"(?!(?:rows|range|from|where|group|order|having|limit|and|or|"
+        r"when|then|else|end|over|partition|by|asc|desc|between|in|is|"
+        r"not|null|interval|fill|sliding|session|state_window|"
+        r"event_window|count_window|union|slimit|soffset|offset|"
+        r"window|true_for)\b)([A-Za-z_]\w*)\b",
+        r"as \2", s,
+    )
+    # AFTER cols: raw projection text survives as the backquoted output
+    # name; the computed copy inside min_by/max_by still gets rewritten
+    if nchar_cols or bin_cols:
+        s = _rewrite_call(s, "length", length_fn)
+
     def spread_fn(a):
         # spread over a TIMESTAMP column returns ticks in the db
         # precision (builtinsimpl.c spreadFunction computes on the
@@ -875,6 +961,25 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
                 f"min(unix_micros({a[0]}))) / {div} AS DOUBLE)")
 
     s = _rewrite_call(s, "elapsed", elapsed_fn)
+    # a select item that IS a bare first/last/last_row call keeps the
+    # call text as its output name (reference checkResColNameList:
+    # 'first(c0)'); attach it as a backquoted alias BEFORE the min_by/
+    # max_by rewrite (whose backtick-skip leaves the alias alone)
+    _fl_parts = _split_select(s)
+    _fl_fixed = []
+    for _it in _fl_parts:
+        _mfl = re.match(
+            r"(?is)^\s*(first|last|last_row)\s*\(\s*([^*]+?)\s*\)\s*$", _it
+        )
+        if _mfl and "`" not in _it:
+            _fn0 = _mfl.group(1).lower()
+            _fl_fixed.append(", ".join(
+                f"{_fn0}({x}) as `{_fn0}({x})`"[:200]
+                for x in _split_select(_mfl.group(2))
+            ))
+        else:
+            _fl_fixed.append(_it)
+    s = ", ".join(_fl_fixed)
     # composite-pk tables: last_row ties on ts break on the larger pk
     # (reference pk-aware row order, sql.y:3250 PRIMARY KEY option)
     lr_key = f"struct({ts_col}, {pk_col})" if pk_col else ts_col
@@ -1887,32 +1992,43 @@ def _translate_selection(
     fn, col = fm.group(1).lower(), fm.group(2)
     fn_alias = fm.group("alias") or f"{fn}({col})"
 
-    def companions():
+    def companions(indexed: bool = False):
         out = []
         for i, it in enumerate(items):
             if i == fn_idx:
                 continue
             am = _ITEM_ALIAS_RE.match(it.strip())
             expr = _rewrite_ops(am.group("expr"))
-            out.append((expr, am.group("alias") or am.group("expr")))
+            pair = (expr, am.group("alias") or am.group("expr"))
+            out.append((i, *pair) if indexed else pair)
         return out
 
     def comp(e, a, wrapped_sql):
         # a companion that is ITSELF an aggregate (`first(c1)*91,
         # last(c3)`) is an independent aggregate over the same scan —
-        # wrapping it in the anchor's pick would nest aggregates
+        # wrapping it in the anchor's pick would nest aggregates.
+        # Returns a LIST: a cols(…) companion expands to several
+        # aliased aggregates
         if _AGG_CALL_RE.search(e):
-            return F.expr(_rewrite_aggs(e, ts_col)).alias(a)
-        return F.expr(wrapped_sql).alias(a)
+            parts = _split_select(_rewrite_aggs(e, ts_col))
+            if len(parts) > 1:
+                return [F.expr(p) for p in parts]
+            return [F.expr(parts[0]).alias(a)]
+        return [F.expr(wrapped_sql).alias(a)]
 
     if fn in ("first", "last"):
         guard = f"CASE WHEN {col} IS NOT NULL THEN {ts_col} END"
         pick = "min_by" if fn == "first" else "max_by"
-        aggs = [
-            comp(e, a, f"{pick}({e}, {guard})")
-            for e, a in companions()
-        ]
-        aggs.insert(fn_idx, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
+        aggs = []
+        for i, e, a in companions(indexed=True):
+            aggs.extend(comp(e, a, f"{pick}({e}, {guard})"))
+        # the anchor sits at its ORIGINAL position among the (possibly
+        # expanded) companions
+        pos = sum(
+            len(comp(e, a, "0")) for i, e, a in companions(indexed=True)
+            if i < fn_idx
+        )
+        aggs.insert(pos, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
         out = base.agg(*aggs)
     elif fn in ("min", "max"):
         # min/max are selection functions too: companions take their
@@ -1924,8 +2040,8 @@ def _translate_selection(
             key = f"struct({col}, -unix_micros({ts_col}))"
         pick = "min_by" if fn == "min" else "max_by"
         aggs = [
-            comp(e, a, f"{pick}({e}, {key})")
-            for e, a in companions()
+            c for e, a in companions()
+            for c in comp(e, a, f"{pick}({e}, {key})")
         ]
         aggs.insert(fn_idx, F.expr(f"{fn}({col})").alias(fn_alias))
         out = base.where(F.col(col).isNotNull()).agg(*aggs)
@@ -2609,6 +2725,11 @@ def _extract_indef_calls(items: "list[str]"):
                 elif it[j] == ")":
                     depth -= 1
                 j += 1
+            if re.match(r"(?is)\s*over\b", it[j:]):
+                # explicit OVER clause (std window SQL `lag(v) over
+                # (…)`) — not a dialect indef call, leave untouched
+                i = j
+                continue
             name = f"_indef_{len(calls)}"
             calls.append((name, it[m2.start():j]))
             it = it[:m2.start()] + name + it[j:]
@@ -2652,6 +2773,13 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
         # output is one ts-ordered stream, so the lag pre-pass is
         # global — the rewritten items are then a plain global agg
         out, items = _prepare_groupfns(out, items, [], ts_col)
+    if any(re.search(r"(?i)\bcols\s*\(", it) for it in items):
+        # cols() over a join result: rewrite to its min_by/max_by form
+        # over the merged stream; an all-aggregate select collapses to
+        # one global aggregate row
+        items = _split_select(_rewrite_aggs(", ".join(items), ts_col))
+        if all(_has_agg(it) for it in items):
+            return out.agg(*[F.expr(it) for it in items])
     return out.selectExpr(*items)
 
 
@@ -2892,6 +3020,8 @@ def translate(
     whose select list is plain avg/sum/count/min/max aggregates are
     transparently rewritten onto a compatible pre-aggregation — the
     reference's TSMA planner rewrite (SURVEY §4.3)."""
+    global _ACTIVE_TS
+    _ACTIVE_TS = ts_col
     # reference NULL-on-error semantics are scoped to dialect plans:
     # analysis (which bakes ANSI behavior into the expressions) happens
     # eagerly inside this call, so flipping the conf around it leaves
@@ -3635,10 +3765,13 @@ def _translate_inner(
             r"(?i)\b(diff|csum|mavg|derivative|statecount|stateduration|"
             r"twa|irate|top|bottom|sample|last_row|spread|elapsed|mode|"
             r"tail|unique|histogram|percentile|apercentile|leastsquares|"
-            r"first|last|interp)"
+            r"first|last|interp|lag|lead)"
             r"\s*\(",
             g["select"],
         )
+        # cols() in ORDER BY needs the dialect group path's hidden-
+        # aggregate machinery — Catalyst can't parse the rewrite
+        or re.search(r"(?i)\bcols\s*\(", sql)
     ) and _view_exists(spark, table) and table not in db.tables:
         # dialect clauses over a registered view (e.g. a translated
         # FROM-subquery) — read the view instead of parquet; expose its
@@ -3656,7 +3789,19 @@ def _translate_inner(
             # std-SQL table/view → Catalyst parses the whole query
             # (dialect agg names still need their Spark spellings —
             # `select hyperloglog(1) from <subquery view>`)
-            return spark.sql(_rewrite_ops(_rewrite_aggs(sql, ts_col)))
+            _tsc = None
+            try:
+                from pyspark.sql.types import TimestampType as _Tst
+
+                _tsc = {
+                    f.name for f in spark.table(table).schema.fields
+                    if isinstance(f.dataType, _Tst)
+                }
+            except Exception:  # noqa: BLE001 — unresolvable FROM
+                pass
+            return spark.sql(_rewrite_ops(
+                _rewrite_aggs(sql, ts_col, ts_cols=_tsc)
+            ))
         base = child
     base, g = _promote_floats(base, g)
     base_prefilter = base
@@ -3726,9 +3871,18 @@ def _translate_inner(
 
     from pyspark.sql.types import TimestampType as _TssT
 
+    _decl = dict(st_pk.declared_types or ()) if st_pk else {}
     select = _rewrite_aggs(
         _rewrite_ops(g["select"]), ts_col,
         pk_col=st_pk.pk_col if st_pk else None,
+        nchar_cols={
+            c for c, ty in _decl.items()
+            if ty and ty.strip().lower().startswith("nchar")
+        },
+        bin_cols={
+            c for c, ty in _decl.items()
+            if ty and re.match(r"(?i)\s*(binary|varchar|varbinary)", ty)
+        },
         float_cols={
             f.name for f in base.schema.fields
             if isinstance(f.dataType, (_FltT, _DblT))
@@ -3739,6 +3893,26 @@ def _translate_inner(
         },
     )
     items = _split_select(select)
+
+    if g["order"] and re.search(r"(?i)\bcols\s*\(", g["order"]):
+        # ORDER BY cols(sel, p): sorts on the aggregate the select-list
+        # cols rewrite produces — run the same rewrite over the order
+        # text so agg-output substitution can match it. The reference
+        # rejects the combination on a temp table with a non-grouped
+        # tag companion (orderby_test error probes).
+        g = dict(g)
+        _osql = _rewrite_aggs(
+            _rewrite_ops(g["order"]), ts_col,
+            pk_col=st_pk.pk_col if st_pk else None,
+        )
+        # the select-list rewrite appends output aliases — illegal in
+        # ORDER BY text; strip them (the CAST(x AS t) form survives:
+        # its `as` is inside parens, never followed by , / end / dir)
+        _osql = re.sub(r"(?is)\s+as\s+`[^`]*`", "", _osql)
+        g["order"] = re.sub(
+            r"(?is)\s+as\s+[A-Za-z_]\w*(?=\s*(,|$|asc\b|desc\b))",
+            "", _osql,
+        )
 
     window = (g["window"] or "").strip()
     if window and keys and any(
@@ -3795,6 +3969,13 @@ def _translate_inner(
         ts_eff = "_wstart" if "_wstart" in base.columns else next(
             (f.name for f in base.schema.fields
              if isinstance(f.dataType, _TsTyp)), ts_col)
+        if ts_eff != ts_col:
+            # `_rowts` (rewritten to the pk name) over a derived table
+            # resolves to the relation's primary timestamp column
+            items = [
+                re.sub(rf"\b{re.escape(ts_col)}\b", ts_eff, it)
+                for it in items
+            ]
     indef_cols = None if window else _build_indef_items(
         items, keys, ts_eff, dtypes=dict(base.dtypes),
         pk_col=(st_pk.pk_col if st_pk and getattr(st_pk, "pk_col", None)
@@ -3923,6 +4104,22 @@ def _translate_inner(
     elif keys or g["group"]:
         gkeys = keys + gkeys_extra
         base, items = _prepare_groupfns(base, items, gkeys, ts_col)
+        # cols(mode(x), …) selectors need the per-group value count
+        # (window pre-pass; see cols_fn) — one column per distinct x
+        for _mc in {m for it in items
+                    for m in re.findall(r"__modecnt_(\w+)__", it)}:
+            if _mc in base.columns:
+                from pyspark.sql.window import Window as _W
+
+                base = base.withColumn(
+                    f"__modecnt_{_mc}__",
+                    F.when(
+                        F.col(_mc).isNotNull(),
+                        F.count(F.lit(1)).over(_W.partitionBy(
+                            *[F.expr(k) for k in gkeys], F.col(_mc)
+                        )),
+                    ),
+                )
 
         def _norm_txt(s: str) -> str:
             return re.sub(r"\s+", "", s).lower()
@@ -3961,7 +4158,7 @@ def _translate_inner(
         anchor = _sel_anchor(items, ts_col)
         for it in items:
             kn = gk_alias.get(_norm_txt(re.sub(
-                r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it)))
+                r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", it)))
             if kn is not None:
                 am = re.search(
                     r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE
@@ -4008,14 +4205,28 @@ def _translate_inner(
                     used.add(nm)
                     sel_cols.append(nm)
                     continue
+            bq3 = re.match(r"(?is)^(.*?)\s+as\s+`([^`]*)`\s*$", it.strip())
             am3 = _ITEM_ALIAS_RE.match(it.strip())
-            if am3 and am3.group("alias"):
+            if bq3:
+                # backquoted derived name (`min_by(…) as \`first(c0)\``)
+                nm = bq3.group(2)[:64]
+                aggs.append(F.expr(bq3.group(1)).alias(nm))
+                agg_pairs.append((bq3.group(1), nm))
+            elif am3 and am3.group("alias"):
                 # `max(c1) as c1` AND the bare-alias form `max(c1) c1`
                 nm = am3.group("alias")
                 aggs.append(F.expr(am3.group("expr")).alias(nm))
                 agg_pairs.append((am3.group("expr"), nm))
             else:
-                nm = re.sub(r"\W+", "_", it.strip()).strip("_") or "expr"
+                raw = it.strip()
+                # reference output name = the expression text as typed
+                # ('count(1)', TSDB_COL_NAME_LEN 64-char cap); texts
+                # with whitespace/backquotes sanitize as before
+                if "`" not in raw and not re.search(r"\s", raw) \
+                        and len(raw) <= 64:
+                    nm = raw
+                else:
+                    nm = re.sub(r"\W+", "_", raw).strip("_") or "expr"
                 if nm[0].isdigit():
                     nm = "_" + nm
                 while nm in used:
@@ -4023,7 +4234,25 @@ def _translate_inner(
                 aggs.append(F.expr(it).alias(nm))
                 agg_pairs.append((it, nm))
             used.add(nm)
-            sel_cols.append(nm)
+            sel_cols.append(
+                nm if re.fullmatch(r"[A-Za-z_]\w*", nm) else f"`{nm}`"
+            )
+        if g["order"]:
+            # ORDER BY an aggregate that is NOT in the select list
+            # (`order by cols(last(c0), c0)` with a different select):
+            # compute it as a hidden aggregate — dropped by the final
+            # sel_cols projection after the sort
+            for c in _split_select(g["order"]):
+                body = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c.strip())
+                if body.isdigit() or gk_alias.get(_norm_txt(body)):
+                    continue
+                if any(_norm_txt(e) == _norm_txt(body)
+                       for e, n in agg_pairs):
+                    continue
+                if _AGG_CALL_RE.search(body):
+                    hid = f"_ordagg{len(agg_pairs)}"
+                    aggs.append(F.expr(body).alias(hid))
+                    agg_pairs.append((body, hid))
         _gdummy = None
         if not aggs:
             # `select c1 … group by c1`: the select list is group keys
@@ -4159,10 +4388,12 @@ def _translate_inner(
             # select positions, group-key expressions → their aliases,
             # aggregate spellings → their output columns; items that
             # resolve to nothing are dropped (the reference tolerates
-            # ordering grouped output by unrelated columns)
+            # ordering grouped output by unrelated columns). Split
+            # respects nesting — a rewritten cols() ordering carries
+            # commas inside max_by(…, CASE …).
             ocols = []
-            plain_names = [s.split()[0] for s in sel_cols]
-            for c in g["order"].split(","):
+            plain_names = [s.split()[0].strip("`") for s in sel_cols]
+            for c in _split_select(g["order"]):
                 c = c.strip()
                 desc = c.lower().endswith(" desc")
                 body = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c)
@@ -4221,7 +4452,7 @@ def _translate_inner(
         hv = _rewrite_ops(g["having"])
         ocols = list(out.columns)
         pairs = [
-            (re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it), oc)
+            (re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", it), oc)
             for it, oc in zip(items, ocols[len(ocols) - len(items):])
         ] if len(ocols) >= len(items) else []
         hv = _subst_agg_refs(_rewrite_aggs(hv, ts_col), pairs)
@@ -4237,6 +4468,25 @@ def _translate_inner(
         def _apply_order(otext):
             if not otext.strip():
                 return out
+            names = out.columns
+            if len(set(names)) != len(names):
+                # duplicate output names (reference allows `c0,
+                # cols(first(ts), c0, …)`): sort on the FIRST
+                # occurrence through a uniquified rename
+                uniq = [f"_oc{i}" for i in range(len(names))]
+                first = {}
+                for i, n in enumerate(names):
+                    first.setdefault(n, uniq[i])
+                tmp = out.toDF(*uniq)
+                oc2 = []
+                for c in _split_select(otext):
+                    c = c.strip()
+                    desc = c.lower().endswith(" desc")
+                    nm = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c)
+                    tgt = (uniq[int(nm) - 1] if nm.isdigit()
+                           else first.get(nm, nm))
+                    oc2.append(F.col(tgt).desc() if desc else F.col(tgt))
+                return tmp.orderBy(*oc2).toDF(*names)
             ocols = _order_cols(otext, out.columns)
             if (
                 window
@@ -4963,18 +5213,63 @@ def _windowed(
             # placeholders — sort on the rewritten expressions BEFORE
             # the final projection drops them (projection preserves row
             # order)
-            oc = []
-            for b, desc in ord_specs:
-                e = F.expr(b)
-                oc.append(e.desc() if desc else e)
-            out = out.orderBy(*oc)
-        out = out.selectExpr(
-            *[
-                f"{deferred[c]} as {c}" if c in deferred else c
-                for c in keep
-                if c in deferred or c in out.columns
-            ]
-        )
+            names = out.columns
+            if len(set(names)) != len(names) and any(
+                re.fullmatch(r"[A-Za-z_]\w*", b) and names.count(b) > 1
+                for b, _ in ord_specs
+            ):
+                # duplicate output names (`c0, cols(first(ts), c0, …)`
+                # state_window(c0) order by c0): sort on the FIRST
+                # occurrence through a uniquified rename
+                uniq = [f"_oc{i}" for i in range(len(names))]
+                first = {}
+                for i, n in enumerate(names):
+                    first.setdefault(n, uniq[i])
+                tmp = out.toDF(*uniq)
+                oc = []
+                for b, desc in ord_specs:
+                    e = (F.col(first[b])
+                         if re.fullmatch(r"[A-Za-z_]\w*", b) and b in first
+                         else F.expr(b))
+                    oc.append(e.desc() if desc else e)
+                out = tmp.orderBy(*oc).toDF(*names)
+            else:
+                oc = []
+                for b, desc in ord_specs:
+                    e = F.expr(b)
+                    oc.append(e.desc() if desc else e)
+                out = out.orderBy(*oc)
+        _names = out.columns
+        if any(
+            c not in deferred and _names.count(c) > 1 for c in keep
+        ):
+            # duplicate-name projection: each keep occurrence maps to
+            # the next source occurrence positionally
+            _uniq = [f"_kc{i}" for i in range(len(_names))]
+            _tmp = out.toDF(*_uniq)
+            _used: dict = {}
+            _sel = []
+            for c in keep:
+                if c in deferred:
+                    _sel.append(f"{deferred[c]} as {c}")
+                    continue
+                occ = [i for i, n in enumerate(_names) if n == c]
+                if not occ:
+                    continue
+                k2 = _used.get(c, 0)
+                _used[c] = k2 + 1
+                _sel.append(
+                    f"{_uniq[occ[min(k2, len(occ) - 1)]]} as `{c}`"
+                )
+            out = _tmp.selectExpr(*_sel)
+        else:
+            out = out.selectExpr(
+                *[
+                    f"{deferred[c]} as {c}" if c in deferred else c
+                    for c in keep
+                    if c in deferred or c in out.columns
+                ]
+            )
         for k, v in pseudo_alias.items():
             if k in out.columns:
                 out = out.withColumnRenamed(k, v)
@@ -5157,7 +5452,7 @@ def _windowed(
             # projection (wrapping them in first() would smuggle an
             # aggregate into that projection → MISSING_GROUP_BY)
             or _refs_only_cols(
-                re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip(),
+                re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", it).strip(),
                 pseudo | set(keys),
             )
             # ignore-nulls: window-constant columns stay constant even
@@ -5225,7 +5520,7 @@ def _windowed(
     mixed_placeholders: list = []
     for it in agg_exprs:
         mm = re.search(r"\s+as\s+([A-Za-z_][\w]*)\s*$", it, re.IGNORECASE)
-        body = re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip()
+        body = re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", it).strip()
         if mm:
             nm = mm.group(1)
         else:
@@ -5280,7 +5575,7 @@ def _windowed(
     hv_in_aggs = False
     if having:
         pairs = [
-            (re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", e), n2)
+            (re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", e), n2)
             for e, n2 in zip(agg_exprs, agg_names)
         ]
         hv_expr = _subst_agg_refs(having, pairs)
@@ -5318,7 +5613,7 @@ def _windowed(
                 obody,
                 [
                     (
-                        re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", e),
+                        re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", e),
                         n2,
                     )
                     for e, n2 in zip(agg_exprs, agg_names)
@@ -6561,7 +6856,8 @@ def _execute_inner(
 
 #: row-indexed ("indefinite" output) functions, sql.y / builtins.c —
 #: per-row outputs over a ts-ordered per-key window, not aggregates
-_INDEF_FNS = ("diff", "csum", "mavg", "derivative", "statecount", "stateduration")
+_INDEF_FNS = ("diff", "csum", "mavg", "derivative", "statecount",
+              "stateduration", "lag", "lead")
 
 _INDEF_ITEM_RE = re.compile(
     r"^(\w+)\s*\(\s*(.*?)\s*\)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
@@ -6604,6 +6900,10 @@ def _indef_call_sql(call: str, keys: list[str], ts_col: str):
         if opt == "1":
             return f"(case when {base} >= 0 then {base} end)", emit
         return base, emit
+    if fn in ("lag", "lead"):
+        n = args[1] if len(args) > 1 else "1"
+        dsql = f", {args[2]}" if len(args) > 2 else ""
+        return f"({fn}({args[0]}, {n}{dsql}) {over})", None
     if fn == "csum":
         return f"(sum({args[0]}) {overg})", f"({args[0]} is not null)"
     if fn == "mavg" and len(args) > 1 and args[1].isdigit():
@@ -6739,6 +7039,31 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
             add_emit(c.isNotNull())
         elif fn == "statecount":
             c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
+        elif fn in ("lag", "lead"):
+            # lag/lead(col[, offset[, default]]) (v3.4.0 selection
+            # family): per-row offset lookup in ts order, EVERY row
+            # emits; the default fills only out-of-bounds offsets
+            off = args[1].strip() if len(args) > 1 else "1"
+            dsql = f", {args[2]}" if len(args) > 2 else ""
+            if (len(args) > 2
+                    and dtypes
+                    and dtypes.get(args[0], "").startswith("timestamp")
+                    and re.fullmatch(r"[-+]?\d+", args[2].strip())):
+                # an integer default against a TIMESTAMP column is an
+                # epoch literal in the db precision
+                dsql = f", {_epoch_lit_sql(args[2].strip())}"
+            part = f"partition by {', '.join(keys)} " if keys else ""
+            # a FROM-subquery's ORDER BY drives the offset direction
+            # (same presentation-order rule as diff)
+            osql = f"order by {ts_col}"
+            if _ACTIVE_SUB_ORDER:
+                osql = "order by " + ", ".join(
+                    f"{cn} desc" if dsc else cn
+                    for (cn, dsc) in _ACTIVE_SUB_ORDER
+                )
+            c = F.expr(
+                f"{fn}({args[0]}, {off}{dsql}) over ({part}{osql})"
+            )
         else:  # stateduration
             # default unit = one tick of the db precision (builtins.c
             # translateStateDuration: "default is db precision")
@@ -6763,7 +7088,7 @@ def _sel_anchor(items, ts_col):
     selected row (builtins.c FUNC_MGT_SELECT_FUNC row semantics).
     Returns (pick_fn, key_sql) or None."""
     for it in items:
-        body = re.sub(r"(?is)\s+as\s+[A-Za-z_]\w*\s*$", "", it).strip()
+        body = re.sub(r"(?is)\s+as\s+(?:[A-Za-z_]\w*|`[^`]*`)\s*$", "", it).strip()
         m2 = re.match(r"(?i)^(min|max)\s*\(\s*([A-Za-z_]\w*)\s*\)$", body)
         if m2:
             fn, col = m2.group(1).lower(), m2.group(2)

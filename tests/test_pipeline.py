@@ -482,3 +482,63 @@ def test_jpeg_decode_color_420():
     assert np.all(img.reshape(-1, 3) == np.array(expect)), (
         img[0, 0], expect
     )
+
+
+def test_wav_decode_known_sine(spark):
+    """RIFF/WAV kernel on a generated 440 Hz 16-bit sine: header fields,
+    duration, and RMS ≈ amp/√2 must come back exactly; the Spark-side
+    decode_audio plumbing carries the same values per asset row."""
+    import math
+    import struct
+
+    from tdengine_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        _decode_wav_bytes,
+        decode_audio,
+    )
+
+    sr, secs, amp = 8000, 0.5, 0.25
+    n = int(sr * secs)
+    samples = [
+        int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+        for i in range(n)
+    ]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    srate, ch, ns, dur, feat = _decode_wav_bytes(wav)
+    assert (srate, ch, ns) == (sr, 1, n)
+    assert abs(dur - secs) < 1e-9
+    assert abs(feat[0] - amp / math.sqrt(2)) < 0.01  # rms
+    assert abs(feat[1] - amp) < 0.01                 # peak
+
+    # stereo mixdown: L = sine, R = -sine → mono mixdown is silence
+    stereo = b"".join(
+        struct.pack("<hh", s, -s) for s in samples
+    )
+    fmt2 = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt2) + 8 + len(stereo))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+        + b"data" + struct.pack("<I", len(stereo)) + stereo
+    )
+    srate2, ch2, ns2, _, feat2 = _decode_wav_bytes(wav2)
+    assert (srate2, ch2, ns2) == (sr, 2, n)
+    assert feat2[0] < 1e-4  # L + R cancel
+
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", wav, None),
+         (2, "audio", "audio/wav", b"not a wav", None)],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in decode_audio(df).collect()}
+    assert rows[1].sample_rate == sr and rows[1].n_samples == n
+    assert abs(rows[1].feature[0] - amp / math.sqrt(2)) < 0.01
+    assert rows[2].sample_rate is None and rows[2].feature is None

@@ -288,3 +288,37 @@ def test_replay_fun_ts_sample(spark):
         ["test_func_ts_sample"], min_checks=20,
     )
     print(stats)
+
+
+# --- 03-Selection replays (r12) ----------------------------------------------
+
+
+def test_replay_fun_select_first_last(spark):
+    """03-Selection/test_fun_select_first_last.py — first/last over
+    interval/state/session/event/count windows incl. multi-projection
+    cols() (cols(first(ts), ts as f_ts, v as f_v)), partitioned
+    interval with generated windows, CACHEMODEL last paths."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_first_last.py",
+        ["test_last_interval_partition_many_generated_windows",
+         "test_last_interval_partition_empty_result_window",
+         "test_first_last_window"],
+        tz_shift_hours=0, min_checks=500,
+    )
+    print(stats)
+
+
+def test_replay_fun_select_lag_lead(spark):
+    """03-Selection/test_fun_select_lag_lead.py — lag/lead selection
+    functions (v3.4.0): offsets, defaults (incl. epoch-int defaults on
+    timestamp columns), partition by tbname/tag, multi-call selects,
+    ordered-subquery direction, geometry/decimal defaults, null
+    inputs, large offsets. patch_out: _case_stream_query_lag_lead
+    drives snode/stream infrastructure (streaming covered by
+    tests/test_streaming.py)."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_lag_lead.py",
+        ["test_func_select_lag_lead"], min_checks=150,
+        patch_out=("_case_stream_query_lag_lead",),
+    )
+    print(stats)
