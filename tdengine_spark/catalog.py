@@ -151,6 +151,7 @@ class SuperTable:
         spark: SparkSession,
         dedup: bool = False,
         ts_range: "tuple | None" = None,
+        pk_merge: bool = True,
     ) -> DataFrame:
         """Read the table; ``ts_range=(lo, hi)`` (half-open, ISO strings or
         datetimes, either side None) is applied as a *pushable* predicate:
@@ -210,7 +211,8 @@ class SuperTable:
             if "_version" in df.columns:
                 df = df.drop("_version")
             if (
-                self.pk_col
+                pk_merge
+                and self.pk_col
                 and self.pk_col in df.columns
                 and self.tbname_col in df.columns
             ):
@@ -220,6 +222,11 @@ class SuperTable:
                 # (test_fun_ts_diff.py withPkTest: duplicate (ts, pk)
                 # in a later sibling doesn't change the stream). uid
                 # creation order approximated by tbname sort order.
+                # Only for MERGED-stream reads: per-child scans
+                # (partition/group by tbname, child-slice reads) keep
+                # each child's own rows — callers pass pk_merge=False
+                # (the reference dedupes only inside TableMergeScan,
+                # never across separately-scanned children).
                 other = [
                     c for c in df.columns
                     if c not in (self.ts_col, self.pk_col)
@@ -394,8 +401,14 @@ class Database:
             self.tables[name] = SuperTable(name=name, path=f"{self.root}/{name}.parquet")
         return self.tables[name]
 
-    def read(self, spark: SparkSession, name: str, dedup: bool = False) -> DataFrame:
-        return self.table(name).read(spark, dedup=dedup)
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        dedup: bool = False,
+        pk_merge: bool = True,
+    ) -> DataFrame:
+        return self.table(name).read(spark, dedup=dedup, pk_merge=pk_merge)
 
 
 # session-level cache of small tag/key domains, keyed by

@@ -827,9 +827,12 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
             return f"octet_length({a[0]})"
         return f"length({', '.join(a)})"
 
+    cols_hit = [False]  # did cols_fn actually rewrite anything?
+
     def cols_fn(a):
         # cols(sel_fn(c), expr): expr evaluated at the row the selection
         # function picks (builtins.c colsFunction, v3.3.6)
+        cols_hit[0] = True
         m = re.match(
             r"(?is)^\s*(first|last|last_row|min|max|mode)\s*\(\s*(.+?)\s*\)\s*$",
             a[0],
@@ -912,16 +915,20 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
     s = _rewrite_call(s, "cols", cols_fn)
     # `cols(last(ts), ts) as t1`: an OUTER alias on a single-projection
     # cols overrides the derived name — collapse the double alias
-    # (keyword guard: `as p ROWS BETWEEN …` is not an alias pair)
-    s = re.sub(
-        r"(?is)as\s+(`[^`]*`|[A-Za-z_]\w*)\s+(?:as\s+)?"
-        r"(?!(?:rows|range|from|where|group|order|having|limit|and|or|"
-        r"when|then|else|end|over|partition|by|asc|desc|between|in|is|"
-        r"not|null|interval|fill|sliding|session|state_window|"
-        r"event_window|count_window|union|slimit|soffset|offset|"
-        r"window|true_for)\b)([A-Za-z_]\w*)\b",
-        r"as \2", s,
-    )
+    # (keyword guard: `as p ROWS BETWEEN …` is not an alias pair).
+    # ONLY when a cols() call was actually rewritten — unconditional,
+    # this regex would corrupt unrelated text like `from v as a join v2`
+    if cols_hit[0]:
+        s = re.sub(
+            r"(?is)as\s+(`[^`]*`|[A-Za-z_]\w*)\s+(?:as\s+)?"
+            r"(?!(?:rows|range|from|where|group|order|having|limit|and|or|"
+            r"when|then|else|end|over|partition|by|asc|desc|between|in|is|"
+            r"not|null|interval|fill|sliding|session|state_window|"
+            r"event_window|count_window|union|slimit|soffset|offset|"
+            r"window|true_for|join|left|right|inner|outer|full|cross|on|"
+            r"using|asof|jlimit|window_offset)\b)([A-Za-z_]\w*)\b",
+            r"as \2", s,
+        )
     # AFTER cols: raw projection text survives as the backquoted output
     # name; the computed copy inside min_by/max_by still gets rewritten
     if nchar_cols or bin_cols:
@@ -1824,7 +1831,9 @@ def _child_slice(spark: SparkSession, db: Database, name: str):
         f"{db.root}/{reg.parent}.parquet"
     ):
         parent = db.table(reg.parent)
-        df = parent.read(spark, dedup=parent.managed)
+        # per-child slice: no cross-child (ts, pk) merge — the reference
+        # dedupes only in the merged TableMergeScan, a child keeps its rows
+        df = parent.read(spark, dedup=parent.managed, pk_merge=False)
         return df.where(F.col("tbname") == (reg.src_name or name))
     for st_tbl in list(db.tables.values()):
         if st_tbl.name == name or not os.path.exists(st_tbl.path):
@@ -2778,6 +2787,10 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
         # over the merged stream; an all-aggregate select collapses to
         # one global aggregate row
         items = _split_select(_rewrite_aggs(", ".join(items), ts_col))
+        # cols(mode(x), …) rewrites reference a __modecnt_x__ window
+        # pre-pass column — add it here too (global over the merged
+        # join stream), not only in the grouped translate path
+        out = _add_modecnt_cols(out, items, [])
         if all(_has_agg(it) for it in items):
             return out.agg(*[F.expr(it) for it in items])
     return out.selectExpr(*items)
@@ -3164,8 +3177,15 @@ def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
     table = g["table"].split(".")[-1]
     base = _child_slice(spark, db, table)
     if base is None:
-        base = db.read(spark, table, dedup=db.tables.get(table) is not None
-                       and db.tables[table].managed)
+        base = db.read(
+            spark, table,
+            dedup=db.tables.get(table) is not None
+            and db.tables[table].managed,
+            pk_merge=not any(
+                re.search(r"(?i)\btbname\b", g[k] or "")
+                for k in ("partition", "group")
+            ),
+        )
     if g["where"]:
         base = base.where(F.expr(_filter_expr_sql(
             base.schema, _rewrite_ops(g["where"])
@@ -3747,8 +3767,18 @@ def _translate_inner(
     globals()["_ACTIVE_SUB_ORDER"] = None
     if os.path.exists(f"{db.root}/{table}.parquet"):
         reg0 = db.tables.get(table)
+        # partition/group by tbname = per-child scan shape: the reference
+        # scans each child separately (no TableMergeScan), so the
+        # cross-child composite-pk merge must NOT apply
+        _per_child = any(
+            re.search(r"(?i)\btbname\b", g[k] or "")
+            for k in ("partition", "group")
+            if k in g
+        )
         base = db.read(
-            spark, table, dedup=bool(reg0 is not None and reg0.managed)
+            spark, table,
+            dedup=bool(reg0 is not None and reg0.managed),
+            pk_merge=not _per_child,
         )
         if "tbname" not in base.columns and re.search(
             r"(?i)\btbname\b", re.sub(r"'[^']*'", "''", sql)
@@ -4106,20 +4136,7 @@ def _translate_inner(
         base, items = _prepare_groupfns(base, items, gkeys, ts_col)
         # cols(mode(x), …) selectors need the per-group value count
         # (window pre-pass; see cols_fn) — one column per distinct x
-        for _mc in {m for it in items
-                    for m in re.findall(r"__modecnt_(\w+)__", it)}:
-            if _mc in base.columns:
-                from pyspark.sql.window import Window as _W
-
-                base = base.withColumn(
-                    f"__modecnt_{_mc}__",
-                    F.when(
-                        F.col(_mc).isNotNull(),
-                        F.count(F.lit(1)).over(_W.partitionBy(
-                            *[F.expr(k) for k in gkeys], F.col(_mc)
-                        )),
-                    ),
-                )
+        base = _add_modecnt_cols(base, items, gkeys)
 
         def _norm_txt(s: str) -> str:
             return re.sub(r"\s+", "", s).lower()
@@ -4429,6 +4446,7 @@ def _translate_inner(
                 )
             )
             base, items = _prepare_groupfns(base, items, [], ts_col)
+            base = _add_modecnt_cols(base, items, [])
             out = base.agg(*[F.expr(it) for it in items])
             if not has_count:
                 # reference: non-count aggregates produce NO row for
@@ -7253,12 +7271,25 @@ def _translate_rowsel_multi(base, matched, keys, ts_col):
         else:  # unique
             df = S.unique(base, col, ts_col, keys)
         nm = f"_rs{j}"
-        d = df.select(*keys, F.expr(col).alias(nm))
+        d = df.select(*keys, F.expr(col).alias(nm),
+                      F.col(ts_col).alias("_rts"))
         parts = [F.col(k) for k in keys] if keys else [F.lit(1)]
+        # rank each call's rows by ITS OWN presentation order (the
+        # reference zips in emission order): top prints values
+        # ascending / bottom descending (topBotFinalize heap layout),
+        # tail sorts ts ascending (tailFinalize builtinsimpl.c:7235),
+        # unique emits first occurrences in ts order; sample is random
+        # — any deterministic rank reproduces "a" lockstep
+        if fn == "bottom":
+            emit = [F.col(nm).desc(), F.col("_rts").asc()]
+        elif fn in ("tail", "unique"):
+            emit = [F.col("_rts").asc()]
+        else:  # top, sample
+            emit = [F.col(nm).asc(), F.col("_rts").asc()]
         d = d.withColumn(
             "_ri",
-            F.row_number().over(_W.partitionBy(*parts).orderBy(F.col(nm))),
-        )
+            F.row_number().over(_W.partitionBy(*parts).orderBy(*emit)),
+        ).drop("_rts")
         joined = d if joined is None else joined.join(
             d, keys + ["_ri"], "full"
         )
@@ -7268,7 +7299,8 @@ def _translate_rowsel_multi(base, matched, keys, ts_col):
         e = F.expr(am.group("expr")) if am else F.expr(it)
         alias = am.group("alias") if am else None
         sel.append(e.alias(alias) if alias else e)
-    return joined.select(*sel)
+    # reference lockstep output is ordered (group, emission row)
+    return joined.orderBy(*keys, "_ri").select(*sel)
 
 
 def _collect_groupfn_calls(items):
@@ -7284,6 +7316,29 @@ def _collect_groupfn_calls(items):
 
             _rewrite_call(it, fn, grab)
     return sorted(calls)
+
+
+def _add_modecnt_cols(base, items, gkeys):
+    """cols(mode(x), …) selectors rewrite to max_by over a per-group
+    value-count column ``__modecnt_x__`` (see cols_fn in _rewrite_aggs).
+    Append that window pre-pass column for every distinct x referenced —
+    partitioned by the group keys (empty for a global aggregate) plus x.
+    Shared by the grouped, global-aggregate, and join projection paths."""
+    for _mc in {m for it in items
+                for m in re.findall(r"__modecnt_(\w+)__", it)}:
+        if _mc in base.columns and f"__modecnt_{_mc}__" not in base.columns:
+            from pyspark.sql.window import Window as _W
+
+            base = base.withColumn(
+                f"__modecnt_{_mc}__",
+                F.when(
+                    F.col(_mc).isNotNull(),
+                    F.count(F.lit(1)).over(_W.partitionBy(
+                        *[F.expr(k) for k in gkeys], F.col(_mc)
+                    )),
+                ),
+            )
+    return base
 
 
 def _prepare_groupfns(base, items, keys, ts_col, bucket=None,

@@ -72,6 +72,34 @@ def pair_cosine(a: Column, b: Column, round4: bool = False) -> Column:
 cosine = pair_cosine
 
 
+def pair_cosine_int(a: Column, b: Column,
+                    scale: "int | None" = None) -> Column:
+    """Cross-engine-EXACT cosine for the quantized-LSH value oracles:
+    both vectors are floor-quantized to 1/scale int64 ticks; dot and
+    squared norms are exact integer sums (every partial sum is an
+    integer < 2^53, so ANY summation order — numpy einsum or a SQL
+    engine's sequential list fold — yields the same value); the only
+    inexact IEEE ops (one multiply, sqrt, divide, half-up round to 4
+    decimals) are correctly-rounded and identical in every engine.
+    Eliminates the float path's summation-order divergence near a
+    rounding boundary or an exact threshold value."""
+    sc = INT_BUCKET_SCALE if scale is None else scale
+
+    @pandas_udf("double")
+    def _pci(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        A = np.floor(_mat(sa) * sc).astype(np.int64)
+        B = np.floor(_mat(sb) * sc).astype(np.int64)
+        num = np.einsum("ij,ij->i", A, B).astype(np.float64)
+        na = np.einsum("ij,ij->i", A, A).astype(np.float64)
+        nb = np.einsum("ij,ij->i", B, B).astype(np.float64)
+        out = num / np.maximum(np.sqrt(na * nb), 1e-30)
+        return pd.Series(
+            np.sign(out) * np.floor(np.abs(out) * 1e4 + 0.5) / 1e4 + 0.0
+        )
+
+    return _pci(a, b)
+
+
 #: hard cap on the collected query side of cosine_topk — ~100k × 64-dim
 #: float64 ≈ 50 MB in the closure, the sane upper bound for
 #: broadcast-style shipping
@@ -221,7 +249,12 @@ def cosine_near_dup_pairs(
         )
     return (
         pairs.withColumn(
-            "cosine", pair_cosine(F.col("_va"), F.col("_vb"), round4=True)
+            "cosine",
+            # quantized tier scores integer-exactly (value-oracle-safe
+            # even AT the threshold); float tier keeps the shared
+            # rounding kernel
+            pair_cosine_int(F.col("_va"), F.col("_vb")) if quantized
+            else pair_cosine(F.col("_va"), F.col("_vb"), round4=True),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -345,9 +378,11 @@ def lsh_ann_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            # same numpy rounding kernel as cosine_topk: identical pairs
-            # score bit-identically across both tiers
-            pair_cosine(F.col("_qv"), F.col("_cv"), round4=True),
+            # quantized tier: integer-exact scoring so the DuckDB
+            # value-oracle replays bit-identically; float tier: same
+            # numpy rounding kernel as cosine_topk
+            pair_cosine_int(F.col("_qv"), F.col("_cv")) if quantized
+            else pair_cosine(F.col("_qv"), F.col("_cv"), round4=True),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

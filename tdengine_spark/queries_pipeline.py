@@ -273,23 +273,42 @@ _LSH_PLANES_LIT = "[" + ",".join(
 ) + "]"
 
 #: bucket CTEs shared by the three LSH oracles (b = corpus buckets,
-#: qp = multi-probe fan-out of radius 1)
+#: qp = multi-probe fan-out of radius 1). ``qv`` carries the floor-
+#: quantized int64 vector — scoring runs on it so the compared cosine
+#: is integer-exact cross-engine (see _cos_int_sql)
 _LSH_BUCKET_CTE = f"""
     pl AS (SELECT {_LSH_PLANES_LIT}::BIGINT[][] AS p),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v,
-            list_sum([CASE WHEN list_dot_product(
-                        [CAST(FLOOR(x*4096) AS BIGINT) FOR x IN v], p[j]) > 0
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 [CAST(FLOOR(x*4096) AS BIGINT) FOR x IN
+                  CAST(embedding AS DOUBLE[])] AS qv
+          FROM embeddings),
+    b AS (SELECT vec_id, v, qv,
+            list_sum([CASE WHEN list_dot_product(qv, p[j]) > 0
                       THEN 1<<(j-1) ELSE 0 END
                       FOR j IN generate_series(1,8)]) AS bucket
           FROM e, pl)
 """
 
+
+def _cos_int_sql(qa: str, qb: str) -> str:
+    """Integer-exact cosine of two quantized BIGINT[] columns — the SQL
+    twin of similarity.pair_cosine_int: exact integer dot/norms (every
+    partial sum < 2^53, so summation order can't matter), then the same
+    correctly-rounded IEEE multiply/sqrt/divide and the same half-up
+    round to 4 decimals. Bit-identical to the Spark side by
+    construction, including AT threshold/rank boundaries."""
+    num = f"CAST(list_dot_product({qa}, {qb}) AS DOUBLE)"
+    den = (f"GREATEST(sqrt(CAST(list_dot_product({qa}, {qa}) AS DOUBLE)"
+           f" * CAST(list_dot_product({qb}, {qb}) AS DOUBLE)), 1e-30)")
+    c = f"({num} / {den})"
+    return (f"(CASE WHEN {c} >= 0 THEN FLOOR({c} * 10000 + 0.5) / 10000"
+            f" ELSE -FLOOR(-{c} * 10000 + 0.5) / 10000 END + 0)")
+
 _LSH_ANN_TOPK_SQL = f"""
     WITH {_LSH_BUCKET_CTE},
     s AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             (ROUND(list_cosine_similarity(q.v, c.v) + 0.0000001, 4) + 0) AS cosine
+             {_cos_int_sql("q.qv", "c.qv")} AS cosine
       FROM b q JOIN b c ON q.bucket = c.bucket
       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
     )
@@ -302,14 +321,14 @@ _LSH_ANN_TOPK_SQL = f"""
 _ANN_MULTIPROBE_SQL = f"""
     WITH {_LSH_BUCKET_CTE},
     qp AS (
-      SELECT vec_id, v,
+      SELECT vec_id, qv,
              unnest([bucket] || [xor(bucket, 1<<(i-1))
                                  FOR i IN generate_series(1,8)]) AS bucket
       FROM b WHERE vec_id < 10
     ),
     s AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             (ROUND(list_cosine_similarity(q.v, c.v) + 0.0000001, 4) + 0) AS cosine
+             {_cos_int_sql("q.qv", "c.qv")} AS cosine
       FROM qp q JOIN b c ON q.bucket = c.bucket
       WHERE c.vec_id <> q.vec_id
     )
@@ -322,18 +341,19 @@ _ANN_MULTIPROBE_SQL = f"""
 _EMB_NEAR_DUP_LSH_SQL = f"""
     WITH {_LSH_BUCKET_CTE},
     qp AS (
-      SELECT vec_id, v,
+      SELECT vec_id, qv,
              unnest([bucket] || [xor(bucket, 1<<(i-1))
                                  FOR i IN generate_series(1,8)]) AS bucket
       FROM b
     ),
     pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+             a.qv AS qva, b2.qv AS qvb
       FROM qp a JOIN b b2 ON a.bucket = b2.bucket
       WHERE a.vec_id < b2.vec_id
     )
     SELECT id_a, id_b,
-           (ROUND(list_cosine_similarity(va, vb) + 0.0000001, 4) + 0) AS cosine
+           {_cos_int_sql("qva", "qvb")} AS cosine
     FROM pairs WHERE cosine >= 0.35
 """
 

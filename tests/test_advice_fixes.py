@@ -337,3 +337,127 @@ def test_show_tables_scoped_to_db(spark, tmp_path):
     shown2 = {r.table_name for r in
               execute(spark, dba, "show dbb.tables").collect()}
     assert "t_two" in shown2 and "t_one" not in shown2
+
+
+# ---------------------------------------------------------------------------
+# round-12 ADVICE items
+# ---------------------------------------------------------------------------
+
+
+def test_pk_merge_only_for_merged_reads(spark, tmp_path):
+    """Cross-child composite-pk (ts, pk) merge applies ONLY to merged-
+    stream reads (the reference dedupes in TableMergeScan); per-child
+    scans (partition by tbname) keep each child's own rows
+    (r12 ADVICE medium — catalog pk_merge flag)."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(
+        spark, db,
+        "create stable spk (ts timestamp, k int primary key, v double)"
+        " tags (g int)",
+    )
+    execute(
+        spark, db,
+        "insert into c1 using spk tags(1) values"
+        "('2024-01-01 00:00:00', 7, 1.0)",
+    )
+    execute(
+        spark, db,
+        "insert into c2 using spk tags(2) values"
+        "('2024-01-01 00:00:00', 7, 2.0)",
+    )
+    merged = execute(spark, db, "select count(*) as n from spk")
+    assert merged.first().n == 1  # one row per (ts, pk) across children
+    per_child = execute(
+        spark, db, "select count(*) as n from spk partition by tbname"
+    )
+    assert sorted(r.n for r in per_child.collect()) == [1, 1]
+
+
+def test_cols_mode_global_aggregate_path(spark, tmp_path):
+    """cols(mode(x), p) in the GLOBAL aggregate path (no GROUP BY) must
+    add the __modecnt window pre-pass too (r12 ADVICE medium)."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(spark, db, "create table cmg (ts timestamp, c0 int, c1 int)")
+    execute(
+        spark, db,
+        "insert into cmg values('2024-01-01 00:00:00', 5, 10)"
+        "('2024-01-01 00:00:01', 5, 20)('2024-01-01 00:00:02', 3, 30)",
+    )
+    out = execute(spark, db, "select cols(mode(c0), c1) from cmg")
+    # mode(c0) = 5; ties on the newest ts → the c0=5 row at :01 → c1=20
+    assert out.first()[0] == 20
+    # the _project_join path (asof/window joins) needs the pre-pass too
+    outj = execute(
+        spark, db,
+        "select cols(mode(a.c0), a.c1) from cmg a asof join cmg b"
+        " on a.ts >= b.ts",
+    )
+    assert outj.first()[0] == 20
+
+
+def test_rewrite_aggs_no_alias_collapse_without_cols():
+    """The double-alias collapse regex must not run when no cols() call
+    was rewritten — `from v as a join v2` text stays intact
+    (r12 ADVICE low)."""
+    from tdengine_spark.dialect import _rewrite_aggs
+
+    s = "* from v as a join v2 as b on a.x = b.x"
+    assert _rewrite_aggs(s, "ts") == s
+
+
+def test_rowsel_multi_lockstep_emission_order(spark, tmp_path):
+    """Multi rowsel calls zip in each function's PRESENTATION order:
+    top ascending values, bottom descending (topBotFinalize heap
+    layout) — not both ascending (r12 ADVICE low)."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(spark, db, "create table rsl (ts timestamp, c1 int)")
+    execute(
+        spark, db,
+        "insert into rsl values('2024-01-01 00:00:00', 1)"
+        "('2024-01-01 00:00:01', 2)('2024-01-01 00:00:02', 3)"
+        "('2024-01-01 00:00:03', 4)",
+    )
+    out = execute(spark, db, "select top(c1,2), bottom(c1,2) from rsl")
+    rows = [tuple(r) for r in out.collect()]
+    # top(2) presents [3, 4]; bottom(2) presents [2, 1] → lockstep rows
+    assert rows == [(3, 2), (4, 1)]
+
+
+def test_pair_cosine_int_matches_duckdb(spark):
+    """pair_cosine_int and its SQL twin (_cos_int_sql) are bit-identical
+    on the same vectors — integer dot/norms, one shared rounding
+    (r12 ADVICE low: the float path could desync near boundaries)."""
+    import duckdb
+    import numpy as np
+
+    from tdengine_spark.pipeline.similarity import pair_cosine_int
+    from tdengine_spark.queries_pipeline import _cos_int_sql
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, vecs[i], vecs[(i + 1) % 20]) for i in range(20)],
+        "i int, a array<double>, b array<double>",
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", pair_cosine_int(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i in range(20):
+        qa = [int(np.floor(x * 4096)) for x in vecs[i]]
+        qb = [int(np.floor(x * 4096)) for x in vecs[(i + 1) % 20]]
+        expr = _cos_int_sql(f"{qa}::BIGINT[]", f"{qb}::BIGINT[]")
+        want = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got[i] == want, i
