@@ -498,6 +498,24 @@ def information_schema(
         if not _os.path.exists(t.path) and t.parent and t.parent in db.tables:
             return db.table(t.parent).read(spark).schema
         return t.read(spark).schema
+    def _ncols(db: Database, t: SuperTable) -> int:
+        """Data-column count (ts + columns, tags/tbname excluded) for
+        ins_tables — 0 when the dataset isn't readable (an empty
+        placeholder directory counts as schemaless)."""
+        try:
+            tags = set(
+                (db.table(t.parent).tag_cols
+                 if t.parent and t.parent in db.tables else t.tag_cols)
+                or ()
+            )
+            return len([
+                f for f in _schema_of(db, t)
+                if f.name not in ("_version", t.tbname_col)
+                and f.name not in tags
+            ])
+        except Exception:  # noqa: BLE001 — unreadable/empty dataset
+            return 0
+
     if view == "ins_tables":
         # super tables (= tables that registered children point at) are
         # listed by ins_stables, not ins_tables (systable.h separation)
@@ -508,9 +526,16 @@ def information_schema(
             }
             rows.extend(
                 (
-                    db_name, t.name, t.ts_col, t.tbname_col,
-                    ",".join(t.tag_cols), t.parent or "",
-                    sum(ord(ch) for ch in t.name) % 2 + 2,
+                    # reference userTblsSchema column ORDER
+                    # (systable.c:231): table_name, db_name,
+                    # create_time, columns, stable_name, uid,
+                    # vgroup_id, ttl, table_comment, type — tests
+                    # index these POSITIONALLY (queryResult[i][6] =
+                    # vgroup_id)
+                    t.name, db_name,
+                    datetime(2024, 1, 1),  # create_time placeholder
+                    _ncols(db, t),
+                    t.parent or "",
                     # uid: stable per-table id (reference assigns a
                     # monotone uid at create time; a crc of the name
                     # keeps it deterministic across sessions — Python's
@@ -518,30 +543,35 @@ def information_schema(
                     __import__("zlib").crc32(
                         f"{db_name}.{t.name}".encode()
                     ),
+                    sum(ord(ch) for ch in t.name) % 2 + 2,  # vgroup_id
                     0,  # ttl: never expires (reference default)
-                    datetime(2024, 1, 1),  # create_time placeholder
+                    "",  # table_comment
+                    "CHILD_TABLE" if t.parent else "NORMAL_TABLE",
                 )
                 for t in db.tables.values()
                 if t.name not in parents
             )
         return spark.createDataFrame(
             rows,
-            "db_name string, table_name string, ts_col string, "
-            "tbname_col string, tags string, stable_name string, "
-            "vgroup_id int, uid bigint, ttl int, create_time timestamp",
+            "table_name string, db_name string, create_time timestamp, "
+            "columns int, stable_name string, uid bigint, vgroup_id int, "
+            "ttl int, table_comment string, type string",
         )
     if view == "ins_stables":
+        # reference userStbsSchema order (systable.c:174): stable_name,
+        # db_name, create_time, columns, tags, …
         rows = []
         for db_name, db in dbs.items():
             for t in db.tables.values():
                 schema = _schema_of(db, t)
                 rows.append(
-                    (db_name, t.name, len(schema), len(t.tag_cols), t.ts_col)
+                    (t.name, db_name, datetime(2024, 1, 1),
+                     len(schema), len(t.tag_cols))
                 )
         return spark.createDataFrame(
             rows,
-            "db_name string, stable_name string, columns int, tags int, "
-            "ts_col string",
+            "stable_name string, db_name string, create_time timestamp, "
+            "columns int, tags int",
         )
     if view == "ins_columns":
         rows = []

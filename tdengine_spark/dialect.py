@@ -2038,7 +2038,10 @@ def _translate_selection(
             if i < fn_idx
         )
         aggs.insert(pos, F.expr(f"{pick}({col}, {guard})").alias(fn_alias))
-        out = base.agg(*aggs)
+        # all-NULL input (or no rows): firstLastFinalize numOfElems = 0
+        # → NO result row (golden: `select last(c2) from tb9` with c2
+        # all-NULL → checkRows(0); timeline_fallback t_allnull)
+        out = base.agg(*aggs).where(F.col(f"`{fn_alias}`").isNotNull())
     elif fn in ("min", "max"):
         # min/max are selection functions too: companions take their
         # values from the extremal ROW (ts breaks value ties — first
@@ -2053,7 +2056,43 @@ def _translate_selection(
             for c in comp(e, a, f"{pick}({e}, {key})")
         ]
         aggs.insert(fn_idx, F.expr(f"{fn}({col})").alias(fn_alias))
-        out = base.where(F.col(col).isNotNull()).agg(*aggs)
+        out = (
+            base.where(F.col(col).isNotNull())
+            .agg(*aggs)
+            # all-NULL input: no result row (minmaxFunction numOfElems=0)
+            .where(F.col(f"`{fn_alias}`").isNotNull())
+        )
+    elif fn == "mode":
+        # modeFunction (builtinsimpl.c:7461) SKIPS NULL values; on a
+        # value's re-occurrence doModeAdd updateTupleData re-saves the
+        # row, so companions ride the LATEST occurrence of the winning
+        # value. Count ties pick the earliest-first-occurrence value
+        # (hash order is engine-"random"; this matches the reference's
+        # golden answers). All-NULL input: mode is NULL and companions
+        # ride the FIRST row (nullTuplePos = block start) — modeled as
+        # a count -1 group that only wins when nothing else exists.
+        comps = list(companions())
+        ag = []
+        for i, (e, _a) in enumerate(comps):
+            ag.append(F.expr(f"max_by({e}, {ts_col})").alias(f"_lst{i}"))
+            ag.append(F.expr(f"min_by({e}, {ts_col})").alias(f"_fst{i}"))
+        grouped = base.groupBy(F.col(col).alias(fn_alias)).agg(
+            *ag,
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(ts_col).alias("_fts"),
+        )
+        pickrow = grouped.orderBy(
+            F.when(F.col(fn_alias).isNull(), F.lit(-1))
+            .otherwise(F.col("_cnt")).desc(),
+            F.col("_fts").asc(),
+        ).limit(1)
+        sel = [
+            F.when(F.col(fn_alias).isNull(), F.col(f"_fst{i}"))
+            .otherwise(F.col(f"_lst{i}")).alias(a)
+            for i, (_e, a) in enumerate(comps)
+        ]
+        sel.insert(fn_idx, F.col(fn_alias))
+        out = pickrow.select(*sel)
     else:
         aggs = [
             F.expr(f"min_by({e}, {ts_col})").alias(a) for e, a in companions()
@@ -2063,15 +2102,20 @@ def _translate_selection(
             F.count(F.lit(1)).alias("_cnt"),
             F.min(ts_col).alias("_fts"),
         )
-        if fn == "mode":
-            grouped = grouped.orderBy(
-                F.col("_cnt").desc(), F.col("_fts").asc()
-            ).limit(1)
         names = [a for _, a in companions()]
         names.insert(fn_idx, fn_alias)
         out = grouped.select(*[F.col(n) for n in names])
     if g["order"]:
-        out = out.orderBy(*_order_cols(g["order"]))
+        # order items outside the select list are dropped (the
+        # reference tolerates `select first(c2) a … order by c2` —
+        # one selected row, the sort is a planner no-op)
+        keep = ",".join(
+            p for p in g["order"].split(",")
+            if p.strip().split()[0].strip("`").isdigit()
+            or p.strip().split()[0].strip("`") in out.columns
+        )
+        if keep:
+            out = out.orderBy(*_order_cols(keep, out.columns))
     if g["limit"]:
         out = out.limit(int(g["limit"]))
     return out
@@ -2847,7 +2891,7 @@ def _translate_asof_join(spark: SparkSession, db: Database, m, ts_col: str) -> D
         )
     out = _project_join(out, g["select"], drv_al, other_al, ts_col=ts_col)
     if g["order"]:
-        out = out.orderBy(*_order_cols(g["order"]))
+        out = out.orderBy(*_order_cols(g["order"], out.columns))
     if g.get("limit"):
         out = out.limit(int(g["limit"]))
     return out
@@ -3403,7 +3447,7 @@ def _translate_inner(
                 if not is_all:  # left-assoc fold: distinct per cut
                     out = out.distinct()
         if tail.get("order"):
-            out = out.orderBy(*_order_cols(tail["order"]))
+            out = out.orderBy(*_order_cols(tail["order"], out.columns))
         if tail.get("limit"):
             out = out.limit(int(tail["limit"]))
         return out
@@ -3414,6 +3458,29 @@ def _translate_inner(
         return _translate_semi_anti(spark, db, sql, jm, ts_col)
     em = re.search(r"\bEXTERNAL_WINDOW\s*\(", sql, re.IGNORECASE)
     if em:
+        sub0 = _extract_from_subquery(sql[: em.start()])
+        if sub0 is not None:
+            # subquery FACT (`FROM (SELECT …) EXTERNAL_WINDOW(…)`):
+            # materialize it as a view first; a ts-less projection
+            # falls back to its first TIMESTAMP column as the timeline
+            # (same degraded-timeline rule as the generic subquery path)
+            inner_sql0, lo0, hi0, _al0 = sub0
+            innerdf0 = translate(
+                spark, db, _strip_outer_parens(inner_sql0), ts_col
+            )
+            vn0 = f"_dialect_extw_{abs(hash(inner_sql0)) % 10**8}"
+            innerdf0.createOrReplaceTempView(vn0)
+            ets = ts_col
+            if ts_col not in innerdf0.columns:
+                from pyspark.sql.types import TimestampType as _ETs
+
+                ets = next(
+                    (f.name for f in innerdf0.schema.fields
+                     if isinstance(f.dataType, _ETs)), ts_col,
+                )
+            sql = sql[:lo0] + f" {vn0}" + sql[hi0:]
+            em = re.search(r"\bEXTERNAL_WINDOW\s*\(", sql, re.IGNORECASE)
+            return _translate_external_window(spark, db, sql, em, ets, hint)
         return _translate_external_window(spark, db, sql, em, ts_col, hint)
     sub = _extract_from_subquery(sql)
     if sub is not None:
@@ -3488,6 +3555,53 @@ def _translate_inner(
             outer_ts = tm2.group(1)
         elif pm and (pm.group(1) or "_wstart") in inner.columns:
             outer_ts = pm.group(1) or "_wstart"
+        elif "_rowts" in inner.columns:
+            # a projected _rowts pseudo-column keeps the pk role
+            # (isPrimaryKeyImpl: FUNCTION_TYPE_IROWTS is a primary key)
+            outer_ts = "_rowts"
+        else:
+            from pyspark.sql.types import TimestampType as _OuterTs
+
+            # DEGRADED timeline (TS-5791 timeline fallback): a derived
+            # table projecting no pk falls back to its first TIMESTAMP
+            # column as the timeline — first/last/interp order by it
+            cand = next(
+                (f.name for f in inner.schema.fields
+                 if isinstance(f.dataType, _OuterTs)), None,
+            )
+            if cand:
+                outer_ts = cand
+                if om is None and re.search(
+                    r"(?i)\b(?:interval|session|state_window|event_window|"
+                    r"count_window|first|last|last_row|diff|csum|mavg|"
+                    r"derivative|irate|twa|elapsed|statecount|"
+                    r"stateduration|lag|lead|fill_forward|unique|tail|"
+                    r"interp)\s*\(",
+                    sql[:lo] + sql[hi:],
+                ):
+                    # …but ONLY when the subquery has no explicit ORDER
+                    # BY: an ordered derived table's presentation order
+                    # KEEPS NULL-timeline rows (sorted NULLS FIRST —
+                    # diff/csum goldens over `order by event_time`)
+                    # degraded-timeline NULL rows are SKIPPED by every
+                    # timeline operation (same rule as tailFinalize
+                    # "Skip NULL timeline rows"; test_timeline_fallback
+                    # t_null_ts/t_all_null_ts goldens)
+                    inner.where(
+                        F.col(cand).isNotNull()
+                    ).createOrReplaceTempView(name)
+            elif re.search(
+                r"(?i)\b(?:diff|csum|mavg|statecount|stateduration|lag|"
+                r"lead|fill_forward|unique|tail|first|last|last_row)\s*\(",
+                sql[:lo],
+            ):
+                # NO timestamp column at all: the v3.4.2 degraded mode
+                # runs timeline functions in ROW (presentation) order —
+                # materialize a row-sequence column as the timeline
+                inner.withColumn(
+                    "_rowidx", F.monotonically_increasing_id()
+                ).createOrReplaceTempView(name)
+                outer_ts = "_rowidx"
         return translate(spark, db, sql[:lo] + repl + sql[hi:], outer_ts)
     m = _INTERP_RE.match(sql)
     if m:
@@ -3672,7 +3786,7 @@ def _translate_inner(
             _collect_groupfn_calls([jm2.group(1)])
             or re.search(
                 r"(?i)\b(?:diff|csum|mavg|derivative|statecount|"
-                r"stateduration|sample)\s*\(",
+                r"stateduration|sample|unique|tail|mode|fill_forward)\s*\(",
                 jm2.group(1),
             )
         ):
@@ -3795,6 +3909,7 @@ def _translate_inner(
             r"(?i)\b(diff|csum|mavg|derivative|statecount|stateduration|"
             r"twa|irate|top|bottom|sample|last_row|spread|elapsed|mode|"
             r"tail|unique|histogram|percentile|apercentile|leastsquares|"
+            r"fill_forward|"
             r"first|last|interp|lag|lead)"
             r"\s*\(",
             g["select"],
@@ -4451,14 +4566,36 @@ def _translate_inner(
             if not has_count:
                 # reference: non-count aggregates produce NO row for
                 # empty input (count/hyperloglog return 0 instead)
-                out = (
-                    base.agg(
-                        *[F.expr(it) for it in items],
-                        F.count(F.lit(1)).alias("_nrows"),
-                    )
-                    .where(F.col("_nrows") > 0)
-                    .drop("_nrows")
+                out0 = base.agg(
+                    *[F.expr(it) for it in items],
+                    F.count(F.lit(1)).alias("_nrows"),
                 )
+                cond = F.col("_nrows") > 0
+                if all(
+                    re.match(
+                        r"(?is)^\s*(?:first|last|min|max)\s*\(.*\)"
+                        r"\s*(?:(?:as\s+)?[A-Za-z_]\w*)?\s*$",
+                        it,
+                    )
+                    for it in _split_select(g["select"] or "count(*)")
+                ):
+                    # SELECTION functions over all-NULL input emit NO
+                    # row (firstLastFinalize/minmax numOfElems = 0 —
+                    # golden: `select last(c2)` over all-NULL c2 →
+                    # checkRows(0)). Pure aggregates DO emit a NULL row
+                    # (avg/sum/group_concat/distinct — their own tests
+                    # pin checkRows(1) with NULL), so only a select
+                    # list made ENTIRELY of first/last/min/max calls
+                    # suppresses.
+                    import functools as _ft
+                    import operator as _op
+
+                    cond = cond & _ft.reduce(
+                        _op.or_,
+                        [F.col(f"`{c}`").isNotNull()
+                         for c in out0.columns[:-1]],
+                    )
+                out = out0.where(cond).drop("_nrows")
         else:
             out = base.selectExpr(*items)
 
@@ -4754,14 +4891,32 @@ def _promote_floats(base, g):
             rf"\b({inames})\b(\s*(?:[+*%]|-(?!>))\s*(?!\s))"
         )
         irev = re.compile(rf"((?:[+*%]|-(?!>))\s*)\b({inames})\b")
+        # int-typed AGGREGATE calls in arithmetic promote the same way
+        # (`max(q_int) + min(q_int)`: the reference's vectorMathAdd
+        # computes double; Spark's int+int wraps at INT_MAX —
+        # test_fun_agg_elapsed int-overflow probes)
+        _iagg = (r"(?:max|min|first|last|last_row|sum|mode|count|spread)"
+                 rf"\s*\(\s*(?:{inames})\s*\)")
+        iaggfwd = re.compile(
+            rf"\b({_iagg})(\s*(?:[+*%]|-(?!>))\s*(?!\s))", re.IGNORECASE
+        )
+        iaggrev = re.compile(
+            rf"((?:[+*%]|-(?!>))\s*)({_iagg})", re.IGNORECASE
+        )
         g = dict(g)
         for k in ("select", "where", "having", "group", "partition"):
             if g.get(k):
                 g[k] = _outside_quotes(
                     g[k],
-                    lambda s: irev.sub(
+                    lambda s: iaggrev.sub(
                         r"\1cast(\2 as double)",
-                        ifwd.sub(r"cast(\1 as double)\2", s),
+                        iaggfwd.sub(
+                            r"cast(\1 as double)\2",
+                            irev.sub(
+                                r"\1cast(\2 as double)",
+                                ifwd.sub(r"cast(\1 as double)\2", s),
+                            ),
+                        ),
                     ),
                 )
 
@@ -5106,13 +5261,13 @@ def _windowed_projection(
         width = mm.group(1).strip()
         offset = (mm.group(2) or "").strip() or None
         sliding = (mm.group(3) or "").strip() or None
-        if sliding and parse_duration(sliding).microseconds != parse_duration(
+        if sliding and parse_duration(sliding).microseconds == parse_duration(
             width
         ).microseconds:
-            raise ValueError(
-                "SLIDING in a projection-mode window query is unsupported"
-            )
-        labeled = wp.interval_projection(base, ts_col, width, offset, keys)
+            sliding = None  # slide == width: plain tumbling
+        labeled = wp.interval_projection(
+            base, ts_col, width, offset, keys, sliding=sliding
+        )
     else:
         if fill_parts and fill_parts[0].lower() != "none":
             raise ValueError("FILL requires an INTERVAL window")
@@ -5391,7 +5546,10 @@ def _windowed(
     if _collect_groupfn_calls(items):
         # twa()/irate() in a window query: the lag pre-pass partitions
         # by (keys, window bucket). Interval tumbling buckets are pure
-        # ts expressions; data-driven windows fall back to keys only.
+        # ts expressions; DATA-DRIVEN windows (session/state/event/
+        # count) assign window ids FIRST so the pre-pass partitions per
+        # (keys, _wid) — a keys-only pass would leak samples across
+        # window boundaries (04-Timeseries test_fun_ts_with_window).
         gbucket = None
         if wl.startswith("interval") and "sliding" not in wl:
             mg = re.match(r"interval\s*\(\s*([^,)]+)(?:,\s*([^)]+))?\)", wl)
@@ -5405,9 +5563,20 @@ def _windowed(
                 gbucket_end = tw.window_end(
                     F.col(ts_col), mg.group(1).strip(), goff
                 )
+        elif not wl.startswith("interval"):
+            from tdengine_spark.operators.eventwindow import (
+                WINDOW_ID as _GWID,
+            )
+
+            _wl2, _ = _strip_true_for(wl)
+            base = _assign_data_windows(
+                base, _wl2, ts_col, keys, extend=st_extend
+            )
+            gbucket = F.col(_GWID)
         base, items = _prepare_groupfns(
             base, items, keys, ts_col, bucket=gbucket,
-            bucket_end=gbucket_end if gbucket is not None else None,
+            bucket_end=gbucket_end if gbucket is not None
+            and wl.startswith("interval") else None,
         )
     const_mode = False
     non_pseudo = [it for it in items if it.strip() not in pseudo]
@@ -5765,10 +5934,15 @@ def _windowed(
             out = _with_duration(out)
         return sel(out)
 
-    from tdengine_spark.operators.eventwindow import window_agg
+    from tdengine_spark.operators.eventwindow import WINDOW_ID, window_agg
 
     wl, true_for = _strip_true_for(wl)
-    assigned = _assign_data_windows(base, wl, ts_col, keys, extend=st_extend)
+    # already assigned by the groupfn pre-pass above (twa/irate per
+    # data-driven window) — don't re-assign
+    assigned = (
+        base if WINDOW_ID in base.columns
+        else _assign_data_windows(base, wl, ts_col, keys, extend=st_extend)
+    )
     if st_zeroth:
         # ZEROTH_STATE(v,…): windows whose state equals the zeroth value
         # on every constrained column are suppressed (NO_ZEROTH = no
@@ -6875,7 +7049,7 @@ def _execute_inner(
 #: row-indexed ("indefinite" output) functions, sql.y / builtins.c —
 #: per-row outputs over a ts-ordered per-key window, not aggregates
 _INDEF_FNS = ("diff", "csum", "mavg", "derivative", "statecount",
-              "stateduration", "lag", "lead")
+              "stateduration", "lag", "lead", "fill_forward")
 
 _INDEF_ITEM_RE = re.compile(
     r"^(\w+)\s*\(\s*(.*?)\s*\)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
@@ -7057,6 +7231,21 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
             add_emit(c.isNotNull())
         elif fn == "statecount":
             c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
+        elif fn == "fill_forward":
+            # fill_forward(x) (v3.4.1 builtins.c:8187): per-row forward
+            # fill — x when non-null, else the last non-null x in
+            # timeline order; EVERY row emits. A FROM-subquery ORDER BY
+            # drives the fill direction (DEGRADED_TIMELINE_ROW_ORDER).
+            _ff_ord = [F.col(ts_col)]
+            if _ACTIVE_SUB_ORDER:
+                _ff_ord = [
+                    F.col(cn).desc() if dsc else F.col(cn)
+                    for (cn, dsc) in _ACTIVE_SUB_ORDER
+                ]
+            _ff_w = _W.partitionBy(*keys).orderBy(*_ff_ord).rowsBetween(
+                _W.unboundedPreceding, 0
+            )
+            c = F.last(F.expr(args[0]), ignorenulls=True).over(_ff_w)
         elif fn in ("lag", "lead"):
             # lag/lead(col[, offset[, default]]) (v3.4.0 selection
             # family): per-row offset lookup in ts order, EVERY row
@@ -7165,6 +7354,13 @@ def _translate_rowsel(base, items, found, keys, ts_col):
     fn = m.group(1).lower()
     args = [a.strip() for a in _split_select(m.group(2))]
     alias = m.group(3)
+    col0 = args[0]
+    if args and not re.fullmatch(r"[A-Za-z_]\w*", args[0]) and not \
+            re.fullmatch(r"[-+]?\d+(?:\.\d+)?", args[0]):
+        # expression arg (`unique(t1+c1)`, `top(abs(c1), 3)`): the
+        # kernels key on a COLUMN — materialize the expression first
+        base = base.withColumn("_rs_expr", F.expr(args[0]))
+        args = ["_rs_expr"] + args[1:]
     if fn in ("top", "bottom"):
         col = args[0]
         df = (S.top if fn == "top" else S.bottom)(
@@ -7207,7 +7403,8 @@ def _translate_rowsel(base, items, found, keys, ts_col):
     sel = []
     for i, it in enumerate(items):
         if i == idx:
-            sel.append(F.col(col).alias(alias or f"{fn}_{col}"))
+            nm = alias or f"{fn}_{col0}"[:64]
+            sel.append(F.col(col).alias(nm))
             continue
         am = _ITEM_ALIAS_RE.match(it.strip())
         e = F.expr(am.group("expr"))
@@ -7388,7 +7585,12 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
             n_t = F.last(tn, ignorenulls=True).over(wk_next)
             n_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wk_next)
             ws = F.unix_micros(bucket).cast("double")
-            we = F.unix_micros(bucket_end).cast("double")
+            # reference windows are [skey, ekey] INCLUSIVE with
+            # ekey = skey + interval - 1 tick (getTimeWindow): the
+            # end-boundary interpolation targets ekey, not the
+            # exclusive end (twaFinalize divides by ekey - skey)
+            _tick = {"ms": 1000.0, "us": 1.0, "ns": 0.001}[_DB_PRECISION]
+            we = F.unix_micros(bucket_end).cast("double") - F.lit(_tick)
             s = F.greatest(p_t, ws)
             vs = p_v + (v - p_v) * (s - p_t) / (t - p_t)
             area_in = F.when(

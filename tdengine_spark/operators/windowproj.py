@@ -72,15 +72,49 @@ def interval_projection(
     width: "str | int | Duration",
     offset: "str | int | Duration | None" = None,
     partition_by: "list[str] | None" = None,
+    sliding: "str | int | Duration | None" = None,
 ) -> DataFrame:
-    """Label each row with its tumbling-interval window's pseudo-columns.
+    """Label each row with its interval window's pseudo-columns.
 
-    Pure projection: bucket arithmetic on the ts column (codegen, no
-    shuffle).  ``_wend`` uses the closed-end convention (start + width -
-    1 ms)."""
+    Tumbling: pure projection — bucket arithmetic on the ts column
+    (codegen, no shuffle). SLIDING: each row belongs to
+    ceil(width/slide) hopping windows — the row explodes into one copy
+    per covering window (still scan-local, no shuffle; downstream
+    per-window passes partition on ``_wstart``). ``_wend`` uses the
+    closed-end convention (start + width - 1 ms)."""
     w = parse_duration(width)
-    out = df.withColumn(WSTART, window_start(F.col(ts_col), w, offset))
-    wend_excl = window_end(F.col(WSTART), w, offset)
+    if sliding is not None:
+        s = parse_duration(sliding)
+        if w.is_calendar or s.is_calendar:
+            raise ValueError(
+                "SLIDING projection over calendar intervals unsupported"
+            )
+        k = -(-w.microseconds // s.microseconds)  # ceil(width/slide)
+        base0 = window_start(F.col(ts_col), s, offset)
+        out = (
+            df.withColumn("_si", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn(
+                WSTART,
+                F.timestamp_micros(
+                    (F.unix_micros(base0)
+                     - F.col("_si") * s.microseconds).cast("long")
+                ),
+            )
+            .where(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col(WSTART)) < w.microseconds
+            )
+            .drop("_si")
+        )
+    else:
+        out = df.withColumn(WSTART, window_start(F.col(ts_col), w, offset))
+    wend_excl = (
+        F.timestamp_micros(
+            (F.unix_micros(F.col(WSTART)) + w.microseconds).cast("long")
+        )
+        if sliding is not None
+        else window_end(F.col(WSTART), w, offset)
+    )
     out = out.withColumn(
         WEND, F.timestamp_micros((F.unix_micros(wend_excl) - 1000).cast("long"))
     )

@@ -1217,17 +1217,19 @@ def q_anti_join_null_extend(spark, sf_dir):
     "selection_mode_companion",
     """
     WITH g AS (
-      SELECT event_type, COUNT(*) AS cnt, MIN(ts) AS fts
+      SELECT event_type, COUNT(*) AS cnt, MIN(ts) AS fts, MAX(ts) AS lts
       FROM events GROUP BY 1
     )
-    SELECT CAST(fts AS TIMESTAMP) AS ats, event_type AS "mode(event_type)"
+    SELECT CAST(lts AS TIMESTAMP) AS ats, event_type AS "mode(event_type)"
     FROM g ORDER BY cnt DESC, fts ASC LIMIT 1
     """,
 )
 def q_selection_mode_companion(spark, sf_dir):
     """Selection-function companion columns (builtins.c
-    FUNC_MGT_SELECT_FUNC): plain columns ride the selected row; mode
-    ties break to the earliest first occurrence."""
+    FUNC_MGT_SELECT_FUNC): plain columns ride the selected row — for
+    mode, its LATEST occurrence (doModeAdd updateTupleData re-saves the
+    tuple per re-occurrence); count ties break to the earliest first
+    occurrence."""
     from tdengine_spark.dialect import translate
 
     return translate(

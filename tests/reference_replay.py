@@ -826,6 +826,44 @@ class TdSqlShim:
         return len(self.rows)
 
 
+def _parse_taos_transcript(path: str):
+    """Parse a taos-CLI golden transcript (.ans) into ordered
+    ``(statement, result)`` entries: result is a list of row tuples of
+    raw cell strings for selects, the sentinel ``"DBERROR"`` for
+    statements the reference itself rejected, or None for DDL/DML."""
+    entries, cur, state = [], None, None
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith("taos> "):
+            if cur is not None:
+                entries.append(tuple(cur))
+            cur = [line[len("taos> "):].strip().rstrip(";").strip(), None]
+            state = "after"
+            continue
+        if cur is None:
+            continue
+        if line.startswith("DB error"):
+            cur[1] = "DBERROR"
+            state = None
+            continue
+        if state == "after":
+            if re.match(r"^\s*=+\s*$", line):
+                cur[1] = []
+                state = "data"
+            continue
+        if state == "data":
+            if not line.strip():
+                state = None
+                continue
+            cells = [c.strip() for c in line.split("|")]
+            if cells and cells[-1] == "":
+                cells = cells[:-1]
+            cur[1].append(tuple(cells))
+    if cur is not None:
+        entries.append(tuple(cur))
+    return entries
+
+
 def load_reference_test(path: str, shim: TdSqlShim):
     """Exec a reference test file with the framework import faked;
     returns the Test* class (uninitialized instance via __new__)."""
@@ -884,6 +922,39 @@ def load_reference_test(path: str, shim: TdSqlShim):
 
         def gen_tag_type_str(self, tagname_prefix, tag_elm_list):
             return self._gen(tagname_prefix, tag_elm_list)
+
+        def compare_testcase_result(self, inputfile, expected_file,
+                                    test_case, float_tolerance=0.0):
+            """framework common.py:3412 — run a .in corpus through the
+            dialect and golden-diff select results against the taos-CLI
+            transcript (.ans) via the shim's tolerant cell comparator.
+            A missing .ans (some corpora ship inputs only) degrades to a
+            smoke pass: every statement still executes."""
+            import os as _os
+
+            if _os.path.exists(expected_file):
+                for stmt, want in _parse_taos_transcript(expected_file):
+                    low = stmt.lower()
+                    if want == "DBERROR":
+                        shim.error(stmt)
+                        continue
+                    if low.startswith(("select", "show")):
+                        shim.query(stmt)
+                        shim.checkRows(len(want or []))
+                        for r, row in enumerate(want or []):
+                            for c, cell in enumerate(row):
+                                shim.checkData(r, c, cell)
+                    else:
+                        shim.execute(stmt)
+                return
+            for raw in open(inputfile):
+                stmt = raw.strip().rstrip(";").strip()
+                if not stmt or stmt.startswith("#"):
+                    continue
+                if stmt.lower().startswith(("select", "show")):
+                    shim.query(stmt)
+                else:
+                    shim.execute(stmt)
 
     utils.tdSql = shim
     utils.tdLog = _TdLog()

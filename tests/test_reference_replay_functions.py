@@ -322,3 +322,92 @@ def test_replay_fun_select_lag_lead(spark):
         patch_out=("_case_stream_query_lag_lead",),
     )
     print(stats)
+
+
+def test_replay_fun_select_mode(spark):
+    """03-Selection/test_fun_select_mode.py — mode as a SELECTION
+    function: NULL inputs skipped (modeFunction builtinsimpl.c:7461),
+    companion columns ride the LATEST occurrence of the winning value
+    (doModeAdd updateTupleData), count ties pick the earliest first
+    occurrence, all-NULL input returns NULL + first-row companions.
+    Wall-to-wall (fixture mixes now() arithmetic with datetime
+    checkEqual asserts computed in the CI's local zone)."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_mode.py",
+        ["test_func_select_mode"], min_checks=60,
+        session_tz="Asia/Shanghai",
+    )
+    print(stats)
+
+
+def test_replay_fun_select_bottom(spark):
+    """03-Selection/test_fun_select_bottom.py — bottom(col, k) over all
+    int types: presentation order (descending values — topBotFinalize
+    max-heap layout), k bounds validation (error probes), where-clause
+    interaction, ORDER BY over the selection. The 20-child stable sweep
+    (bottom_check_stb: ~300 per-child queries of the same shapes) is
+    out of replay budget — sim + normal-table methods cover the
+    dialect surface."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_bottom.py",
+        ["do_sim_bottom", "bottom_check_ntb"], min_checks=35,
+    )
+    print(stats)
+
+
+def test_replay_fun_select_top(spark):
+    """03-Selection/test_fun_select_top.py — top(col, k): presentation
+    order (ascending values), where-clause interaction, all int types,
+    k bounds error probes. patch_out: top_check_stb is the same shapes
+    swept over 20 child tables (~300 queries) — out of replay budget;
+    TopBot needs 10k per-row inserts (not run)."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_top.py",
+        ["Top", "do_top"], min_checks=120,
+        patch_out=("top_check_stb",),
+    )
+    print(stats)
+
+
+def test_replay_fun_select_unique(spark):
+    """03-Selection/test_fun_select_unique.py — unique(col): first
+    occurrence per distinct value (NULL is a value), expression args
+    (unique(t1+c1) materialized pre-kernel), joins/unions over the
+    merged stream, ordinal ORDER BY, boundary values, error probes."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_unique.py",
+        ["test_func_select_unique"], min_checks=60,
+    )
+    print(stats)
+
+
+def test_replay_fun_select_tail(spark):
+    """03-Selection/test_fun_select_tail.py — tail(k[, offset]): last-k
+    rows (emission ts ascending per tailFinalize), offset skip, NULLs
+    kept, boundary values, error probes, joins/unions/nest."""
+    stats = _freplay(
+        spark, "03-Selection/test_fun_select_tail.py",
+        ["test_func_select_tail"], min_checks=45,
+    )
+    print(stats)
+
+
+def test_replay_fun_ts_with_window(spark):
+    """04-Timeseries/test_fun_ts_with_window.py — indefinite-rows
+    functions (csum/diff/derivative/irate/mavg/statecount/stateduration/
+    interp/twa) INSIDE ordinary windows: interval (incl. SLIDING row
+    fan-out), session, state_window, event_window, count_window;
+    partition-by; per-window twa/irate boundary semantics (inclusive
+    ekey). run_mix/run_sample excluded: mix needs ~65k-row stable
+    fixtures + a missing .ans, sample-in-window is nondeterministic by
+    construction (value-checked shapes only)."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_with_window.py",
+        ["run_csum_with_window_case", "run_diff_with_window_case",
+         "run_derivative_with_window_case", "run_irate_with_window_case",
+         "run_mavg_with_window_case", "run_statecount_with_window_case",
+         "run_stateduration_with_window_case", "run_interp_with_window_case",
+         "run_twa_with_window_case"],
+        tz_shift_hours=0, min_checks=1000,
+    )
+    print(stats)
