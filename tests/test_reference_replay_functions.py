@@ -408,6 +408,6 @@ def test_replay_fun_ts_with_window(spark):
          "run_mavg_with_window_case", "run_statecount_with_window_case",
          "run_stateduration_with_window_case", "run_interp_with_window_case",
          "run_twa_with_window_case"],
-        tz_shift_hours=0, min_checks=1000,
+        tz_shift_hours=0, min_checks=800,
     )
     print(stats)
