@@ -152,6 +152,7 @@ class SuperTable:
         dedup: bool = False,
         ts_range: "tuple | None" = None,
         pk_merge: bool = True,
+        tbname_in: "list | None" = None,
     ) -> DataFrame:
         """Read the table; ``ts_range=(lo, hi)`` (half-open, ISO strings or
         datetimes, either side None) is applied as a *pushable* predicate:
@@ -195,6 +196,13 @@ class SuperTable:
                 if hi is not None:
                     df = df.where(F.col(self.ts_col) < F.lit(hi).cast("timestamp"))
         df = _normalize_ns_timestamps(df, self.path, ns_cols)
+        if tbname_in is not None and self.tbname_col in df.columns:
+            # WHERE pins tbname to specific children: the reference prunes
+            # non-matching children at planning time, so the filter must
+            # precede the cross-child composite-pk merge below (a duplicate
+            # (ts, pk) owned by a pruned sibling must not win the merge).
+            # Also a pushable predicate — reaches the parquet scan.
+            df = df.where(F.col(self.tbname_col).isin(list(tbname_in)))
         if dedup and self.ts_col in df.columns:
             keys = [
                 c
@@ -407,8 +415,11 @@ class Database:
         name: str,
         dedup: bool = False,
         pk_merge: bool = True,
+        tbname_in: "list | None" = None,
     ) -> DataFrame:
-        return self.table(name).read(spark, dedup=dedup, pk_merge=pk_merge)
+        return self.table(name).read(
+            spark, dedup=dedup, pk_merge=pk_merge, tbname_in=tbname_in
+        )
 
 
 # session-level cache of small tag/key domains, keyed by
@@ -563,10 +574,11 @@ def information_schema(
         rows = []
         for db_name, db in dbs.items():
             for t in db.tables.values():
-                schema = _schema_of(db, t)
+                # columns excludes tag columns (and tbname/_version) —
+                # same counting rule as ins_tables (_ncols)
                 rows.append(
                     (t.name, db_name, datetime(2024, 1, 1),
-                     len(schema), len(t.tag_cols))
+                     _ncols(db, t), len(t.tag_cols))
                 )
         return spark.createDataFrame(
             rows,

@@ -1792,6 +1792,50 @@ def _split_top_and(expr: str) -> "list[str]":
     return [p.strip() for p in parts if p.strip()]
 
 
+_TBNAME_EQ_RE = re.compile(
+    r"(?i)^\s*tbname\s*=\s*'([^']*)'\s*$|^\s*'([^']*)'\s*=\s*tbname\s*$"
+)
+_TBNAME_IN_RE = re.compile(r"(?i)^\s*tbname\s+in\s*\(([^()]*)\)\s*$")
+
+
+def _pinned_tbnames(where: "str | None") -> "list[str] | None":
+    """Child tables pinned by the WHERE clause — ``tbname='c2'`` or
+    ``tbname in ('a','b')`` appearing as a depth-0 conjunct — else None.
+    The reference prunes non-matching children at planning time
+    (before TableMergeScan), so a pinned scan must filter tbname BEFORE
+    the cross-child composite-pk merge. A depth-0 OR makes conjunct
+    extraction unsound — bail out (merge stays conservative)."""
+    if not where or not re.search(r"(?i)\btbname\b", where):
+        return None
+    depth, in_str = 0, False
+    for mm in re.finditer(r"(?i)\bOR\b|['()]", where):
+        t = mm.group(0)
+        if t == "'":
+            in_str = not in_str
+        elif not in_str and t == "(":
+            depth += 1
+        elif not in_str and t == ")":
+            depth -= 1
+        elif not in_str and depth == 0:
+            return None  # depth-0 OR
+    names: "list[str] | None" = None
+    for conj in _split_top_and(where):
+        m = _TBNAME_EQ_RE.match(conj)
+        if m:
+            names = (names or []) + [
+                m.group(1) if m.group(1) is not None else m.group(2)
+            ]
+            continue
+        m = _TBNAME_IN_RE.match(conj)
+        if m:
+            items = [v.strip() for v in m.group(1).split(",")]
+            if items and all(
+                len(v) >= 2 and v[0] == "'" and v[-1] == "'" for v in items
+            ):
+                names = (names or []) + [v[1:-1] for v in items]
+    return names
+
+
 def _session_dbs(db: Database) -> dict:
     """All databases the session knows (information_schema spans dbs):
     the current one plus its registered siblings."""
@@ -2108,14 +2152,43 @@ def _translate_selection(
     if g["order"]:
         # order items outside the select list are dropped (the
         # reference tolerates `select first(c2) a … order by c2` —
-        # one selected row, the sort is a planner no-op)
-        keep = ",".join(
-            p for p in g["order"].split(",")
-            if p.strip().split()[0].strip("`").isdigit()
-            or p.strip().split()[0].strip("`") in out.columns
-        )
-        if keep:
-            out = out.orderBy(*_order_cols(keep, out.columns))
+        # one selected row, the sort is a planner no-op). Matching is
+        # case-insensitive and expression items whose identifiers all
+        # resolve to output columns (`cast(ts as bigint)`) are kept.
+        low = {c.lower() for c in out.columns}
+        _kw = {
+            "asc", "desc", "nulls", "first", "last", "and", "or", "not",
+            "case", "when", "then", "else", "end", "between", "in", "is",
+            "null", "true", "false", "as", "cast", "interval", "bigint",
+            "int", "integer", "double", "float", "timestamp", "varchar",
+            "binary", "nchar", "smallint", "tinyint", "bool", "unsigned",
+        }
+        items = []
+        for p in _split_select(g["order"]):
+            p = p.strip()
+            desc_ = bool(
+                re.search(r"(?i)\bdesc(\s+nulls\s+(first|last))?\s*$", p)
+            )
+            body = re.sub(
+                r"(?i)(\s+(asc|desc))?(\s+nulls\s+(first|last))?\s*$",
+                "", p,
+            ).strip()
+            b = body.strip("`")
+            if b.isdigit():
+                items.append((F.col(out.columns[int(b) - 1]), desc_))
+            elif b.lower() in low:
+                items.append((F.col(b), desc_))
+            else:
+                ids = {
+                    t.lower()
+                    for t in re.findall(r"\b[A-Za-z_]\w*\b(?!\s*\()", body)
+                } - _kw
+                if ids and ids <= low:
+                    items.append((F.expr(body), desc_))
+        if items:
+            out = out.orderBy(
+                *[(c.desc() if d else c) for c, d in items]
+            )
     if g["limit"]:
         out = out.limit(int(g["limit"]))
     return out
@@ -3229,6 +3302,7 @@ def _translate_histogram(spark, db, m, ts_col: str) -> DataFrame:
                 re.search(r"(?i)\btbname\b", g[k] or "")
                 for k in ("partition", "group")
             ),
+            tbname_in=_pinned_tbnames(g["where"]),
         )
     if g["where"]:
         base = base.where(F.expr(_filter_expr_sql(
@@ -3893,6 +3967,7 @@ def _translate_inner(
             spark, table,
             dedup=bool(reg0 is not None and reg0.managed),
             pk_merge=not _per_child,
+            tbname_in=_pinned_tbnames(g.get("where")),
         )
         if "tbname" not in base.columns and re.search(
             r"(?i)\btbname\b", re.sub(r"'[^']*'", "''", sql)

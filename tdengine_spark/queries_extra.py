@@ -334,7 +334,7 @@ def q_histogram_log(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS hll_within_2pct,
+           TRUE AS hll_within_bound,
            TRUE AS p90_within_5pct
     FROM events GROUP BY event_type
     """,
@@ -345,19 +345,23 @@ def q_approx(spark, sf_dir):
     pins the ACCURACY CONTRACT instead: the Spark side computes the
     approximation AND the exact answer and emits bound flags; DuckDB
     recomputes the exact answer and expects the flags TRUE. A sketch
-    regression beyond its documented error bound hash-mismatches."""
+    regression beyond its documented error bound hash-mismatches.
+    The bound is 3× the configured rsd (0.01 → 3%): HLL++'s rsd is a
+    standard deviation, not a hard cap, so the contract reflects the
+    sketch's documented accuracy at any sf/cardinality."""
     ev = t(spark, sf_dir, "events")
     from pyspark.sql.functions import expr as _e
 
+    _rsd = 0.01
     return ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("exact_users"),
         (
             F.abs(
-                agg_fn.hyperloglog("user_id").cast("double")
+                agg_fn.hyperloglog("user_id", rsd=_rsd).cast("double")
                 - F.count_distinct(F.col("user_id")).cast("double")
             )
-            <= 0.02 * F.count_distinct(F.col("user_id")).cast("double")
-        ).alias("hll_within_2pct"),
+            <= 3 * _rsd * F.count_distinct(F.col("user_id")).cast("double")
+        ).alias("hll_within_bound"),
         (
             F.abs(
                 agg_fn.apercentile("value", 90)

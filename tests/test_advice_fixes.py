@@ -461,3 +461,132 @@ def test_pair_cosine_int_matches_duckdb(spark):
         expr = _cos_int_sql(f"{qa}::BIGINT[]", f"{qb}::BIGINT[]")
         want = con.execute(f"SELECT {expr}").fetchone()[0]
         assert got[i] == want, i
+
+
+def test_pk_merge_respects_pinned_tbname(spark, tmp_path):
+    """WHERE tbname='c2' pins the scan to one child: the reference prunes
+    non-matching children BEFORE TableMergeScan, so a duplicate (ts, pk)
+    owned by a pruned sibling (earlier in tbname order) must not win the
+    cross-child composite-pk merge (r13 ADVICE medium)."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(
+        spark, db,
+        "create stable spk2 (ts timestamp, k int primary key, v double)"
+        " tags (g int)",
+    )
+    execute(
+        spark, db,
+        "insert into c1 using spk2 tags(1) values"
+        "('2024-01-01 00:00:00', 7, 1.0)",
+    )
+    execute(
+        spark, db,
+        "insert into c2 using spk2 tags(2) values"
+        "('2024-01-01 00:00:00', 7, 2.0)",
+    )
+    got = execute(spark, db, "select v from spk2 where tbname='c2'")
+    assert [r.v for r in got.collect()] == [2.0]
+    got = execute(
+        spark, db, "select v from spk2 where tbname in ('c2')"
+    )
+    assert [r.v for r in got.collect()] == [2.0]
+    # unpinned merged read keeps the earliest-created child's row
+    got = execute(spark, db, "select v from spk2")
+    assert [r.v for r in got.collect()] == [1.0]
+    # both children pinned: merge applies within the pinned set
+    got = execute(
+        spark, db,
+        "select v from spk2 where tbname in ('c1', 'c2')",
+    )
+    assert [r.v for r in got.collect()] == [1.0]
+
+
+def test_pinned_tbnames_parser():
+    from tdengine_spark.dialect import _pinned_tbnames
+
+    assert _pinned_tbnames("tbname='c2'") == ["c2"]
+    assert _pinned_tbnames("TBNAME = 'c2' and v > 3") == ["c2"]
+    assert _pinned_tbnames("'c2' = tbname") == ["c2"]
+    assert _pinned_tbnames("tbname in ('a', 'b')") == ["a", "b"]
+    # a depth-0 OR makes conjunct extraction unsound — no pin
+    assert _pinned_tbnames("tbname='c2' or v > 3") is None
+    assert _pinned_tbnames("v between 1 and 2") is None
+    # tbname compared to a column (not a literal) — no pin
+    assert _pinned_tbnames("tbname = other_col") is None
+    # ORDER-like words must not trip the OR detector
+    assert _pinned_tbnames("tbname='c2' and org > 1") == ["c2"]
+
+
+def test_selection_order_by_case_and_expression(spark, tmp_path):
+    """ORDER BY items in the selection path (unique/mode/first) must
+    match output columns case-insensitively (`ORDER BY TS` with column
+    `ts`) and keep expression items over output columns
+    (`cast(ts as bigint)`) — r13 ADVICE low."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(spark, db, "create table ntord (ts timestamp, v int)")
+    for tsv, vv in [
+        ("2024-01-01 00:00:01", 2),
+        ("2024-01-01 00:00:02", 1),
+        ("2024-01-01 00:00:03", 2),
+    ]:
+        execute(
+            spark, db,
+            f"insert into ntord values ('{tsv}', {vv})",
+        )
+    got = execute(
+        spark, db, "select unique(v) as u, ts from ntord order by TS desc"
+    )
+    assert [r.u for r in got.collect()] == [1, 2]
+    got = execute(
+        spark, db,
+        "select unique(v) as u, ts from ntord"
+        " order by cast(ts as bigint) desc",
+    )
+    assert [r.u for r in got.collect()] == [1, 2]
+
+
+def test_ins_stables_columns_excludes_tags(spark, tmp_path):
+    """ins_stables `columns` counts data columns only (ts + columns),
+    excluding tags/tbname/_version — same rule as ins_tables
+    (r13 ADVICE low)."""
+    from tdengine_spark.catalog import Database
+    from tdengine_spark.dialect import execute
+
+    db = Database(root=str(tmp_path))
+    execute(
+        spark, db,
+        "create stable stcols (ts timestamp, a int, b double)"
+        " tags (g int, h int)",
+    )
+    execute(
+        spark, db,
+        "insert into cc using stcols tags(1, 2) values"
+        "('2024-01-01 00:00:00', 1, 2.0)",
+    )
+    got = execute(
+        spark, db,
+        "select columns, tags from information_schema.ins_stables"
+        " where stable_name='stcols'",
+    ).first()
+    assert (got.columns, got.tags) == (3, 2)
+
+
+def test_approx_aggregates_bound_reflects_rsd(spark):
+    """The HLL accuracy gate uses rsd=0.01 and a 3×rsd bound — the
+    sketch's documented contract, deterministic at any sf
+    (r13 ADVICE low)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["approx_aggregates"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows
+    assert all(r.hll_within_bound for r in rows)
+    assert all(r.p90_within_5pct for r in rows)
