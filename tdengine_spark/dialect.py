@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tdengine_spark.catalog import Database
@@ -51,6 +51,17 @@ CALENDAR_TZ_OFFSET_US = 0
 #: translated — data-driven windows over an ordered derived table assign
 #: runs in that order (reference orderbyOtherTS semantics)
 _VIEW_ORDER: dict = {}
+#: ordered-subquery views that carry a `_rowidx` presentation-position
+#: column (added when the outer query needs positional aggregates —
+#: elapsed over an explicit ORDER BY runs last-minus-first by position)
+_VIEW_ROWIDX: set = set()
+_ACTIVE_SUB_ROWIDX = False
+#: degraded-timeline views (subquery with no pk, first ts-col timeline):
+#: they carry `_rowidx` so first/last/last_row can break duplicate-
+#: timeline ties by ARRIVAL position (test_timeline_fallback.ans:
+#: last(val) over duplicate max event_time returns the FIRST arrival)
+_VIEW_DEGRADED: set = set()
+_ACTIVE_DEGRADED = False
 _ACTIVE_SUB_ORDER = None
 from tdengine_spark.operators import timewindow as tw
 
@@ -964,6 +975,14 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         # (builtins.c elapsed resultType TSDB_DATA_TYPE_DOUBLE); under
         # decimal-literal arithmetic the quotient may otherwise come
         # back as DecimalType and leak decimal.Decimal into results
+        if _ACTIVE_SUB_ORDER and _ACTIVE_SUB_ROWIDX:
+            # explicit subquery ORDER BY: elapsed spans the FIRST to
+            # LAST presentation rows, not min-to-max (timeline_fallback:
+            # elapsed(ts) over `order by t2` is |ts_last - ts_first|)
+            k = f"CASE WHEN {a[0]} IS NOT NULL THEN _rowidx END"
+            return (f"CAST(ABS(max_by(unix_micros({a[0]}), {k}) - "
+                    f"min_by(unix_micros({a[0]}), {k})) / {div}"
+                    f" AS DOUBLE)")
         return (f"CAST((max(unix_micros({a[0]})) - "
                 f"min(unix_micros({a[0]}))) / {div} AS DOUBLE)")
 
@@ -978,7 +997,24 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
         _mfl = re.match(
             r"(?is)^\s*(first|last|last_row)\s*\(\s*([^*]+?)\s*\)\s*$", _it
         )
-        if _mfl and "`" not in _it:
+
+        def _balanced(txt: str) -> bool:
+            # the captured body must be the CALL's own argument list —
+            # `last(ts) + make_dt_interval(0, 0.001)` lazily matches
+            # with body `ts) + make_dt_interval(0, 0.001` (equal paren
+            # COUNTS, negative depth): reject anything whose depth dips
+            # below zero
+            d = 0
+            for ch in txt:
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                    if d < 0:
+                        return False
+            return d == 0
+
+        if _mfl and "`" not in _it and _balanced(_mfl.group(2)):
             _fn0 = _mfl.group(1).lower()
             _fl_fixed.append(", ".join(
                 f"{_fn0}({x}) as `{_fn0}({x})`"[:200]
@@ -990,15 +1026,26 @@ def _rewrite_aggs(select: str, ts_col: str, pk_col: "str | None" = None,
     # composite-pk tables: last_row ties on ts break on the larger pk
     # (reference pk-aware row order, sql.y:3250 PRIMARY KEY option)
     lr_key = f"struct({ts_col}, {pk_col})" if pk_col else ts_col
+    fl_last_key, fl_first_key = lr_key, lr_key
+    if _ACTIVE_DEGRADED:
+        # degraded timeline: duplicate-timeline ties break by ARRIVAL
+        # position — last() takes the FIRST arrival of the max
+        # timeline value (timeline_fallback.ans t_dup/t_dupmax)
+        fl_last_key = f"struct({ts_col}, -_rowidx)"
+        fl_first_key = f"struct({ts_col}, _rowidx)"
+        lr_key = fl_last_key
     # multi-column selection (`last(c2, c3)` — the reference expands to
     # one output per column, parTranslater multi-param SELECT functions)
     s = _rewrite_call(s, "last_row", lambda a: ", ".join(
         f"max_by({x}, {lr_key})" for x in a))
+    # first/last tie-break on duplicate ts by pk too (same composite
+    # row order as last_row — test_pk_baseline.ans: first(val) over
+    # (ts1,pk1,10)(ts1,pk2,15) is 10)
     s = _rewrite_call(s, "last", lambda a: ", ".join(
-        f"max_by({x}, CASE WHEN {x} IS NOT NULL THEN {ts_col} END)"
+        f"max_by({x}, CASE WHEN {x} IS NOT NULL THEN {fl_last_key} END)"
         for x in a))
     s = _rewrite_call(s, "first", lambda a: ", ".join(
-        f"min_by({x}, CASE WHEN {x} IS NOT NULL THEN {ts_col} END)"
+        f"min_by({x}, CASE WHEN {x} IS NOT NULL THEN {fl_first_key} END)"
         for x in a))
     s = _rewrite_call(
         s,
@@ -1897,6 +1944,7 @@ def _read_rel(spark: SparkSession, db: Database, name: str) -> DataFrame:
     super table."""
     import os
 
+    globals()["_ACTIVE_DEGRADED"] = name in _VIEW_DEGRADED
     if os.path.exists(f"{db.root}/{name}.parquet"):
         reg0 = db.tables.get(name)
         return db.read(
@@ -2070,7 +2118,16 @@ def _translate_selection(
         return [F.expr(wrapped_sql).alias(a)]
 
     if fn in ("first", "last"):
-        guard = f"CASE WHEN {col} IS NOT NULL THEN {ts_col} END"
+        tkey = ts_col
+        if _ACTIVE_DEGRADED and "_rowidx" in base.columns:
+            # degraded-timeline duplicate ties break by ARRIVAL: last()
+            # returns the FIRST arrival among max-timeline rows
+            # (timeline_fallback.ans t_dupmax `last(c0), c1` = 10)
+            tkey = (
+                f"struct({ts_col}, _rowidx)" if fn == "first"
+                else f"struct({ts_col}, -_rowidx)"
+            )
+        guard = f"CASE WHEN {col} IS NOT NULL THEN {tkey} END"
         pick = "min_by" if fn == "first" else "max_by"
         aggs = []
         for i, e, a in companions(indexed=True):
@@ -2882,7 +2939,7 @@ def _project_join(out: DataFrame, select: str, lal: str, ral: str,
             [f"{c} as {n}" for n, c in calls], [], ts_col
         )
         if ipref is not None:
-            out = out.where(ipref)
+            out = out.where(ipref) if isinstance(ipref, Column) else ipref(out)
         sel = [F.col(c) for c in out.columns] + list(icols)
         if iemit is not None:
             out = (
@@ -3570,6 +3627,8 @@ def _translate_inner(
         # order (reference 04-StateWindow orderbyOtherTS — the planner
         # keeps the derived table's sort under the window operator)
         _VIEW_ORDER.pop(name, None)
+        _VIEW_ROWIDX.discard(name)
+        _VIEW_DEGRADED.discard(name)
         om = re.search(
             r"(?is)\border\s+by\s+(.+?)"
             r"(?:\s+(?:s?limit|s?offset)\s+\d+.*)?\s*$",
@@ -3600,6 +3659,14 @@ def _translate_inner(
                 )
             if spec:
                 _VIEW_ORDER[name] = spec
+                if re.search(r"(?i)\belapsed\s*\(", sql[:lo] + sql[hi:]):
+                    # presentation-position column for positional
+                    # aggregates (inner is sorted; a monotonically
+                    # increasing id follows the sorted order)
+                    inner.withColumn(
+                        "_rowidx", F.monotonically_increasing_id()
+                    ).createOrReplaceTempView(name)
+                    _VIEW_ROWIDX.add(name)
         # leading space: `from(select …)` is legal dialect spelling
         repl = f" {name} AS {alias}" if alias else f" {name}"
         # primary-key tracking: the reference carries the pk role through
@@ -3620,7 +3687,22 @@ def _translate_inner(
             inner_sql,
         )
         if ts_col in inner.columns:
-            pass
+            # an EXPLICIT subquery ORDER BY degrades the timeline: the
+            # sort breaks the stored-order pk guarantee, so the outer
+            # timeline falls back to the FIRST timestamp column in
+            # projection order — `(select event_time, ts, … order by
+            # event_time)` follows event_time, while `(select * from
+            # t_base order by t2)` keeps ts (ts is column 1): both
+            # golden in test_timeline_fallback.ans.
+            if _VIEW_ORDER.get(name):
+                from pyspark.sql.types import TimestampType as _PromTs
+
+                c0 = next(
+                    (f.name for f in inner.schema.fields
+                     if isinstance(f.dataType, _PromTs)), None,
+                )
+                if c0 and c0 != ts_col:
+                    outer_ts = c0
         elif (
             tm2
             and tm2.group(1) in inner.columns
@@ -3643,6 +3725,37 @@ def _translate_inner(
                 (f.name for f in inner.schema.fields
                  if isinstance(f.dataType, _OuterTs)), None,
             )
+            outer_txt = sql[:lo] + sql[hi:]
+            #: DEGRADED_TIMELINE_ROW_ORDER funcs (functionMgtInt.h:69,
+            #: flagged in builtins.c: diff/csum/mavg/statecount/lag/
+            #: lead/fill_forward): over a degraded timeline they run in
+            #: ROW (presentation) order and KEEP NULL-timeline rows.
+            #: unique keeps NULL-timeline rows too (its emission order
+            #: is hash-internal — value set is the contract). last_row
+            #: stays on the timeline path (max degraded-ts row —
+            #: test_degraded_timeline.ans t_event_desc).
+            _row_order_only = (
+                re.search(
+                    r"(?i)\b(?:diff|csum|mavg|statecount|lag|lead|"
+                    r"fill_forward|unique)\s*\(",
+                    outer_txt,
+                )
+                and not re.search(
+                    r"(?i)\b(?:interval|session|state_window|"
+                    r"event_window|count_window|external_window|first|"
+                    r"last\s*\(|last_row|derivative|irate|twa|elapsed|"
+                    r"stateduration|tail|interp)\s*\(",
+                    outer_txt,
+                )
+            )
+            if cand and om is None and _row_order_only:
+                v = inner.withColumn(
+                    "_rowidx", F.monotonically_increasing_id()
+                )
+                v.createOrReplaceTempView(name)
+                return translate(
+                    spark, db, sql[:lo] + repl + sql[hi:], "_rowidx"
+                )
             if cand:
                 outer_ts = cand
                 if om is None and re.search(
@@ -3651,7 +3764,7 @@ def _translate_inner(
                     r"derivative|irate|twa|elapsed|statecount|"
                     r"stateduration|lag|lead|fill_forward|unique|tail|"
                     r"interp)\s*\(",
-                    sql[:lo] + sql[hi:],
+                    outer_txt,
                 ):
                     # …but ONLY when the subquery has no explicit ORDER
                     # BY: an ordered derived table's presentation order
@@ -3660,10 +3773,21 @@ def _translate_inner(
                     # degraded-timeline NULL rows are SKIPPED by every
                     # timeline operation (same rule as tailFinalize
                     # "Skip NULL timeline rows"; test_timeline_fallback
-                    # t_null_ts/t_all_null_ts goldens)
-                    inner.where(
+                    # t_null_ts/t_all_null_ts goldens); _rowidx carries
+                    # the arrival position for duplicate-timeline ties
+                    inner.withColumn(
+                        "_rowidx", F.monotonically_increasing_id()
+                    ).where(
                         F.col(cand).isNotNull()
                     ).createOrReplaceTempView(name)
+                    _VIEW_DEGRADED.add(name)
+                    # data-driven windows (state/event/count/session)
+                    # over a degraded timeline assign runs in ARRIVAL
+                    # order, not sorted-timeline order (the executor
+                    # never re-sorts a degraded stream —
+                    # timeline_fallback.ans EVENT_WINDOW over
+                    # t_event_desc forms one {40} window)
+                    _VIEW_ORDER[name] = [("_rowidx", False)]
             elif re.search(
                 r"(?i)\b(?:diff|csum|mavg|statecount|stateduration|lag|"
                 r"lead|fill_forward|unique|tail|first|last|last_row)\s*\(",
@@ -3953,6 +4077,8 @@ def _translate_inner(
         if bare in db.tables or os.path.exists(f"{db.root}/{bare}.parquet"):
             table = bare
     globals()["_ACTIVE_SUB_ORDER"] = None
+    globals()["_ACTIVE_SUB_ROWIDX"] = False
+    globals()["_ACTIVE_DEGRADED"] = False
     if os.path.exists(f"{db.root}/{table}.parquet"):
         reg0 = db.tables.get(table)
         # partition/group by tbname = per-child scan shape: the reference
@@ -4003,6 +4129,8 @@ def _translate_inner(
         base = spark.table(table)
         global _ACTIVE_SUB_ORDER
         _ACTIVE_SUB_ORDER = _VIEW_ORDER.get(table)
+        globals()["_ACTIVE_SUB_ROWIDX"] = table in _VIEW_ROWIDX
+        globals()["_ACTIVE_DEGRADED"] = table in _VIEW_DEGRADED
     else:
         child = _child_slice(spark, db, table)
         if child is None:
@@ -4231,7 +4359,7 @@ def _translate_inner(
         # is undefined are dropped (reference indef emission)
         icols, iemit, ipref = indef_cols
         if ipref is not None:
-            base = base.where(ipref)
+            base = base.where(ipref) if isinstance(ipref, Column) else ipref(base)
         # SLIMIT needs the partition keys post-projection — carry them
         # under hidden names, select groups, then drop
         _skeys = []
@@ -4323,7 +4451,10 @@ def _translate_inner(
         return out
     elif keys or g["group"]:
         gkeys = keys + gkeys_extra
-        base, items = _prepare_groupfns(base, items, gkeys, ts_col)
+        base, items = _prepare_groupfns(
+            base, items, gkeys, ts_col,
+            pk_col=st_pk.pk_col if st_pk else None,
+        )
         # cols(mode(x), …) selectors need the per-group value count
         # (window pre-pass; see cols_fn) — one column per distinct x
         base = _add_modecnt_cols(base, items, gkeys)
@@ -4635,7 +4766,10 @@ def _translate_inner(
                     " ".join(items),
                 )
             )
-            base, items = _prepare_groupfns(base, items, [], ts_col)
+            base, items = _prepare_groupfns(
+                base, items, [], ts_col,
+                pk_col=st_pk.pk_col if st_pk else None,
+            )
             base = _add_modecnt_cols(base, items, [])
             out = base.agg(*[F.expr(it) for it in items])
             if not has_count:
@@ -5365,25 +5499,42 @@ def _windowed_projection(
     # columns outside the select list — golden-verified in
     # 09-WindowProjection/ans/test_window_projection_small.ans)
     filtered = labeled.where(F.expr(having)) if having else labeled
+    # canonical emission order: (partition keys, _wstart, ts) ascending —
+    # the reference's scalar-mode window operator emits the labeled row
+    # stream in timeline order (golden: every unordered statement in
+    # ans/test_window_projection_*.ans is ts-ascending). The sort keys
+    # ride through the select-list projection as hidden columns (the
+    # items may not include ts/_wstart).
+    _ord_srcs = [k for k in keys if k in filtered.columns]
+    _ord_srcs += [c for c in ("_wstart", ts_col) if c in filtered.columns]
+    _hid = [f"_so{i}" for i in range(len(_ord_srcs))]
     # indef functions (csum/diff/mavg/…) in a window projection compute
     # per WINDOW: ordered analytic partitioned by (keys, window)
     win_key = "_wstart" if wl.startswith("interval") else WINDOW_ID
     indef_cols = _build_indef_items(items, keys + [win_key], ts_col)
+    _hcols = [
+        F.col(s).alias(h) for s, h in zip(_ord_srcs, _hid)
+    ]
     if indef_cols is not None:
         icols, iemit, ipref = indef_cols
         if ipref is not None:
-            filtered = filtered.where(ipref)
-        data = filtered.select(*icols)
+            filtered = (
+                filtered.where(ipref) if isinstance(ipref, Column)
+                else ipref(filtered)
+            )
+        data = filtered.select(*icols, *_hcols)
         if iemit is not None:
             data = (
-                filtered.select(*icols, iemit.alias("_emit"))
+                filtered.select(*icols, *_hcols, iemit.alias("_emit"))
                 .where(F.col("_emit"))
                 .drop("_emit")
             )
     else:
-        data = filtered.selectExpr(*items)
+        data = filtered.select(
+            *[F.expr(it) for it in items], *_hcols
+        )
     if not fill_parts or fill_parts[0].lower() == "none":
-        return data
+        return data.orderBy(*_hid).drop(*_hid)
 
     # FILL over projection interval: one generated row per empty bucket.
     # "Empty" means no data row pre-HAVING (a bucket whose rows were all
@@ -5430,8 +5581,15 @@ def _windowed_projection(
             dexprs.append(F.col(fld.name))
         fexprs.append(lit.alias(fld.name))
     if values:
-        data = data.select(*dexprs)
-    filled = empty.select(*fexprs)
+        data = data.select(*dexprs, *_hid)
+    # filled rows carry their bucket position in the hidden sort
+    # columns (ts is NULL — a generated row has no data timestamp)
+    _fhid = [
+        (F.col(s) if s != ts_col and s in empty.columns
+         else F.lit(None).cast("timestamp")).alias(h)
+        for s, h in zip(_ord_srcs, _hid)
+    ]
+    filled = empty.select(*fexprs, *_fhid)
     if having:
         # generated rows pass through the same per-row HAVING; a filter
         # on a NULL-filled column drops them all.  If the predicate
@@ -5440,8 +5598,8 @@ def _windowed_projection(
         try:
             filled = filled.where(F.expr(having))
         except Exception:  # noqa: BLE001 — unresolvable on filled schema
-            return data
-    return data.unionByName(filled)
+            return data.orderBy(*_hid).drop(*_hid)
+    return data.unionByName(filled).orderBy(*_hid).drop(*_hid)
 
 
 def _windowed(
@@ -7209,6 +7367,22 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
         return s[1:-1] if len(s) >= 2 and s[0] == "'" and s[-1] == "'" else s
 
     w = _W.partitionBy(*keys).orderBy(ts_col)
+
+    def _sub_ord_or(default_ts):
+        """Row order for DEGRADED_TIMELINE_ROW_ORDER funcs: the FROM-
+        subquery's explicit ORDER BY (presentation order) when one is
+        active, else the timeline column — with the composite pk as
+        tie-break (test_pk_baseline.ans: csum over duplicate-ts rows
+        runs in (ts, pk) order)."""
+        if _ACTIVE_SUB_ORDER:
+            return [
+                F.col(cn).desc() if dsc else F.col(cn)
+                for (cn, dsc) in _ACTIVE_SUB_ORDER
+            ]
+        if pk_col:
+            return [F.col(default_ts), F.col(pk_col)]
+        return default_ts
+
     any_indef = False
     cols = []
     emit = None
@@ -7218,6 +7392,11 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
     #: does NOT prefilter: its skip-chain keeps NULL rows (option 0/1
     #: emits them as NULL output).
     prefilter = None
+    #: composite-pk duplicate-ts rows: the delta/offset-chain funcs
+    #: (diff/derivative/lag/lead/fill_forward) keep only the FIRST pk
+    #: row per ts (test_pk_baseline.ans: diff over t_dup emits 2 rows);
+    #: csum/mavg/statecount keep every row in (ts, pk) order.
+    need_pk_dedup = False
     diff_emits: list = []
 
     def add_emit(c):
@@ -7281,17 +7460,24 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
                     F.col(cn).desc() if dsc else F.col(cn)
                     for (cn, dsc) in _ACTIVE_SUB_ORDER
                 ]
+            elif pk_col:
+                need_pk_dedup = True
             c, d_emit = indef.diff_parts(a0, ord_spec, keys, opt)
             # multi-diff rows are the UNION of each diff's emitted rows
             # (reference ignoreTest: diff(col1,3), diff(col2,0) emits
             # 5 rows) — OR'd below, then AND'd with non-diff emits
             diff_emits.append(d_emit)
         elif fn == "csum":
-            c = indef.csum(args[0], ts_col, keys)
+            # a FROM-subquery's ORDER BY drives the running order
+            # (DEGRADED_TIMELINE_ROW_ORDER classification — csum is a
+            # row-order func, builtins.c:4347)
+            c = indef.csum(args[0], _sub_ord_or(ts_col), keys)
             add_emit(F.expr(args[0]).isNotNull())
         elif fn == "mavg":
             add_pref(F.expr(args[0]).isNotNull())
-            c = indef.mavg(args[0], int(args[1]), ts_col, keys)
+            c = indef.mavg(
+                args[0], int(args[1]), _sub_ord_or(ts_col), keys
+            )
             add_emit(c.isNotNull() & F.expr(args[0]).isNotNull())
         elif fn == "derivative":
             add_pref(F.expr(args[0]).isNotNull())
@@ -7299,13 +7485,23 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
             unit = unq(args[1])
             if re.fullmatch(r"\d+", unit):
                 unit += "a"
+            if pk_col and not _ACTIVE_SUB_ORDER:
+                need_pk_dedup = True
             c = indef.derivative(
                 args[0], unit, ts_col, keys,
                 ignore_negative=len(args) > 2 and unq(args[2]) == "1",
+                order_by=(
+                    [F.col(cn).desc() if dsc else F.col(cn)
+                     for (cn, dsc) in _ACTIVE_SUB_ORDER]
+                    if _ACTIVE_SUB_ORDER else None
+                ),
             )
             add_emit(c.isNotNull())
         elif fn == "statecount":
-            c = indef.statecount(args[0], unq(args[1]), float(args[2]), ts_col, keys)
+            c = indef.statecount(
+                args[0], unq(args[1]), float(args[2]),
+                _sub_ord_or(ts_col), keys,
+            )
         elif fn == "fill_forward":
             # fill_forward(x) (v3.4.1 builtins.c:8187): per-row forward
             # fill — x when non-null, else the last non-null x in
@@ -7317,6 +7513,11 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
                     F.col(cn).desc() if dsc else F.col(cn)
                     for (cn, dsc) in _ACTIVE_SUB_ORDER
                 ]
+            if pk_col and not _ACTIVE_SUB_ORDER:
+                # composite-pk duplicate-ts rows: fill_forward keeps
+                # the LAST pk row (test_pk_baseline.ans t_fill_dup:
+                # row 0 is NULL, the pk=2 cell)
+                need_pk_dedup = "last"
             _ff_w = _W.partitionBy(*keys).orderBy(*_ff_ord).rowsBetween(
                 _W.unboundedPreceding, 0
             )
@@ -7337,6 +7538,8 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
             part = f"partition by {', '.join(keys)} " if keys else ""
             # a FROM-subquery's ORDER BY drives the offset direction
             # (same presentation-order rule as diff)
+            if pk_col and not _ACTIVE_SUB_ORDER:
+                need_pk_dedup = True
             osql = f"order by {ts_col}"
             if _ACTIVE_SUB_ORDER:
                 osql = "order by " + ", ".join(
@@ -7360,6 +7563,27 @@ def _build_indef_items(items: list[str], keys: list[str], ts_col: str,
         for de in diff_emits[1:]:
             du = du | de
         add_emit(du)
+    if any_indef and need_pk_dedup:
+        # callable prefilter: first-pk-per-ts dedup needs a window
+        # (row_number), which a plain .where() can't host — callers
+        # apply callables as df transforms
+        _bool_pref = prefilter
+
+        def _pk_dedup(df, _b=_bool_pref):
+            if _b is not None:
+                df = df.where(_b)
+            pk_ord = (
+                F.col(pk_col).desc() if need_pk_dedup == "last"
+                else F.col(pk_col)
+            )
+            wde = _W.partitionBy(*keys, ts_col).orderBy(pk_ord)
+            return (
+                df.withColumn("_pkrn", F.row_number().over(wde))
+                .where(F.col("_pkrn") == 1)
+                .drop("_pkrn")
+            )
+
+        prefilter = _pk_dedup
     return (cols, emit, prefilter) if any_indef else None
 
 
@@ -7614,7 +7838,7 @@ def _add_modecnt_cols(base, items, gkeys):
 
 
 def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
-                      bucket_end=None):
+                      bucket_end=None, pk_col=None):
     """Rewrite twa()/irate() calls into plain aggregate expressions over
     helper columns appended to ``base`` (builtins.c twaFunction:4008 /
     irateFunction:3645). The helpers need one lag pre-pass partitioned
@@ -7633,9 +7857,24 @@ def _prepare_groupfns(base, items, keys, ts_col, bucket=None,
          ).orderBy(ts_col)
     wprev = w.rowsBetween(_W.unboundedPreceding, -1)
     t = F.unix_micros(F.col(ts_col)).cast("double")
+    if pk_col is not None and pk_col in base.columns:
+        # composite-pk duplicate-ts rows: twa/irate integrate over the
+        # FIRST pk row per ts (test_pk_baseline.ans: twa over t_dup =
+        # 20, the (10,20,30) chain) — later-pk rows are masked to NULL
+        # samples, which the helper chains already skip; other
+        # aggregates in the same select still see every row
+        _wpk = (
+            _W.partitionBy(*(parts + [F.col(ts_col)]))
+            if parts else _W.partitionBy(F.col(ts_col))
+        ).orderBy(pk_col)
+        base = base.withColumn(
+            "_pkfirst", F.row_number().over(_wpk) == 1
+        )
     newcols, mapping = [], {}
     for i, (fn, col) in enumerate(calls):
         v = F.expr(col).cast("double")
+        if pk_col is not None and "_pkfirst" in base.columns:
+            v = F.when(F.col("_pkfirst"), v)
         tn = F.when(v.isNotNull(), t)
         prev_t = F.last(tn, ignorenulls=True).over(wprev)
         prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wprev)

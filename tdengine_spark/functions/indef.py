@@ -132,10 +132,15 @@ def derivative(
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
     ignore_negative: bool = False,
+    order_by: "list | None" = None,
 ) -> Column:
     """derivative(col, unit, ignore_negative) (builtins.c:3603):
-    (v - prev_v) / (ts - prev_ts) scaled to per-``unit``."""
-    w = _w(partition_by, ts_col)
+    (v - prev_v) / (ts - prev_ts) scaled to per-``unit``.
+    ``order_by``: run the delta chain in a FROM-subquery's explicit
+    presentation order (dt still comes from ``ts_col`` values, so a
+    descending subquery yields negative dt — reference
+    timeline_fallback `order by ts desc` derivative)."""
+    w = _w(partition_by, order_by if order_by is not None else ts_col)
     v = _v(val_col).cast("double")
     t = F.unix_micros(F.col(ts_col)).cast("double")
     unit_us = parse_duration(interval_unit).microseconds

@@ -940,8 +940,51 @@ def load_reference_test(path: str, shim: TdSqlShim):
                         continue
                     if low.startswith(("select", "show")):
                         shim.query(stmt)
-                        shim.checkRows(len(want or []))
-                        for r, row in enumerate(want or []):
+                        want_rows = want or []
+                        got = shim.rows
+                        n_checks = 1 + sum(len(r) for r in want_rows)
+                        ok_pos = len(got) == len(want_rows) and all(
+                            c < len(got[r])
+                            and shim._same(got[r][c], cell)
+                            for r, row in enumerate(want_rows)
+                            for c, cell in enumerate(row)
+                        )
+                        if ok_pos:
+                            shim.stats["checks"] += n_checks
+                            continue
+                        if (
+                            getattr(shim, "unordered_ok", False)
+                            and len(got) == len(want_rows)
+                        ):
+                            # opt-in multiset compare: several reference
+                            # transcripts pin implementation-artifact row
+                            # orders (hash-table emission for unique(),
+                            # unstable sort-merge ties) — the VALUES are
+                            # the contract; the per-statement fallback is
+                            # counted in stats["unordered_stmts"] so
+                            # tests can cap it.
+                            used = [False] * len(got)
+
+                            def _take(row):
+                                for i, g in enumerate(got):
+                                    if used[i] or len(row) > len(g):
+                                        continue
+                                    if all(
+                                        shim._same(g[c], cell)
+                                        for c, cell in enumerate(row)
+                                    ):
+                                        used[i] = True
+                                        return True
+                                return False
+
+                            if all(_take(row) for row in want_rows):
+                                shim.stats["checks"] += n_checks
+                                shim.stats["unordered_stmts"] = (
+                                    shim.stats.get("unordered_stmts", 0) + 1
+                                )
+                                continue
+                        shim.checkRows(len(want_rows))
+                        for r, row in enumerate(want_rows):
                             for c, cell in enumerate(row):
                                 shim.checkData(r, c, cell)
                     else:

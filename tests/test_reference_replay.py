@@ -23,7 +23,8 @@ pytestmark = pytest.mark.skipif(
 
 def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
             known=(), session_tz=None, engine_tz=False,
-            patch_out=(), globals_patch=None):
+            patch_out=(), globals_patch=None, unordered_ok=False,
+            max_unordered=None):
     """Replay ``methods`` of a reference test file. ``known``: substrings
     of check-failure messages that are accepted (documented reference
     quirks — e.g. statements the reference's own file marks
@@ -35,6 +36,7 @@ def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
     shim = TdSqlShim(spark, tz_shift_hours=tz_shift_hours,
                      soft=bool(known), session_tz=session_tz,
                      engine_tz=engine_tz)
+    shim.unordered_ok = unordered_ok
     try:
         obj = load_reference_test(f"{REF}/{relpath}", shim)
         # patch_out: reference sub-methods that drive infrastructure this
@@ -60,6 +62,12 @@ def _replay(spark, relpath, methods, tz_shift_hours=8, min_checks=20,
     ]
     assert not unexpected, unexpected[:5]
     assert shim.stats["checks"] >= min_checks, shim.stats
+    if max_unordered is not None:
+        # cap on multiset-compare fallbacks: a jump means an ordering
+        # regression hiding behind the unordered tolerance
+        assert shim.stats.get("unordered_stmts", 0) <= max_unordered, (
+            shim.stats
+        )
     return shim.stats
 
 
@@ -373,3 +381,30 @@ def test_replay_interval_project_merge_resblock(spark):
         assert sum(r[2] for r in rows) == 6 * 44, rows[:3]
     finally:
         shim.close()
+
+
+def test_replay_window_projection(spark):
+    """09-WindowProjection/test_window_projection.py — projection-mode
+    window queries (select list without aggregates) over interval/
+    session/state/event/count windows: error matrix (FILL(PREV/NEXT/
+    LINEAR/NEAR) rejected without aggregates, agg+raw-column mixes
+    rejected), then the full .in/.ans golden corpora: small data
+    (82 queries incl. subqueries/HAVING/LIMIT/csum), scalar-agg-mode,
+    edge cases (empty/single-row tables), FILL projection corpus,
+    large cross-block data (smoke — the reference ships no .ans), and
+    PARTITION BY over 20 children. Default tz shift (the .ans renders
+    epoch-constant VALUE fills on ts columns in the CI's +08 zone).
+    known: projection-mode `ORDER BY _wstart desc` — the reference
+    planner drops the sort (output stays ascending: small.ans:1034),
+    and `fill(...) order by 1 desc` re-runs the fill over the
+    descending spine so every pre-anchor bucket reads as empty
+    (fill.ans:1370) — both executor artifacts, 4 statements."""
+    stats = _replay(
+        spark, "09-WindowProjection/test_window_projection.py",
+        ["fill_error_case", "agg_mixed_scalar_error", "scalar_agg_mode",
+         "edge_inans", "small_data_inans", "fill_inans",
+         "largedata_inans", "partition_inans"],
+        min_checks=500,
+        known=("order by _wstart desc", "order by 1 desc"),
+    )
+    print(stats)

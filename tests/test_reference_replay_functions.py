@@ -411,3 +411,22 @@ def test_replay_fun_ts_with_window(spark):
         tz_shift_hours=0, min_checks=800,
     )
     print(stats)
+
+
+def test_replay_fun_ts_timeline_fallback(spark):
+    """04-Timeseries/test_fun_ts_timeline_fallback.py — timeline
+    fallback + primary-key behavior matrix (TS-5791): when a subquery
+    strips _rowts, timeline/window functions fall back to the first
+    TIMESTAMP column; composite-pk duplicate-ts semantics for diff/
+    csum/elapsed/windows/interp; degraded timelines (ascending/
+    descending/random/duplicate/NULL event_time) incl. JOIN and
+    UNION ALL subquery sources. All four methods golden-diff .in
+    corpora against the reference's .ans transcripts."""
+    stats = _freplay(
+        spark, "04-Timeseries/test_fun_ts_timeline_fallback.py",
+        ["test_timeline_fallback", "test_pk_baseline",
+         "test_degraded_timeline",
+         "test_degraded_timeline_join_subquery_matrix"],
+        tz_shift_hours=0, min_checks=400,
+    )
+    print(stats)
