@@ -17,13 +17,22 @@ REF = "/root/reference/test/cases/13-TimeSeriesExt"
 
 def main():
     relpath, methods = sys.argv[1], sys.argv[2:]
-    tz = 0
-    if methods and methods[0].startswith("--tz="):
-        tz = int(methods[0][5:])
+    tz, unordered, attrs = 0, False, {}
+    while methods and methods[0].startswith("--"):
+        if methods[0].startswith("--tz="):
+            tz = int(methods[0][5:])
+        elif methods[0] == "--unordered":
+            unordered = True
+        elif methods[0].startswith("--set="):
+            k, _, v = methods[0][6:].partition("=")
+            attrs[k] = v
         methods = methods[1:]
     spark = get_spark("replay-probe")
     shim = TdSqlShim(spark, tz_shift_hours=tz, soft=True)
+    shim.unordered_ok = unordered
     obj = load_reference_test(f"{REF}/{relpath}", shim)
+    for k, v in attrs.items():
+        setattr(obj, k, v)
     for m in methods:
         try:
             getattr(obj, m)()

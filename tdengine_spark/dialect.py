@@ -2426,7 +2426,7 @@ def _translate_external_window(
     ``_wstart``/``_wend`` and aggregates; with aggregates present the
     non-aggregate items become the per-window group keys."""
     from tdengine_spark.operators.externalwindow import (
-        WID, WPREFIX, external_window,
+        WEND, WID, WPREFIX, WSTART, external_window,
     )
 
     hm = _EXTWIN_HEAD_RE.match(sql[: em.start()])
@@ -2468,8 +2468,11 @@ def _translate_external_window(
         # join can correlate; otherwise the window set is shared, and
         # per-partition duplicates collapse to a distinct rowset.
         sub_keys_m = re.search(
-            r"\bpartition\s+by\s+(.*?)(?:\s+interval|\s+session"
-            r"|\s+state_window|\s+event_window|\s+count_window|\s*$)",
+            r"\b(?:partition|group)\s+by\s+(.*?)(?:\s+interval"
+            r"|\s+session"
+            r"|\s+state_window|\s+event_window|\s+count_window"
+            r"|\s+order\s+by|\s+group\s+by|\s+having|\s+fill"
+            r"|\s+s?limit|\s*$)",
             sub_sql,
             re.IGNORECASE | re.DOTALL,
         )
@@ -2488,6 +2491,23 @@ def _translate_external_window(
                 + sub_sql[fm.start():]
             )
             windows = translate(spark, db, aug, ts_col)
+        elif sub_keys and len(sub_keys) == len(keys):
+            # differently-NAMED partition keys correlate by VALUE: each
+            # subquery partition's windows apply to the outer partition
+            # whose key value equals it (function_matrix.ans: partition
+            # by t1 over windows partitioned by mark → 0 rows; by v2 →
+            # only the v2==mark partition joins)
+            fm = re.search(r"\bfrom\b", sub_sql, re.IGNORECASE)
+            proj = ", ".join(
+                f"{sk} AS {ok}"
+                for ok, sk in zip(keys, sub_keys)
+                if ok in missing
+            )
+            aug = (
+                sub_sql[: fm.start()] + ", " + proj + " "
+                + sub_sql[fm.start():]
+            )
+            windows = translate(spark, db, aug, ts_col)
         else:
             windows = windows.distinct()
     fill_parts = (
@@ -2497,21 +2517,54 @@ def _translate_external_window(
     joined = external_window(fact, windows, ts_col=ts_col, corr_keys=keys)
 
     walias = walias or "w"
+    _wcols = windows.columns
+    if WSTART in _wcols and WEND in _wcols:
+        _bounds = {WSTART, WEND}
+    else:
+        _bounds = set(_wcols[:2])
+    # window payload columns are referencable bare (without the w.
+    # alias) when the fact doesn't shadow them (more_branch_coverage:
+    # `select t1, ws, wc from ext_src … ((… count(*) as wc …) w)`)
+    _bare_payload = [
+        c for c in _wcols
+        if c not in _bounds and c not in fact.columns
+    ]
 
     def rw(expr: str) -> str:
         # w.<col> → the prefixed window payload column; _wduration is
         # the window's ms width (reference pseudo-column)
         s = re.sub(rf"\b{re.escape(walias)}\.(\w+)", rf"{WPREFIX}\1", expr)
+        for p in _bare_payload:
+            s = re.sub(
+                rf"(?<![\w.]){re.escape(p)}\b(?!\s*\()",
+                f"{WPREFIX}{p}", s,
+            )
         s = re.sub(
             r"\b_wduration\b",
             "(unix_millis(_wend) - unix_millis(_wstart))",
             s,
             flags=re.IGNORECASE,
         )
+        # the full dialect aggregate surface applies per window —
+        # first/last (NULL-skipping, ts-ordered), last_row, spread,
+        # stddev/var population semantics, apercentile, elapsed …
+        s = _rewrite_aggs(s, ts_col)
         return _rewrite_ops(s)
 
     items, aliases, has_agg = [], [], False
+    raw_items = []
     for raw in _split_select(g["items"]):
+        raw = raw.strip()
+        # `*` / `fact.*` in an external-window projection expands to the
+        # fact's star columns (data cols; + tags only for a bare stable —
+        # same rule as join star expansion / reference createAllColumns)
+        if raw == "*" or raw.lower() == f"{g['table'].lower()}.*":
+            raw_items.extend(
+                _operand_star_cols(db, g["table"]) or fact.columns
+            )
+        else:
+            raw_items.append(raw)
+    for raw in raw_items:
         am = _ITEM_ALIAS_RE.match(raw.strip())
         expr, alias = am.group("expr"), am.group("alias")
         expr = rw(expr)
@@ -2532,10 +2585,20 @@ def _translate_external_window(
         if t.get("having"):
             # aggregate-typed boolean rides the agg list, filters, drops
             aggs.append(F.expr(f"({rw(t['having'])})").alias("_hv"))
-        out = joined.groupBy(F.col(WID), *gcols).agg(*aggs)
+        # unprojected partition keys ride as hidden group columns so
+        # ORDER BY can reference them (window_boundary.in: `select ws,
+        # we, c … partition by t1 … order by t1, ws`); the final item
+        # select drops them
+        names = {n for _, n in items}
+        hidden = [
+            k for k in keys if k not in names and k in joined.columns
+        ]
+        out = joined.groupBy(
+            F.col(WID), *[F.col(k) for k in hidden], *gcols
+        ).agg(*aggs)
         if t.get("having"):
             out = out.where(F.col("_hv")).drop("_hv")
-        out = out.drop(WID)
+        out = out.withColumnRenamed(WID, "_ord_wid")
     else:
         agg_const = False
         if hint == "AGG":
@@ -2559,12 +2622,63 @@ def _translate_external_window(
             out = gb.agg(*aggs2) if aggs2 else gb.agg(
                 F.count(F.lit(1)).alias("_n")
             )
+            out = out.withColumnRenamed(WID, "_ord_wid")
         else:
-            out = joined.selectExpr(*[f"{e} AS `{n}`" for e, n in items])
+            names = {n for _, n in items}
+            hidden = [
+                k for k in keys
+                if k not in names and k in joined.columns
+                and k != ts_col
+            ]
+            out = joined.select(
+                F.col(WID).alias("_ord_wid"),
+                F.col(ts_col).alias("_ord_ts"),
+                *[F.col(k) for k in hidden],
+                *[F.expr(e).alias(n) for e, n in items],
+            )
+    kcols = [k for k in keys if k in out.columns]
+    if (
+        t.get("limit")
+        and not t.get("order")
+        and kcols
+        and "_ord_wid" in out.columns
+    ):
+        # LIMIT under PARTITION BY caps each partition's output, not
+        # the total result set (basic_query.ans: `partition by tbname …
+        # limit 1` emits one row PER child) — rank in canonical window
+        # order within the partition
+        from pyspark.sql import Window as _LimW
+
+        ordc2 = [F.col("_ord_wid")] + (
+            [F.col("_ord_ts")] if "_ord_ts" in out.columns else []
+        )
+        out = (
+            out.withColumn(
+                "_lrn",
+                F.row_number().over(
+                    _LimW.partitionBy(*[F.col(k) for k in kcols])
+                    .orderBy(*ordc2)
+                ),
+            )
+            .where(F.col("_lrn") <= int(t["limit"]))
+            .drop("_lrn")
+        )
+        t = dict(t)
+        t["limit"] = None
     if t.get("order"):
         out = out.orderBy(
             *_order_cols(rw(t["order"]), [n for _, n in items])
         )
+    elif "_ord_wid" in out.columns:
+        # canonical presentation order (ans goldens): windows in
+        # (start, end, payload) order via the WID struct — per
+        # partition when PARTITION BY is present — and fact rows in ts
+        # order inside a projection-mode window
+        ordc = [F.col(k) for k in kcols]
+        ordc.append(F.col("_ord_wid"))
+        if "_ord_ts" in out.columns:
+            ordc.append(F.col("_ord_ts"))
+        out = out.orderBy(*ordc)
     out = out.select(*[F.col(n) for _, n in items])
     if t.get("limit"):
         out = out.limit(int(t["limit"]))
@@ -2717,6 +2831,46 @@ def _translate_interp(spark: SparkSession, db: Database, m, ts_col: str) -> Data
 
     g = m.groupdict()
     base = _read_rel(spark, db, g["table"])
+    ordspec = _VIEW_ORDER.get(g["table"])
+    if (_ACTIVE_DEGRADED or ordspec) and (
+        ordspec or "_rowidx" in base.columns
+    ):
+        # interp over a degraded/ordered derived timeline: the
+        # executor's forward scan requires a monotone stream — strictly
+        # ASC runs normally, strictly DESC never advances past the
+        # FIRST presentation row (only its exact-match instant emits:
+        # test_pk_baseline.ans:954 `order by ts desc` → one row), and a
+        # non-monotone stream is rejected ("Invalid timeline in
+        # function", taoserror.h TSDB_CODE_FUNC_INVALID_TIMELINE)
+        from pyspark.sql import Window as _ItW
+
+        ocols = (
+            [F.col(c).desc() if d else F.col(c).asc() for c, d in ordspec]
+            if ordspec else [F.col("_rowidx").asc()]
+        )
+        wseq = _ItW.orderBy(*ocols)
+        probe = (
+            base.select(
+                F.col(ts_col).alias("_t"),
+                F.lag(ts_col).over(wseq).alias("_p"),
+            )
+            .agg(
+                F.max(
+                    (F.col("_p") < F.col("_t")).cast("int")
+                ).alias("_asc"),
+                F.max(
+                    (F.col("_p") > F.col("_t")).cast("int")
+                ).alias("_desc"),
+            )
+            .first()
+        )
+        if probe and probe["_desc"]:
+            if probe["_asc"]:
+                raise ValueError(
+                    "Invalid timeline in function: interp over a "
+                    "non-monotone degraded timeline"
+                )
+            base = base.orderBy(*ocols).limit(1)
     if g["where"]:
         base = base.where(
             F.expr(_filter_expr_sql(
@@ -3188,6 +3342,8 @@ def _extract_from_subquery(sql: str):
         "INTERVAL", "SESSION", "STATE_WINDOW", "EVENT_WINDOW",
         "COUNT_WINDOW", "PARTITION", "FILL", "ON", "INNER", "LEFT",
         "RIGHT", "FULL", "JOIN", "ASOF", "WINDOW",
+        # interp clause keywords (`FROM (sub) RANGE(...) EVERY(...)`)
+        "RANGE", "EVERY", "ANOMALY_WINDOW", "EXTERNAL_WINDOW",
     ):
         alias = am.group(1)
     end = i + (am.end() if alias else 0)
@@ -3218,9 +3374,51 @@ def translate(
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
+        sql = _expand_text_tables(spark, sql)
         return _translate_inner(spark, db, sql, ts_col, tsma_catalog)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+
+_TEXT_TABLE_RE = re.compile(
+    r"(?is)\bTEXT\s*\(([^)]*)\)\s*values\s*((?:\(\s*[^()]*\)\s*)+)"
+)
+
+_TEXT_SPARK_TYPES = {
+    "timestamp": "timestamp", "int": "int", "integer": "int",
+    "bigint": "bigint", "smallint": "smallint", "tinyint": "tinyint",
+    "float": "float", "double": "double", "bool": "boolean",
+    "boolean": "boolean",
+}
+
+
+def _expand_text_tables(spark: SparkSession, sql: str) -> str:
+    """``FROM TEXT(col TYPE, …) VALUES (…) (…) alias`` — inline literal
+    table (reference TEXT table source, 08-ExternalWindow
+    text_as_window goldens). Each literal tuple becomes one row of a
+    registered temp view; the construct is replaced by the view name so
+    the normal FROM machinery (alias, WHERE, subquery) applies."""
+    def repl(m):
+        defs = [d.strip() for d in m.group(1).split(",") if d.strip()]
+        names = [d.split()[0] for d in defs]
+        types = [
+            " ".join(d.split()[1:]).lower().split("(")[0] for d in defs
+        ]
+        selects = []
+        for rt in re.findall(r"\(\s*([^()]*)\)", m.group(2)):
+            items = [
+                f"cast({v.strip()} as "
+                f"{_TEXT_SPARK_TYPES.get(t, 'string')}) as {n}"
+                for v, n, t in zip(_split_select(rt), names, types)
+            ]
+            selects.append("select " + ", ".join(items))
+        name = f"_text_{abs(hash(m.group(0))) % 10**8}"
+        spark.sql(" union all ".join(selects)).createOrReplaceTempView(
+            name
+        )
+        return f" {name} "
+
+    return _TEXT_TABLE_RE.sub(repl, sql)
 
 
 _HISTOGRAM_RE = re.compile(
@@ -3619,7 +3817,36 @@ def _translate_inner(
         # clauses), expose it as a view, and rewrite the outer query to
         # reference it — mirrors the reference planner's subplan stacking
         inner_sql, lo, hi, alias = sub
-        inner = translate(spark, db, _strip_outer_parens(inner_sql), ts_col)
+        _inner_txt = _strip_outer_parens(inner_sql)
+        _jm0 = re.search(
+            r"(?is)\bfrom\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
+            r"(?:left\s+|right\s+|full\s+|inner\s+)?(?:outer\s+)?join\s+"
+            r"([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+on\b",
+            _inner_txt,
+        )
+        if (
+            _jm0
+            and not re.search(r"(?i)\border\s+by\b|\bgroup\s+by\b",
+                              _inner_txt)
+            and re.search(
+                r"(?i)\b(?:diff|csum|mavg|statecount|stateduration|lag|"
+                r"lead|fill_forward|unique|tail|first|last|interval|"
+                r"session|state_window|count_window|elapsed|derivative|"
+                r"twa|irate)\s*\(|\bevent_window\b",
+                sql[:lo] + sql[hi:],
+            )
+        ):
+            # a JOIN-derived table feeding timeline functions: the
+            # reference's merge join emits rows in merged-ts order —
+            # coalesce(l.ts, r.ts) reproduces it for inner/left/right/
+            # full (timeline_fallback.ans HH/HI join matrix); without
+            # it the shuffle join's arbitrary order becomes the
+            # degraded row order
+            _, _lal0, _, _ral0 = _jm0.groups()
+            _inner_txt += (
+                f" order by coalesce({_lal0}.{ts_col}, {_ral0}.{ts_col})"
+            )
+        inner = translate(spark, db, _inner_txt, ts_col)
         name = f"_dialect_sub_{abs(hash(inner_sql)) % 10**8}"
         inner.createOrReplaceTempView(name)
         # record the subquery's presentation order: an outer data-driven
@@ -3667,6 +3894,37 @@ def _translate_inner(
                         "_rowidx", F.monotonically_increasing_id()
                     ).createOrReplaceTempView(name)
                     _VIEW_ROWIDX.add(name)
+            else:
+                # the ORDER BY column isn't in the projection (`select
+                # event_time, … from (… union all …) order by ord`):
+                # the sorted frame's row POSITION is the presentation
+                # order — materialize it (degraded-timeline UNION ALL
+                # matrix, test_degraded_timeline_subquery_matrix.in)
+                frame = inner.withColumn(
+                    "_rowidx", F.monotonically_increasing_id()
+                )
+                if ts_col not in inner.columns and re.search(
+                    r"(?i)\b(?:interval|session|state_window|"
+                    r"count_window|external_window)\s*\("
+                    r"|\bevent_window\b",
+                    sql[:lo] + sql[hi:],
+                ):
+                    # windows over an ordered DEGRADED timeline skip
+                    # NULL-timeline rows (row-order functions keep
+                    # them) — subquery-matrix HI windows count 4 of 6
+                    from pyspark.sql.types import (
+                        TimestampType as _NullTs,
+                    )
+
+                    c0 = next(
+                        (f.name for f in inner.schema.fields
+                         if isinstance(f.dataType, _NullTs)), None,
+                    )
+                    if c0:
+                        frame = frame.where(F.col(c0).isNotNull())
+                frame.createOrReplaceTempView(name)
+                _VIEW_ORDER[name] = [("_rowidx", False)]
+                _VIEW_ROWIDX.add(name)
         # leading space: `from(select …)` is legal dialect spelling
         repl = f" {name} AS {alias}" if alias else f" {name}"
         # primary-key tracking: the reference carries the pk role through
@@ -3678,8 +3936,14 @@ def _translate_inner(
         # reference keeps the flag on the column, not the window pseudo
         # (orderbyOtherTS: `select ts as b, …, _wstart as a` → pk is b)
         outer_ts = ts_col
-        tm2 = re.search(
-            rf"(?i)\b{re.escape(ts_col)}\s+(?:as\s+)?([A-Za-z_]\w*)",
+        # a JOIN-derived projection of a ts column (`b.ts event_time`)
+        # does NOT keep the pk role — outer-join NULLs make it a
+        # degraded timeline (timeline_fallback HH/HI matrix); the
+        # qualified-ref lookbehind keeps single-table `ts as b` aliases
+        # working
+        tm2 = None if _jm0 else re.search(
+            rf"(?i)(?<![\w.]){re.escape(ts_col)}\s+(?:as\s+)?"
+            rf"([A-Za-z_]\w*)",
             inner_sql,
         )
         pm = re.search(
@@ -3742,9 +4006,10 @@ def _translate_inner(
                 )
                 and not re.search(
                     r"(?i)\b(?:interval|session|state_window|"
-                    r"event_window|count_window|external_window|first|"
-                    r"last\s*\(|last_row|derivative|irate|twa|elapsed|"
-                    r"stateduration|tail|interp)\s*\(",
+                    r"count_window|external_window|first|"
+                    r"last|derivative|irate|twa|elapsed|"
+                    r"stateduration|tail|interp)\s*\("
+                    r"|\bevent_window\b",
                     outer_txt,
                 )
             )
@@ -3759,11 +4024,12 @@ def _translate_inner(
             if cand:
                 outer_ts = cand
                 if om is None and re.search(
-                    r"(?i)\b(?:interval|session|state_window|event_window|"
+                    r"(?i)\b(?:interval|session|state_window|"
                     r"count_window|first|last|last_row|diff|csum|mavg|"
                     r"derivative|irate|twa|elapsed|statecount|"
                     r"stateduration|lag|lead|fill_forward|unique|tail|"
-                    r"interp)\s*\(",
+                    r"interp)\s*\("
+                    r"|\bevent_window\b",
                     outer_txt,
                 ):
                     # …but ONLY when the subquery has no explicit ORDER
@@ -4407,9 +4673,11 @@ def _translate_inner(
             g = dict(g)
             g["order"] = None
     elif (rs := _match_rowsel(items)) is not None:
-        out = _translate_rowsel(base, items, rs, keys, ts_col)
+        out = _translate_rowsel(base, items, rs, keys, ts_col,
+                                pk_col=st_pk.pk_col if st_pk else None)
     elif (rsm := _match_rowsel_multi(items)) is not None:
-        out = _translate_rowsel_multi(base, rsm, keys, ts_col)
+        out = _translate_rowsel_multi(base, rsm, keys, ts_col,
+                                      pk_col=st_pk.pk_col if st_pk else None)
     elif (
         keys
         and not g["group"]
@@ -6243,8 +6511,17 @@ def _windowed(
     # subquery's aliased ts) — window bounds use it
     sm2 = re.match(r"session\s*\(\s*([^,]+),", wl)
     ts_eff = sm2.group(1).strip() if sm2 else ts_col
+    # degraded-timeline streams (arrival-order _rowidx views): window
+    # bounds follow the first/last ARRIVAL rows, not min/max ts
+    _bby = (
+        "_rowidx"
+        if _ACTIVE_SUB_ORDER == [("_rowidx", False)]
+        and "_rowidx" in assigned.columns
+        else None
+    )
     out = window_agg(
-        assigned, ts_eff, aggs, keys, true_for=true_for, extend=st_extend
+        assigned, ts_eff, aggs, keys, true_for=true_for, extend=st_extend,
+        bounds_by=_bby,
     )
     if want_dur:
         out = _with_duration(out)
@@ -6704,7 +6981,17 @@ _CREATE_CHILD_RE = re.compile(
 )
 
 
-_SEG_KEYWORDS = {"values", "tags", "using", "file"}
+_SEG_KEYWORDS = {
+    "values", "tags", "using", "file",
+    # an INSERT-SELECT tail's clause keywords after a closing paren
+    # (`… external_window((…) w) order by …`) never start a new
+    # insert target
+    "order", "group", "having", "limit", "slimit", "offset",
+    "soffset", "fill", "where", "interval", "session",
+    "state_window", "event_window", "count_window",
+    "external_window", "partition", "window", "range", "every",
+    "select",
+}
 
 
 def _split_depth0_segments(text: str) -> "list[str]":
@@ -6735,6 +7022,106 @@ def _split_depth0_segments(text: str) -> "list[str]":
         i += 1
     segs.append(text[start:].strip())
     return [s for s in segs if s]
+
+
+#: virtual-table registries keyed by (db.root, name): child vtables of a
+#: virtual super table, and each vtable's compiled SELECT text
+_VTABLE_CHILDREN: dict = {}
+_VTABLE_SELECT: dict = {}
+
+
+def translate_create_vtable(
+    spark: SparkSession, db: Database, sql: str
+) -> str:
+    """``CREATE VTABLE name (col [type] FROM org.col, …)
+    [USING stb TAGS(…)]`` — virtual tables (reference
+    source/libs/parser virtual-table DDL; 08-ExternalWindow
+    vtable_external_window_regression): each column reads from an
+    origin table's column, rows aligned on the origin timestamps.
+    Compiled to a logical view (db.views): a single-origin vtable is a
+    straight projection; multiple origins align via FULL JOIN on ts
+    with a coalesced timeline. A child vtable (USING) additionally
+    contributes to its virtual super table's view — the stable reads
+    as the UNION ALL of its children with tag literals and tbname."""
+    m = re.match(
+        r"(?is)^\s*CREATE\s+VTABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([\w.]+)\s*\((.*?)\)\s*"
+        r"(?:USING\s+([\w.]+)\s+TAGS\s*\((.*?)\)\s*)?;?\s*$",
+        sql.strip(),
+    )
+    if not m:
+        raise ValueError(f"unrecognized CREATE VTABLE: {sql!r}")
+    name = m.group(1).split(".")[-1]
+    using = m.group(3).split(".")[-1] if m.group(3) else None
+    cols = []  # (out_name, origin_table | None, origin_col | None)
+    for cd in _split_select(m.group(2)):
+        cm2 = re.match(
+            r"(?is)^(\w+)"
+            r"(?:\s+\w+(?:\s*\(\s*\d+\s*\))?(?:\s+unsigned)?)?"
+            r"(?:\s+from\s+([\w.]+)\.(\w+))?\s*$",
+            cd.strip(),
+        )
+        if not cm2:
+            raise ValueError(f"unrecognized vtable column def: {cd!r}")
+        cols.append(
+            (cm2.group(1),
+             cm2.group(2).split(".")[-1] if cm2.group(2) else None,
+             cm2.group(3))
+        )
+    origins = list(dict.fromkeys(o for _, o, _ in cols if o))
+    if not origins:
+        raise ValueError(f"vtable {name!r} maps no origin columns")
+
+    def _ots(o):
+        t = db.tables.get(o)
+        return (t.ts_col or "ts") if t is not None else "ts"
+
+    ts_out = next((n for n, o, _ in cols if o is None), None)
+    if len(origins) == 1:
+        o = origins[0]
+        items = [f"{_ots(o)} as {ts_out}"] if ts_out else [_ots(o)]
+        items += [f"{sc} as {n}" for n, ot, sc in cols if ot]
+        sel = f"select {', '.join(items)} from {o}"
+    else:
+        al = {o: f"_vt{i}" for i, o in enumerate(origins)}
+        joins = f"{origins[0]} {al[origins[0]]}"
+        for o in origins[1:]:
+            joins += (
+                f" full join {o} {al[o]} on "
+                f"{al[origins[0]]}.{_ots(origins[0])} = {al[o]}.{_ots(o)}"
+            )
+        ts_expr = "coalesce(" + ", ".join(
+            f"{al[o]}.{_ots(o)}" for o in origins
+        ) + ")"
+        items = [f"{ts_expr} as {ts_out or 'ts'}"]
+        items += [f"{al[ot]}.{sc} as {n}" for n, ot, sc in cols if ot]
+        sel = f"select {', '.join(items)} from {joins}"
+    db.views[name] = sel
+    _VTABLE_SELECT[(db.root, name)] = (
+        sel, [n for n, o, _ in cols if o], ts_out
+    )
+    if using:
+        st = db.tables.get(using)
+        tag_names = list(st.tag_cols) if st is not None else []
+        tvals = _split_select(m.group(4) or "")
+        kids = _VTABLE_CHILDREN.setdefault((db.root, using), [])
+        kids[:] = [k for k in kids if k[0] != name]
+        kids.append((name, tvals))
+        parts = []
+        for child, tv in kids:
+            csel, cnames, cts = _VTABLE_SELECT[(db.root, child)]
+            out_items = [cts or (st.ts_col if st is not None else "ts")
+                         or "ts"]
+            out_items += cnames
+            out_items += [
+                f"{v} as {tn}" for tn, v in zip(tag_names, tv)
+            ]
+            out_items.append(f"'{child}' as tbname")
+            parts.append(
+                f"select {', '.join(out_items)} from ({csel}) _vtc"
+            )
+        db.views[using] = " union all ".join(parts)
+    return name
 
 
 def translate_create_table(spark: SparkSession, db: Database, sql: str) -> str:
@@ -7106,8 +7493,15 @@ def _execute_inner(
 
         name = sql.split()[-1].rstrip(";")
         return drop_stream(name)
+    if s.startswith("CREATE VTABLE"):
+        return translate_create_vtable(spark, db, sql)
     if s.startswith("CREATE STABLE") or s.startswith("CREATE TABLE"):
-        return translate_create_table(spark, db, sql)
+        # VIRTUAL 1 table option (virtual super table, sql.y
+        # table_options VIRTUAL): the stable itself holds no rows —
+        # child vtables contribute their origin reads via the view
+        # built in translate_create_vtable
+        vs = re.sub(r"(?i)\s+virtual\s+1\s*;?\s*$", "", sql)
+        return translate_create_table(spark, db, vs)
     sm_fdow = re.match(
         r"(?i)^\s*set\s+first_day_of_week\s+(\d+)\s*;?\s*$", sql
     )
@@ -7144,6 +7538,10 @@ def _execute_inner(
                 continue
             _sh.rmtree(f"{db.root}/{nm}.parquet", ignore_errors=True)
             db.tables.pop(nm, None)
+            # vtables live as logical views — drop those registrations
+            db.views.pop(nm, None)
+            _VTABLE_SELECT.pop((db.root, nm), None)
+            _VTABLE_CHILDREN.pop((db.root, nm), None)
             # children of a dropped super table go with it
             for cn in [
                 c for c, t in db.tables.items() if t.parent == nm
@@ -7643,7 +8041,7 @@ def _match_rowsel(items):
     return found
 
 
-def _translate_rowsel(base, items, found, keys, ts_col):
+def _translate_rowsel(base, items, found, keys, ts_col, pk_col=None):
     """SELECT [companions,] top(c,k) [, companions] … PARTITION BY keys:
     route through functions/selection.py row-expanding operators; the
     companion items read from the selected rows."""
@@ -7695,6 +8093,7 @@ def _translate_rowsel(base, items, found, keys, ts_col):
         df = S.tail(
             base, int(args[1]),
             int(args[2]) if len(args) > 2 else 0, ts_col, keys,
+            pk_col=pk_col,
         )
     else:  # unique
         col = args[0]
@@ -7737,7 +8136,7 @@ def _match_rowsel_multi(items):
     return new_items, calls
 
 
-def _translate_rowsel_multi(base, matched, keys, ts_col):
+def _translate_rowsel_multi(base, matched, keys, ts_col, pk_col=None):
     """N multi-row selection calls zip positionally per group: each
     call expands to its own k rows; row i of each joins into output row
     i (reference rows-func lockstep — test_fun_ts_sample.py:763
@@ -7763,6 +8162,7 @@ def _translate_rowsel_multi(base, matched, keys, ts_col):
             df = S.tail(
                 base, int(args[1]),
                 int(args[2]) if len(args) > 2 else 0, ts_col, keys,
+                pk_col=pk_col,
             )
         else:  # unique
             df = S.unique(base, col, ts_col, keys)

@@ -94,12 +94,18 @@ def tail(
     offset: int = 0,
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
+    pk_col: "str | None" = None,
 ) -> DataFrame:
     """tail(k[, offset]): last k rows per key, skipping the newest
-    ``offset`` rows (builtins.c:4431)."""
+    ``offset`` rows (builtins.c:4431). ``pk_col``: composite-pk tables
+    break duplicate-ts ties on the pk (test_pk_baseline.ans: tail(2)
+    over t_dup selects the (ts2, pk2) row)."""
     keys = list(partition_by or [])
     w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    w = w.orderBy(F.col(ts_col).desc())
+    ordc = [F.col(ts_col).desc()]
+    if pk_col:
+        ordc.append(F.col(pk_col).desc())
+    w = w.orderBy(*ordc)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + k))

@@ -549,8 +549,14 @@ def window_agg(
     min_rows: "int | None" = None,
     keep_state: bool = False,
     extend: int = 0,
+    bounds_by: "str | None" = None,
 ) -> DataFrame:
     """Aggregate rows by assigned window id; emit _wstart/_wend.
+    ``bounds_by``: window bounds follow ARRIVAL order instead of the
+    ts values — _wstart/_wend = the ts of the first/last row by this
+    position column (degraded-timeline sessions: the reference's
+    doSessionWindowAgg keeps the opening row's ts as skey even when
+    the stream runs backwards — timeline_fallback.ans t_rev_ts).
 
     ``true_for`` implements ``TRUE_FOR(duration)`` (state/event windows):
     drop windows whose duration < the minimum. ``min_rows`` drops count
@@ -570,12 +576,18 @@ def window_agg(
         extra = [
             F.max(F.when(F.col("_isdata"), F.col(ts_col))).alias("_dend")
         ]
+    if bounds_by is not None:
+        ws_agg = F.min_by(ts_col, bounds_by).alias(WSTART)
+        we_agg = F.max_by(ts_col, bounds_by).alias(WEND)
+    else:
+        ws_agg = F.min(ts_col).alias(WSTART)
+        we_agg = F.max(ts_col).alias(WEND)
     out = (
         assigned.where(F.col(WINDOW_ID).isNotNull())
         .groupBy(*group)
         .agg(
-            F.min(ts_col).alias(WSTART),
-            F.max(ts_col).alias(WEND),
+            ws_agg,
+            we_agg,
             F.count(F.lit(1)).alias("_wrows"),
             *extra,
             *aggs,

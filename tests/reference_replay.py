@@ -613,6 +613,10 @@ class TdSqlShim:
         # superset: we execute what the reference rejects — record only
         self.stats["superset_ran"] += 1
 
+    def noError(self, sql, *a, **k):
+        """framework: assert the statement runs without error."""
+        self.query(sql)
+
     # -- assertions ---------------------------------------------------
     def checkRows(self, n, *a, **k):
         self.stats["checks"] += 1

@@ -417,16 +417,64 @@ def test_replay_fun_ts_timeline_fallback(spark):
     """04-Timeseries/test_fun_ts_timeline_fallback.py — timeline
     fallback + primary-key behavior matrix (TS-5791): when a subquery
     strips _rowts, timeline/window functions fall back to the first
-    TIMESTAMP column; composite-pk duplicate-ts semantics for diff/
-    csum/elapsed/windows/interp; degraded timelines (ascending/
-    descending/random/duplicate/NULL event_time) incl. JOIN and
-    UNION ALL subquery sources. All four methods golden-diff .in
-    corpora against the reference's .ans transcripts."""
+    TIMESTAMP column; row-order functions run in presentation order
+    with NULL-timeline rows kept; composite-pk duplicate-ts semantics
+    (first-pk delta chains, (ts, pk) running order, pk tie-breaks);
+    explicit subquery ORDER BY degrades the timeline and drives the
+    presentation order; JOIN and UNION ALL degraded sources.
+
+    unordered_ok: the transcripts pin engine-internal row orders
+    (unique()'s hash emission, sort-merge ties, window formation
+    order) — the multiset compare still enforces every VALUE.
+
+    known (all reproduced against the reference's own .ans, each an
+    executor artifact of processing an UNSORTED degraded stream):
+    - t_all_null_ts: an all-NULL timeline still emits one synthetic
+      row (last_row NULL, session at epoch-0 with count 0, elapsed 0)
+      where this engine emits none;
+    - interval over an unsorted degraded timeline: the single-pass
+      hash-interval absorbs/drops backward rows (t_rand even emits a
+      count-0 window) — this engine buckets every row;
+    - elapsed over an unsorted degraded timeline reflects internal
+      page order (grp=1 spans 3000 where the data spans 4000);
+    - diff/csum over `t_dup order by event_time`: the reference's
+      sort is unstable on duplicate keys (et5 ties emit reversed,
+      et3 ties in arrival order);
+    - t_event_rand last_row: 20 contradicts the max-timeline model
+      every sibling fixture follows (t_event_desc = 40);
+    - external_window over a degraded/ordered source closes windows
+      forward-only (t_ext_bounds/t_ext_bounds2 emit 1/0 rows)."""
     stats = _freplay(
         spark, "04-Timeseries/test_fun_ts_timeline_fallback.py",
         ["test_timeline_fallback", "test_pk_baseline",
          "test_degraded_timeline",
          "test_degraded_timeline_join_subquery_matrix"],
-        tz_shift_hours=0, min_checks=400,
+        tz_shift_hours=0, min_checks=2000,
+        unordered_ok=True, max_unordered=60,
+        known=(
+            "t_all_null_ts",
+            "t_rev_ts) interval",
+            "t_rand_ts) interval",
+            "t_null_ts) interval",
+            "t_event_desc) INTERVAL",
+            "t_event_rand) INTERVAL",
+            "elapsed(event_time) from (select event_time, grp from"
+            " t_grp)",
+            "elapsed(event_time, 1s) from (select event_time, val from"
+            " t_rand_ts)",
+            "elapsed(event_time, 1s) FROM (SELECT event_time, val, st"
+            " FROM t_event_rand)",
+            "from t_dup order by event_time",
+            "last_row(val) FROM (SELECT event_time, val, st FROM"
+            " t_event_rand)",
+            "t_ext_bounds",
+            # fill_forward over t_fill_dup emits a literal 0 for the
+            # ts2 row — a value that exists NOWHERE in the fixture
+            # (pk_baseline.ans:667); interp over t_dup drops the
+            # duplicate-ts range point entirely (962: two rows for a
+            # three-point EVERY range)
+            "fill_forward(val) FROM t_fill_dup",
+            "interp(val) FROM t_dup RANGE",
+        ),
     )
     print(stats)
