@@ -93,6 +93,35 @@ def fill(
     ]
     had_wend = WEND in agg.columns
 
+    w_d = parse_duration(width)
+    if (
+        not force
+        and range_start is None
+        and range_end is None
+        and not w_d.is_calendar
+    ):
+        # common case (per-group min..max spine, fixed width): the
+        # gap-generation kernel — missing buckets are exploded from
+        # each real bucket's lead() gap, so the whole operator is one
+        # shuffle + one ordered pass (a second, reverse-ordered pass
+        # only for NEXT/NEAR) instead of spine-aggregate + spine join
+        # + two fill passes (r14; guide §2.4 — the join and both of
+        # its exchanges disappear from the plan)
+        out = _gap_fill(
+            agg.drop(WEND) if had_wend else agg,
+            mode,
+            w_d.microseconds,
+            partition_by,
+            value_cols,
+            fill_values,
+        )
+        if had_wend:
+            out = out.withColumn(WEND, window_end(F.col(WSTART), width))
+            out = out.select(WSTART, WEND, *partition_by, *value_cols)
+        else:
+            out = out.select(WSTART, *partition_by, *value_cols)
+        return out.orderBy(*partition_by, WSTART)
+
     spine = bucket_spine(
         agg, width, partition_by, range_start, range_end, force=force
     )
@@ -141,6 +170,154 @@ def fill(
     else:
         out = out.select(WSTART, *partition_by, *value_cols)
     return out.orderBy(*partition_by, WSTART)
+
+
+def _gap_fill(
+    agg: DataFrame,
+    mode: str,
+    w_us: int,
+    partition_by: list[str],
+    value_cols: list[str],
+    fill_values: "dict[str, object] | None",
+) -> DataFrame:
+    """Single-pass FILL: every real bucket row carries its fill sources
+    (prev non-null tracker from the ascending growing frame; strict
+    next non-null tracker from a reverse-ordered growing frame — a
+    shrinking frame would re-aggregate per row, O(n²) per key; LINEAR's
+    anchors from lead()), then explodes into itself plus the missing
+    buckets of the gap to its successor. Missing buckets inherit the
+    source row's trackers, so no spine, no join, and no post-join fill
+    passes exist in the plan.
+
+    Matches the spine path exactly on its domain (no explicit range, no
+    force, fixed width): the spine there spans each group's min..max
+    _wstart, which is precisely the union of all lead() gaps; NULL-
+    ``_wstart`` rows are dropped (the spine join never matched them).
+    """
+    from pyspark.sql.types import IntegralType, NumericType
+
+    rows = agg.where(F.col(WSTART).isNotNull())
+    dtypes = {f.name: f.dataType for f in rows.schema.fields}
+    ts_us = F.unix_micros(F.col(WSTART))
+
+    asc = Window.partitionBy(*partition_by).orderBy(WSTART)
+    wprev = asc.rowsBetween(Window.unboundedPreceding, 0)
+    need_next = mode in ("next", "near")
+
+    track: list[Column] = [F.lead(ts_us).over(asc).alias("_nxt_ws")]
+    if mode == "linear":
+        # LINEAR anchors on the ADJACENT REAL buckets — a NULL agg
+        # value at either anchor fills NULL, it is NOT skipped the way
+        # PREV/NEXT skip over NULLs (tfill.c doLinearInterpolation
+        # SET_NULL paths)
+        track.append(
+            F.lead(
+                F.struct(*[F.col(c).alias(c) for c in value_cols])
+            ).over(asc).alias("_nxt_anchor")
+        )
+    for c in value_cols:
+        if mode == "linear" and not isinstance(dtypes[c], NumericType):
+            continue
+        v = F.col(c)
+        if mode in ("prev", "near"):
+            pair = F.when(v.isNotNull(), F.struct(ts_us.alias("t"), v.alias("v")))
+            track.append(
+                F.last(pair, ignorenulls=True).over(wprev).alias(f"_pv_{c}")
+            )
+    staged = rows.select("*", *track)
+    if need_next:
+        # strict next non-null per column: reverse-ordered growing
+        # frame excluding the current row — the value the gap buckets
+        # after this row (and this row itself, when NULL) fill from
+        rev = (
+            Window.partitionBy(*partition_by)
+            .orderBy(F.col(WSTART).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        nxt_track = [
+            F.last(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(ts_us.alias("t"), F.col(c).alias("v")),
+                ),
+                ignorenulls=True,
+            ).over(rev).alias(f"_nv_{c}")
+            for c in value_cols
+        ]
+        staged = staged.select("*", *nxt_track)
+
+    # explode each row into itself + the missing buckets before its
+    # successor (gap = (ws + w .. nxt_ws - w); sequence() errors on an
+    # inverted range, so gate on a 2-bucket gap)
+    gap = F.when(
+        F.col("_nxt_ws").isNotNull()
+        & (F.col("_nxt_ws") >= ts_us + F.lit(2 * w_us)),
+        F.sequence(
+            ts_us + F.lit(w_us), F.col("_nxt_ws") - F.lit(w_us), F.lit(w_us)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    buckets = F.concat(
+        F.array(F.struct(ts_us.alias("bus"), F.lit(False).alias("gen"))),
+        F.transform(
+            gap, lambda b: F.struct(b.alias("bus"), F.lit(True).alias("gen"))
+        ),
+    )
+    exploded = staged.withColumn("_b", F.explode(buckets))
+    g_us = F.col("_b.bus")
+    is_gen = F.col("_b.gen")
+
+    fv = fill_values or {}
+    cols: list[Column] = []
+    for c in value_cols:
+        v = F.when(is_gen, F.lit(None).cast(dtypes[c])).otherwise(F.col(c))
+        if mode == "null":
+            filled = v
+        elif mode == "value":
+            if c in fv:
+                filled = F.coalesce(
+                    v, F.lit(_c_fill_literal(fv[c], dtypes[c])).cast(dtypes[c])
+                )
+            else:
+                # no literal for this column (mixed-expression
+                # placeholders): generated rows stay NULL
+                filled = v
+        elif mode == "prev":
+            filled = F.coalesce(v, F.col(f"_pv_{c}.v"))
+        elif mode == "next":
+            filled = F.coalesce(v, F.col(f"_nv_{c}.v"))
+        elif mode == "near":
+            pt, pv = F.col(f"_pv_{c}.t"), F.col(f"_pv_{c}.v")
+            nt, nv = F.col(f"_nv_{c}.t"), F.col(f"_nv_{c}.v")
+            filled = (
+                F.when(v.isNotNull(), v)
+                .when(nt.isNull(), pv)
+                .when(pt.isNull(), nv)
+                .when((g_us - pt) <= (nt - g_us), pv)
+                .otherwise(nv)
+            )
+        else:  # linear
+            if not isinstance(dtypes[c], NumericType):
+                # LINEAR cannot interpolate non-numeric columns — the
+                # reference fills NULL (tfill.c doLinearInterpolation)
+                filled = v
+            else:
+                pa = F.col(c)  # the gap's left anchor IS the source row
+                na = F.col(f"_nxt_anchor.{c}")
+                frac = (g_us - ts_us).cast("double") / (
+                    F.col("_nxt_ws") - ts_us
+                ).cast("double")
+                interp = pa + (na - pa) * frac
+                if isinstance(dtypes[c], IntegralType):
+                    # integer columns STAY integer: the reference
+                    # writes the interpolated double back into the
+                    # column's slot (C truncation — Spark's
+                    # double→integral cast matches)
+                    interp = interp.cast(dtypes[c])
+                filled = F.when(~is_gen, v).otherwise(interp)
+        cols.append(filled.alias(c))
+    return exploded.select(
+        *partition_by, F.timestamp_micros(g_us).alias(WSTART), *cols
+    )
 
 
 def _c_fill_literal(v, dt):

@@ -5,23 +5,31 @@ Reference: ``SELECT interp(col) ... RANGE(t1,t2[,tol]) EVERY(d) FILL(mode
 sql.y:3018-3026), with pseudo-columns ``_irowts`` (the instant),
 ``_isfilled`` and ``_irowts_origin`` (the source sample's ts).
 
-Spark-first design — the union + ordered-window kernel shared with the
-as-of join (operators/asofjoin.py):
-  1. generate the instant spine per group (``sequence`` + explode —
-     a pure expression, no driver loop);
-  2. union instants (side=1) with samples (side=0);
-  3. two O(n) ordered passes over ONE hash partitioning: the
-     previous-sample tracker is a growing frame over the ascending
-     (ts, side) order; the next-sample tracker a growing frame over the
-     descending order (shrinking current→unboundedFollowing frames
-     would re-aggregate per output row — O(n²) per key). Samples sort
-     before instants at equal ts ascending, so an exact-ts sample is
-     seen by the preceding frame (→ _isfilled = false) and not the
-     next-tracker.
+Spark-first design — the BUCKETED kernel (r14):
+  1. every sample maps to ONE instant bucket
+     ``k = ceil((ts − t1)/every)`` with exact integer arithmetic
+     (pmod-based floordiv — no double rounding at bucket edges);
+  2. ONE ``groupBy(keys, k)`` keeps, per bucket, the latest usable
+     sample (``max_by`` — instant k's prev-candidate) and the earliest
+     (``min_by`` — instant k−1's next-candidate: every bucket-k member
+     is strictly later than t_{k−1}). The shuffle therefore carries at
+     most one row per non-empty bucket, not one row per sample, and
+     partial aggregation collapses everything map-side (guide §2.3);
+  3. the bucket rows are unioned with the instant spine and an O(n)
+     growing-frame pass over the TINY bucket+instant frame forward-
+     fills the prev tracker; modes that read the next tracker add one
+     reverse-ordered growing-frame pass (a shrinking
+     current→unboundedFollowing frame would re-aggregate per output
+     row — O(n²) per key). PREV needs only the forward pass;
+     NULL/NONE/VALUE need only the exact-hit detection it provides.
 
-Cost: one shuffle on the group keys + two ordered window passes over
-|samples| + |instants| rows — the same asymptotics as the reference's
-single merge pass, and it parallelizes per key across executors.
+The pre-r14 kernel unioned the RAW samples with the spine and ran both
+window passes over |samples| + |instants| rows — two full sorts of the
+fact table per query. The bucketed kernel shuffles and sorts only
+|non-empty buckets| + |instants| rows; at 100 TB the difference is the
+whole fact table. Calendar EVERY (1n/1y) has no fixed bucket width and
+non-literal RANGE bounds have no plan-time origin — both keep the
+union kernel (``_interp_union_tracks``).
 
 Edge semantics follow the reference's goldens
 (test/cases/09-DataQuerying/12-Interp/ans): PREV drops instants before
@@ -52,6 +60,20 @@ def _as_list(x, n, fill=None):
         out = list(x) + [fill] * (n - len(x))
         return out[:n]
     return [x] * n
+
+
+def _epoch_us(v) -> "int | None":
+    """Plan-time epoch-us of a literal timestamp bound (session tz is
+    UTC — naive values are read as UTC, matching F.lit(...).cast)."""
+    import pandas as pd
+
+    try:
+        ts = pd.Timestamp(v)
+    except (ValueError, TypeError):
+        return None
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts.value // 1000
 
 
 def interp(
@@ -154,61 +176,23 @@ def interp(
         F.explode(F.sequence(lo, hi, step)).alias("_t"),
     ).withColumn("_side", F.lit(1))
 
-    samples = df.select(
-        *keys,
-        F.col(ts_col).alias("_t"),
-        F.lit(0).alias("_side"),
-        *[
-            F.col(c).cast("double").alias(f"_v{i}")
-            for i, (c, _) in enumerate(vals)
-        ],
-    )
-    spine_nulls = spine
-    for i in range(nv):
-        spine_nulls = spine_nulls.withColumn(
-            f"_v{i}", F.lit(None).cast("double")
-        )
-    u = samples.unionByName(spine_nulls)
-
-    asc = Window.partitionBy(*keys).orderBy(
-        F.col("_t").asc(), F.col("_side").asc()
-    )
-    fwd = asc.rowsBetween(Window.unboundedPreceding, 0)
-    # next-sample tracker: a REVERSE-ordered growing frame, not an
-    # UnboundedFollowing frame — Spark evaluates shrinking frames by
-    # re-aggregating the remaining rows per output row (O(n²) per key),
-    # while the reverse pass is a second O(n) scan over the same hash
-    # partitioning (one extra sort, no shuffle). Samples sort before
-    # instants at equal ts in ascending order, so in the reverse order
-    # instants come FIRST — the strictly-preceding frame then sees
-    # exactly the rows with _t greater than the instant's, keeping the
-    # exact-hit sample out of the next-tracker as before.
-    nxt = Window.partitionBy(*keys).orderBy(
-        F.col("_t").desc(), F.col("_side").desc()
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    t_us = F.unix_micros(F.col("_t"))
-
     ignores = _as_list(ignore_null, nv, fill=True)
-    # per value column: the (ts, value) pair rides ONE struct so the two
-    # stay matched even when the value is NULL (ignore_null=False keeps
-    # NULL-valued samples as real rows). With ignore_null, gating the
-    # struct on value presence skips NULL samples entirely — the
-    # reference's interp(col, 1).
-    track = []
-    for i in range(nv):
-        is_sample = F.col("_side") == 0
-        if ignores[i]:
-            is_sample = is_sample & F.col(f"_v{i}").isNotNull()
-        pair = F.when(
-            is_sample, F.struct(t_us.alias("t"), F.col(f"_v{i}").alias("v"))
+    # which side-trackers this mode actually reads — the other side's
+    # window pass (and its sort) is skipped entirely
+    need_next = mode in ("next", "near", "linear")
+
+    lo_us = _epoch_us(range_start)
+    hi_us = _epoch_us(range_end)
+    if every_d.is_calendar or lo_us is None or hi_us is None:
+        staged = _interp_union_tracks(
+            df, ts_col, vals, keys, spine, ignores, need_next
         )
-        track += [
-            F.last(pair, ignorenulls=True).over(fwd).alias(f"_p{i}"),
-            # last over the reverse-ordered growing frame = the nearest
-            # strictly-later sample (see ``nxt`` above)
-            F.last(pair, ignorenulls=True).over(nxt).alias(f"_n{i}"),
-        ]
-    staged = u.select("*", *track).where(F.col("_side") == 1)
+    else:
+        staged = _interp_bucket_tracks(
+            df, ts_col, vals, keys, spine, ignores, need_next,
+            lo_us, hi_us, every_d.microseconds,
+        )
+    t_us = F.unix_micros(F.col("_t"))
 
     col_types = dict(df.dtypes)
     out_cols, origin = [], F.lit(None).cast("timestamp")
@@ -305,3 +289,199 @@ def interp(
         )
         .orderBy(*keys, IROWTS)
     )
+
+
+def _sample_pairs(vals, ignores) -> "list[Column]":
+    """Per value column: the (ts_us, value) sample pair as a struct,
+    gated per the column's ignore_null flag — the pair rides ONE struct
+    so the two stay matched even when the value is NULL
+    (ignore_null=False keeps NULL-valued samples as real rows)."""
+    pairs = []
+    for i, (cname, _) in enumerate(vals):
+        pair = F.struct(
+            F.col("_tus").alias("t"),
+            F.col(cname).cast("double").alias("v"),
+        )
+        if ignores[i]:
+            pair = F.when(F.col(cname).isNotNull(), pair)
+        pairs.append(pair.alias(f"_w{i}"))
+    return pairs
+
+
+def _interp_bucket_tracks(
+    df: DataFrame,
+    ts_col: str,
+    vals,
+    keys: list[str],
+    spine: DataFrame,
+    ignores,
+    need_next: bool,
+    lo_us: int,
+    hi_us: int,
+    w_us: int,
+) -> DataFrame:
+    """Bucketed prev/next trackers (fixed-width EVERY, literal RANGE).
+
+    Bucket ``k = ceil((ts − t1)/w)`` holds samples in (t_{k−1}, t_k]:
+    the groupBy keeps each bucket's max-ts pair (prev-candidate for
+    instant k) and min-ts pair (next-candidate for instant k−1).
+    Buckets past the last instant clamp to K+1 — the min over them is
+    still the earliest sample after t_K; buckets before the first
+    instant clamp to 0 (their members are all ≤ t_0, exactly instant
+    0's prev-candidates). Returns spine rows with _p{i}/_n{i}.
+    """
+    nv = len(vals)
+    kmax = (hi_us - lo_us) // w_us  # index of the last instant
+    delta = F.col("_tus") - F.lit(lo_us)
+    # exact integer ceil-div: floor((delta + w - 1)/w) via pmod (a
+    # double division could round across a bucket edge)
+    shifted = delta + F.lit(w_us - 1)
+    k_raw = (shifted - F.pmod(shifted, F.lit(w_us))) / F.lit(w_us)
+    k = F.least(
+        F.greatest(k_raw.cast("long"), F.lit(0)), F.lit(kmax + 1)
+    )
+
+    samples = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        *[F.col(c) for c, _ in vals],
+    ).where(F.col("_tus").isNotNull())
+    pairs = _sample_pairs(vals, ignores)
+    bucketed = (
+        samples.select(*keys, k.alias("_k"), *pairs)
+        .groupBy(*keys, "_k")
+        .agg(
+            *[
+                F.max_by(F.col(f"_w{i}"), F.col(f"_w{i}.t")).alias(f"_bp{i}")
+                for i in range(nv)
+            ],
+            *[
+                F.min_by(F.col(f"_w{i}"), F.col(f"_w{i}.t")).alias(f"_bn{i}")
+                for i in range(nv)
+            ],
+        )
+        .select(
+            *keys,
+            "_k",
+            F.lit(0).alias("_side"),
+            F.lit(None).cast("timestamp").alias("_t"),
+            *[F.col(f"_bp{i}") for i in range(nv)],
+            *[F.col(f"_bn{i}") for i in range(nv)],
+        )
+    )
+
+    spine_k = spine.select(
+        *keys,
+        ((F.unix_micros(F.col("_t")) - F.lit(lo_us)) / F.lit(w_us))
+        .cast("long")
+        .alias("_k"),
+        F.col("_side"),
+        F.col("_t"),
+        *[F.lit(None).cast(bucketed.schema[f"_bp{i}"].dataType.simpleString()).alias(f"_bp{i}") for i in range(nv)],
+        *[F.lit(None).cast(bucketed.schema[f"_bn{i}"].dataType.simpleString()).alias(f"_bn{i}") for i in range(nv)],
+    )
+    u = bucketed.unionByName(spine_k)
+
+    # forward pass: bucket rows sort before their instant (side 0 < 1),
+    # so instant k's frame ends with bucket k's prev-candidate
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_k").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    track = [
+        F.last(F.col(f"_bp{i}"), ignorenulls=True).over(fwd).alias(f"_p{i}")
+        for i in range(nv)
+    ]
+    if need_next:
+        # next tracker: strictly-later buckets only — in reverse order
+        # (k desc, side desc) the strictly-preceding frame at instant k
+        # holds buckets ≥ k+1 (bucket k's own row sorts AFTER its
+        # instant there), i.e. exactly the samples with ts > t_k
+        rev = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_k").desc(), F.col("_side").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        track += [
+            F.last(F.col(f"_bn{i}"), ignorenulls=True).over(rev).alias(f"_n{i}")
+            for i in range(nv)
+        ]
+    else:
+        track += [
+            F.lit(None)
+            .cast(bucketed.schema[f"_bn{i}"].dataType.simpleString())
+            .alias(f"_n{i}")
+            for i in range(nv)
+        ]
+    return u.select("*", *track).where(F.col("_side") == 1)
+
+
+def _interp_union_tracks(
+    df: DataFrame,
+    ts_col: str,
+    vals,
+    keys: list[str],
+    spine: DataFrame,
+    ignores,
+    need_next: bool,
+) -> DataFrame:
+    """Raw-sample union kernel (calendar EVERY / non-literal bounds):
+    union instants (side=1) with samples (side=0) and run the two O(n)
+    ordered passes over one hash partitioning. Samples sort before
+    instants at equal ts ascending, so an exact-ts sample is seen by
+    the preceding frame (→ _isfilled = false) and not the
+    next-tracker."""
+    nv = len(vals)
+    samples = df.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        *[F.col(c) for c, _ in vals],
+    )
+    samples = samples.select(
+        *keys, "_t", "_side", *_sample_pairs(vals, ignores)
+    )
+    spine_nulls = spine
+    for i in range(nv):
+        spine_nulls = spine_nulls.withColumn(
+            f"_w{i}",
+            F.lit(None).cast(samples.schema[f"_w{i}"].dataType.simpleString()),
+        )
+    u = samples.unionByName(spine_nulls)
+
+    asc = Window.partitionBy(*keys).orderBy(
+        F.col("_t").asc(), F.col("_side").asc()
+    )
+    fwd = asc.rowsBetween(Window.unboundedPreceding, 0)
+    track = [
+        F.last(F.col(f"_w{i}"), ignorenulls=True).over(fwd).alias(f"_p{i}")
+        for i in range(nv)
+    ]
+    if need_next:
+        # next-sample tracker: a REVERSE-ordered growing frame, not an
+        # UnboundedFollowing frame — Spark evaluates shrinking frames by
+        # re-aggregating the remaining rows per output row (O(n²) per
+        # key), while the reverse pass is a second O(n) scan over the
+        # same hash partitioning (one extra sort, no shuffle). Samples
+        # sort before instants at equal ts in ascending order, so in
+        # the reverse order instants come FIRST — the strictly-
+        # preceding frame then sees exactly the rows with _t greater
+        # than the instant's, keeping the exact-hit sample out of the
+        # next-tracker as before.
+        nxt = Window.partitionBy(*keys).orderBy(
+            F.col("_t").desc(), F.col("_side").desc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        track += [
+            F.last(F.col(f"_w{i}"), ignorenulls=True).over(nxt).alias(f"_n{i}")
+            for i in range(nv)
+        ]
+    else:
+        track += [
+            F.lit(None)
+            .cast(samples.schema[f"_w{i}"].dataType.simpleString())
+            .alias(f"_n{i}")
+            for i in range(nv)
+        ]
+    return u.select("*", *track).where(F.col("_side") == 1)

@@ -164,18 +164,58 @@ def _minhash_signatures_arrow(
     return df.select(F.col(id_col), sig_udf(hashed).alias("signature"))
 
 
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], id_col: str, extra: "list[str] | None" = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket key — ONE
+    groupBy + combination explode instead of a bucket self-join: the
+    shuffle runs once (collect_list per bucket) and the i<j pair set is
+    generated from the sorted id array, so the join, its second
+    exchange, and the cache/count materialization the self-join needed
+    all disappear (r14). Buckets of size 1 are dropped before any pair
+    work. ``extra``: per-id payload columns to carry into the pairs
+    (emitted as <name>_a / <name>_b)."""
+    extra = extra or []
+    payload = F.struct(F.col(id_col).alias("_i"), *[F.col(c) for c in extra])
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.collect_list(payload).alias("_m"))
+        .where(F.size("_m") > 1)
+        .select(F.array_sort("_m").alias("_m"))
+    )
+    big = 1 << 30
+    combos = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, big),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = buckets.select(F.explode(combos).alias("_p")).select(
+        F.col("_p.a._i").alias("id_a"),
+        F.col("_p.b._i").alias("id_b"),
+        *[F.col(f"_p.a.{c}").alias(f"{c}_a") for c in extra],
+        *[F.col(f"_p.b.{c}").alias(f"{c}_b") for c in extra],
+    )
+    return out.distinct()
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs: band the signature, bucket-join.
+    """Candidate near-dup pairs: band the signature, bucket the bands.
 
     posexplode(bands) → groupBy (band_idx, band_hash) — a single shuffle
-    whose key cardinality ~ n_docs × bands; the self-join happens only
-    inside buckets (skew-safe: genuine mega-buckets mean genuine dup
-    clusters). Returns distinct (id_a < id_b) pairs.
+    whose key cardinality ~ n_docs × bands; pairs are exploded from each
+    bucket's sorted id list (skew-safe: genuine mega-buckets mean
+    genuine dup clusters, and their pair count is identical to what the
+    old within-bucket self-join produced). Returns distinct
+    (id_a < id_b) pairs.
     """
     banded = sigs.select(
         F.col(id_col),
@@ -192,20 +232,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
 
 
 def jaccard_verify(
@@ -277,15 +304,12 @@ def minhash_dedup(
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
     # repartition: a single large parquet file otherwise serializes the
-    # whole signature computation on one core; cache: the banded
-    # self-join and the verify step would recompute the signature
-    # lineage 4x. At cluster scale, write the signatures to a real
-    # table once (they're reused across dedup runs) instead of cache.
+    # whole signature computation on one core. The bucket-pair
+    # candidate kernel consumes the signatures exactly once, so the
+    # cache + eager count() the old self-join needed are gone (r14) —
+    # every bench reread recomputes from parquet.
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sigs = minhash_signatures(spread, text_col, id_col, num_hashes).cache()
-    # materialize before the self-join: both join branches read the
-    # cached signatures, so the signature job runs exactly once
-    sigs.count()
+    sigs = minhash_signatures(spread, text_col, id_col, num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     return jaccard_verify(spread, cands, text_col, id_col, threshold=threshold)
 
@@ -388,10 +412,11 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, using the
     block-permutation trick: split 64 bits into (k+1) blocks — any pair
-    within distance k agrees on ≥1 whole block → equi-join per block."""
-    # the self-join would recompute the simhash lineage twice (simhash()
-    # already spreads the input across partitions)
-    sims = sims.cache()
+    within distance k agrees on ≥1 whole block → bucket per block.
+    Candidates come from one groupBy + combination explode
+    (``_bucket_pairs``) carrying each id's simhash as payload, so the
+    simhash lineage is consumed exactly once — no self-join, no cache
+    (r14)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(
@@ -408,23 +433,10 @@ def simhash_near_pairs(
     exploded = sims.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
         id_col, "simhash", "b.block_idx", "b.block_val"
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+    cands = _bucket_pairs(
+        exploded, ["block_idx", "block_val"], id_col, extra=["simhash"]
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
         cands.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
