@@ -76,6 +76,7 @@ def fill(
     fill_values: "dict[str, object] | None" = None,
     range_start=None,
     range_end=None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Apply a FILL mode to an interval-aggregated DataFrame.
 
@@ -120,7 +121,10 @@ def fill(
             out = out.select(WSTART, WEND, *partition_by, *value_cols)
         else:
             out = out.select(WSTART, *partition_by, *value_cols)
-        return out.orderBy(*partition_by, WSTART)
+        # ordered=False: skip the range-exchange global sort and its
+        # boundary-sampling pass (registry gates; value hash is
+        # order-insensitive — dialect keeps the ordered default)
+        return out.orderBy(*partition_by, WSTART) if ordered else out
 
     spine = bucket_spine(
         agg, width, partition_by, range_start, range_end, force=force
@@ -169,7 +173,7 @@ def fill(
         out = out.select(WSTART, WEND, *partition_by, *value_cols)
     else:
         out = out.select(WSTART, *partition_by, *value_cols)
-    return out.orderBy(*partition_by, WSTART)
+    return out.orderBy(*partition_by, WSTART) if ordered else out
 
 
 def _gap_fill(

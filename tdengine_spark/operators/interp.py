@@ -92,6 +92,7 @@ def interp(
     defaults=None,
     with_origin: bool = False,
     ignore_null=True,
+    ordered: bool = True,
 ) -> DataFrame:
     """Resample value column(s) to instants range_start, +every, ... ≤
     range_end.
@@ -280,15 +281,16 @@ def interp(
     extras = [(~exact0 | exact0.isNull()).alias(ISFILLED)]
     if with_origin:
         extras.append(origin.alias(IROWTS_ORIGIN))
-    return (
-        staged.select(
-            *keys,
-            F.col("_t").alias(IROWTS),
-            *out_cols,
-            *extras,
-        )
-        .orderBy(*keys, IROWTS)
+    out = staged.select(
+        *keys,
+        F.col("_t").alias(IROWTS),
+        *out_cols,
+        *extras,
     )
+    # ordered=False: skip the range-exchange global sort and its
+    # boundary-sampling pass (registry gates; value hash is
+    # order-insensitive — dialect keeps the ordered default)
+    return out.orderBy(*keys, IROWTS) if ordered else out
 
 
 def _sample_pairs(vals, ignores) -> "list[Column]":

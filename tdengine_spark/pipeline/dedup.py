@@ -125,6 +125,25 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
+def _list_buffers(col):
+    """(values, offsets) numpy views of an Arrow list<int64> column —
+    zero-copy via the Arrow buffers. The pandas path materialized every
+    element as a Python object (Series of Python lists), which was the
+    dominant cost of both signature kernels (profiled ~60% of the
+    simhash gate's wall at sf0.1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.asarray(col.offsets)
+    values = np.asarray(col.values)
+    # a sliced batch shares the parent buffers: rebase to the slice
+    values = values[offsets[0]: offsets[-1]]
+    offsets = offsets - offsets[0]
+    return values, offsets
+
+
 def _minhash_signatures_arrow(
     df: DataFrame,
     hashed: Column,
@@ -133,73 +152,163 @@ def _minhash_signatures_arrow(
     seed: int,
 ) -> DataFrame:
     """Arrow min-reduction over JVM-computed shingle hashes (array<long>
-    in [0, p)). No hashing and no per-row Python here — the UDF body is
-    a single numpy broadcast + segmented minima per record batch."""
+    in [0, p)). No hashing and no per-row Python — mapInArrow reads the
+    list column's raw (values, offsets) buffers, so the whole batch is
+    one numpy broadcast + segmented minima with zero per-row object
+    conversion."""
     import numpy as np
-    from pyspark.sql import types as T
 
     params = _hash_params(num_hashes, seed)
     a_vec = np.array([a for a, _ in params], dtype=np.uint64)
     b_vec = np.array([b for _, b in params], dtype=np.uint64)
     p = np.uint64(_MERSENNE_P)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(hash_arrays: pd.Series) -> pd.Series:
-        if not len(hash_arrays):
-            return pd.Series([], dtype=object)
-        # shingles() guarantees ≥1 element per doc, so every reduceat
-        # segment is non-empty
-        counts = np.fromiter(
-            (len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays)
-        )
-        h = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in hash_arrays]
-        ).astype(np.uint64)
-        # h < p and a < p ⇒ h·a + b < 2^62: no uint64 wrap
-        mat = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % p
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        mins = np.minimum.reduceat(mat, offsets, axis=0).astype(np.int64)
-        return pd.Series(list(mins))
+    def sig_batches(batches):
+        import pyarrow as pa
 
-    return df.select(F.col(id_col), sig_udf(hashed).alias("signature"))
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            h_raw, offsets = _list_buffers(batch.column(1))
+            h = h_raw.astype(np.uint64)
+            segs = offsets[:-1]
+            # one 1-D pass per hash function: the (|shingles| × 64)
+            # broadcast matrix this replaces peaked at ~8 bytes ×
+            # shingles × 64 per batch — far past cache, and allocating
+            # it dominated the kernel (§1.2 step 2)
+            mins = np.empty((num_hashes, n), dtype=np.int64)
+            for i in range(num_hashes):
+                # h < p and a < p ⇒ h·a + b < 2^62: no uint64 wrap
+                hi = (h * a_vec[i] + b_vec[i]) % p
+                # shingles() guarantees ≥1 element per doc, so every
+                # reduceat segment is non-empty
+                mins[i] = np.minimum.reduceat(hi, segs).astype(np.int64)
+            mins = mins.T.copy()
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n + 1, dtype=np.int32) * num_hashes
+                ),
+                pa.array(mins.ravel()),
+            )
+            yield pa.record_batch(
+                [batch.column(0), sig], names=[id_col, "signature"]
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), hashed.alias("_h")).mapInArrow(
+        sig_batches, f"{id_col} {id_t}, signature array<long>"
+    )
+
+
+#: band-fold constant (FNV-1a prime). The band key only has to satisfy
+#: "equal 4-hash slices ⇔ equal key" up to 64-bit collisions — and a
+#: collision merely adds a candidate pair that the exact-Jaccard verify
+#: step filters, so the pipeline OUTPUT is collision-proof.
+_BAND_FOLD_C = 1099511628211
+
+
+def _minhash_bands_arrow(
+    df: DataFrame,
+    hashed: Column,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, bands array<long>) — the LSH band keys computed INSIDE the
+    signature kernel (r14): the per-band minima are folded into one
+    64-bit key per band while the signature matrix is still a numpy
+    array, replacing the JVM's per-band slice→cast-to-string→xxhash64
+    pass over every doc. Only ``minhash_dedup`` uses this fused path;
+    ``minhash_signatures`` keeps emitting raw signatures (its documented
+    contract — persisted signature tables stay valid)."""
+    import numpy as np
+
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+    rows_per_band = num_hashes // bands
+    C = np.uint64(_BAND_FOLD_C)
+
+    def band_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            h_raw, offsets = _list_buffers(batch.column(1))
+            h = h_raw.astype(np.uint64)
+            segs = offsets[:-1]
+            mins = np.empty((num_hashes, n), dtype=np.uint64)
+            for i in range(num_hashes):
+                mins[i] = np.minimum.reduceat((h * a_vec[i] + b_vec[i]) % p, segs)
+            bnd = np.empty((bands, n), dtype=np.uint64)
+            for b in range(bands):
+                acc = np.zeros(n, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc = acc * C + mins[b * rows_per_band + r]
+                bnd[b] = acc
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * bands),
+                pa.array(bnd.T.copy().ravel().view(np.int64)),
+            )
+            yield pa.record_batch(
+                [batch.column(0), arr], names=[id_col, "bands"]
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), hashed.alias("_h")).mapInArrow(
+        band_batches, f"{id_col} {id_t}, bands array<long>"
+    )
 
 
 def _bucket_pairs(
-    keyed: DataFrame, key_cols: list[str], id_col: str, extra: "list[str] | None" = None
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    extra: "list[str] | None" = None,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs of ids sharing a bucket key — ONE
-    groupBy + combination explode instead of a bucket self-join: the
-    shuffle runs once (collect_list per bucket) and the i<j pair set is
-    generated from the sorted id array, so the join, its second
-    exchange, and the cache/count materialization the self-join needed
-    all disappear (r14). Buckets of size 1 are dropped before any pair
-    work. ``extra``: per-id payload columns to carry into the pairs
-    (emitted as <name>_a / <name>_b)."""
+    """(id_a < id_b) pairs of ids sharing a bucket key — ONE groupBy +
+    pair explode instead of a bucket self-join: the shuffle runs once
+    (collect_list per bucket), so the join, its second exchange, and
+    the cache/count materialization the self-join needed all disappear
+    (r14). Buckets of size 1 are dropped before any pair work.
+    ``extra``: per-id payload columns to carry into the pairs (emitted
+    as <name>_a / <name>_b). ``distinct=False`` skips the cross-bucket
+    dedup exchange — for callers that dedup with a cheaper filter (see
+    simhash's first-agreeing-block test); the bucket key columns stay
+    in the output then."""
     extra = extra or []
     payload = F.struct(F.col(id_col).alias("_i"), *[F.col(c) for c in extra])
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.collect_list(payload).alias("_m"))
         .where(F.size("_m") > 1)
-        .select(F.array_sort("_m").alias("_m"))
     )
-    big = 1 << 30
-    combos = F.flatten(
-        F.transform(
-            F.col("_m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_m"), i + 2, big),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    # two chained explodes + an id<id filter — streamed through codegen
+    # Generate nodes. (A nested transform() building the i<j combination
+    # array was profiled 6× slower end-to-end: higher-order lambdas
+    # evaluate interpreted, and the per-bucket O(b²) struct array was
+    # built in one allocation instead of streamed.)
+    out = (
+        buckets.select(*key_cols, F.explode("_m").alias("_pa"), F.col("_m"))
+        .select(*key_cols, "_pa", F.explode("_m").alias("_pb"))
+        .where(F.col("_pa._i") < F.col("_pb._i"))
+        .select(
+            *key_cols,
+            F.col("_pa._i").alias("id_a"),
+            F.col("_pb._i").alias("id_b"),
+            *[F.col(f"_pa.{c}").alias(f"{c}_a") for c in extra],
+            *[F.col(f"_pb.{c}").alias(f"{c}_b") for c in extra],
         )
     )
-    out = buckets.select(F.explode(combos).alias("_p")).select(
-        F.col("_p.a._i").alias("id_a"),
-        F.col("_p.b._i").alias("id_b"),
-        *[F.col(f"_p.a.{c}").alias(f"{c}_a") for c in extra],
-        *[F.col(f"_p.b.{c}").alias(f"{c}_b") for c in extra],
-    )
-    return out.distinct()
+    if not distinct:
+        return out
+    return out.drop(*key_cols).distinct()
 
 
 def minhash_lsh_candidates(
@@ -244,20 +353,47 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the expensive step
-    runs on |candidates|, not n²). Returns pairs ≥ threshold."""
+    runs on |candidates|, not n²). Returns pairs ≥ threshold.
+
+    The pair is melted into its two member ids and joined against the
+    shingle table ONCE (r14): the old two-join form computed the
+    shingle regex pipeline over the full corpus twice (once per join
+    branch — plan branches cannot share a subtree). The candidate side
+    is tiny, so AQE broadcasts it and the corpus-side shingle pass is
+    never shuffled; the groupBy then reassembles each pair's two
+    shingle arrays (two rows per pair key)."""
     sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+        F.col(id_col).alias("_jid"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    melted = pairs.select(
+        F.struct("id_a", "id_b").alias("_p")
+    ).select(
+        "_p", F.explode(F.array("_p.id_a", "_p.id_b")).alias("_jid")
     )
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+        melted.join(sh, "_jid")
+        .groupBy("_p")
+        .agg(
+            F.first(
+                F.when(F.col("_jid") == F.col("_p.id_a"), F.col("_sh")),
+                ignorenulls=True,
+            ).alias("_sa"),
+            F.first(
+                F.when(F.col("_jid") == F.col("_p.id_b"), F.col("_sh")),
+                ignorenulls=True,
+            ).alias("_sb"),
+        )
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
     return (
         j.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.col("_p.id_a").alias("id_a"),
+            F.col("_p.id_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -305,12 +441,19 @@ def minhash_dedup(
     verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
     # repartition: a single large parquet file otherwise serializes the
     # whole signature computation on one core. The bucket-pair
-    # candidate kernel consumes the signatures exactly once, so the
+    # candidate kernel consumes the band keys exactly once, so the
     # cache + eager count() the old self-join needed are gone (r14) —
-    # every bench reread recomputes from parquet.
+    # every bench reread recomputes from parquet. Band keys come fused
+    # out of the signature kernel (``_minhash_bands_arrow``).
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sigs = minhash_signatures(spread, text_col, id_col, num_hashes)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    hashed = _shingle_hashes(text_col, 3)
+    sigs_b = _minhash_bands_arrow(
+        spread, hashed, id_col, num_hashes, bands, seed=42
+    )
+    banded = sigs_b.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    cands = _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
     return jaccard_verify(spread, cands, text_col, id_col, threshold=threshold)
 
 
@@ -379,32 +522,43 @@ def _simhash_arrow(
 ) -> DataFrame:
     """Arrow sign-matrix reduction over JVM-computed token hashes
     (array<long>, raw xxhash64 bit patterns). No hashing and no per-row
-    Python here — numpy bit-unpack + segmented sums per record batch."""
+    Python — mapInArrow reads the list column's raw (values, offsets)
+    buffers (see ``_list_buffers``), then one numpy bit-unpack +
+    segmented sum per record batch."""
     import numpy as np
-    from pyspark.sql import types as T
 
-    @F.pandas_udf(T.LongType())
-    def sim_udf(hash_arrays: pd.Series) -> pd.Series:
-        if not len(hash_arrays):
-            return pd.Series([], dtype="int64")
-        # split("", " ") yields [""] → every doc has ≥1 token hash
-        counts = np.fromiter(
-            (len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays)
-        )
-        # .view reinterprets the signed xxhash64 two's-complement bits
-        h = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in hash_arrays]
-        ).view(np.uint64)
-        shifts = np.arange(bits, dtype=np.uint64)
-        signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2) - 1
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        sums = np.add.reduceat(signs, offsets, axis=0)
-        packed = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pd.Series(packed.view(np.int64))
+    def sim_batches(batches):
+        import pyarrow as pa
 
-    return df.select(F.col(id_col), sim_udf(hashes).alias("simhash"))
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            h_raw, offsets = _list_buffers(batch.column(1))
+            # .view reinterprets the signed xxhash64 two's-complement
+            # bits; split("", " ") yields [""] → every doc has ≥1 token
+            # hash, so every reduceat segment is non-empty
+            h = h_raw.view(np.uint64)
+            segs = offsets[:-1]
+            n_toks = np.diff(offsets)
+            packed = np.zeros(batch.num_rows, dtype=np.uint64)
+            # one 1-D pass per bit: sign(2·ones − n) > 0 ⇔ the bit's
+            # set-count exceeds half the tokens. The (|tokens| × 64)
+            # sign matrix this replaces was the kernel's peak allocation
+            for b in range(bits):
+                ones = np.add.reduceat(
+                    ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    segs,
+                )
+                packed |= (2 * ones > n_toks).astype(np.uint64) << np.uint64(b)
+            yield pa.record_batch(
+                [batch.column(0), pa.array(packed.view(np.int64))],
+                names=[id_col, "simhash"],
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), hashes.alias("_h")).mapInArrow(
+        sim_batches, f"{id_col} {id_t}, simhash long"
+    )
 
 
 def simhash_near_pairs(
@@ -434,11 +588,26 @@ def simhash_near_pairs(
         id_col, "simhash", "b.block_idx", "b.block_val"
     )
     cands = _bucket_pairs(
-        exploded, ["block_idx", "block_val"], id_col, extra=["simhash"]
+        exploded, ["block_idx", "block_val"], id_col, extra=["simhash"],
+        distinct=False,
     )
-    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    xor = F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    # cross-block dedup WITHOUT a distinct exchange: every block a pair
+    # agrees on is computable from the XOR of its two simhashes, so the
+    # pair is kept only in its FIRST agreeing block — one codegen'd
+    # filter replaces the distinct's shuffle (r14)
+    mask = (1 << width) - 1
+    first_agree = F.lit(None).cast("int")
+    for i in range(nblocks - 1, -1, -1):
+        agree = (
+            F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(mask))
+            == 0
+        )
+        first_agree = F.when(agree, F.lit(i)).otherwise(first_agree)
+    hamming = F.bit_count(xor)
     return (
-        cands.withColumn("hamming", hamming)
+        cands.where(F.col("block_idx") == first_agree)
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

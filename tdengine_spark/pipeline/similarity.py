@@ -65,7 +65,10 @@ def pair_cosine(a: Column, b: Column, round4: bool = False) -> Column:
         out = num / np.maximum(den, 1e-30)
         return pd.Series(_round4_eps(out) if round4 else out)
 
-    return _pc(a, b)
+    # asNondeterministic: stop the optimizer duplicating the UDF when a
+    # filter on its output is pushed below the projection (guide §4.4 —
+    # the function itself IS deterministic)
+    return _pc.asNondeterministic()(a, b)
 
 
 #: kept name from the first version of this module
@@ -97,7 +100,8 @@ def pair_cosine_int(a: Column, b: Column,
             np.sign(out) * np.floor(np.abs(out) * 1e4 + 0.5) / 1e4 + 0.0
         )
 
-    return _pci(a, b)
+    # asNondeterministic: single evaluation under pushed filters (§4.4)
+    return _pci.asNondeterministic()(a, b)
 
 
 #: hard cap on the collected query side of cosine_topk — ~100k × 64-dim
@@ -300,7 +304,10 @@ def lsh_bucket_int(vec: Column, planes: list[list[float]],
         bits = (V @ Pq) > 0
         return pd.Series(bits @ weights)
 
-    return _bucket(vec)
+    # asNondeterministic: the join's pushed isnotnull(bucket) filter
+    # otherwise re-evaluates the UDF below the projection — the plan
+    # carried TWO ArrowEvalPython nodes per side (guide §4.4)
+    return _bucket.asNondeterministic()(vec)
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -314,7 +321,10 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         bits = _mat(sv) @ P > 0
         return pd.Series(bits @ weights)
 
-    return _bucket(vec)
+    # asNondeterministic: the join's pushed isnotnull(bucket) filter
+    # otherwise re-evaluates the UDF below the projection — the plan
+    # carried TWO ArrowEvalPython nodes per side (guide §4.4)
+    return _bucket.asNondeterministic()(vec)
 
 
 def _probe_buckets(bucket: Column, nbits: int, probe_radius: int) -> Column:
@@ -366,11 +376,18 @@ def lsh_ann_topk(
         vcast.alias("_cv"),
         bucket_fn(vcast, planes).alias("_bucket"),
     )
+    # bucket in its own projection, THEN the probe fan-out: the UDF is
+    # evaluated once per query row and the explode works on the plain
+    # column (a nondeterministic expression may not sit under Generate)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vcast.alias("_qv"),
+        bucket_fn(vcast, planes).alias("_b0"),
+    ).select(
+        "query_id",
+        "_qv",
         F.explode(
-            _probe_buckets(bucket_fn(vcast, planes), nbits, probe_radius)
+            _probe_buckets(F.col("_b0"), nbits, probe_radius)
         ).alias("_bucket"),
     )
     scored = (

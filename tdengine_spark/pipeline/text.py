@@ -23,6 +23,20 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def spread(df: DataFrame, target: "int | None" = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan parallelism is below
+    the cluster's — a single-file single-row-group parquet input (the
+    local testdata shape) otherwise serializes a pure-projection regex
+    pipeline on one core. Scale-adaptive (guide §2): a production
+    multi-split dataset passes through untouched, so no shuffle is
+    added where the scan is already parallel."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def token_count(text: "Column | str", pattern: str = TOKEN_RE) -> Column:
     """Number of tokens under a BPE-ish regex tokenizer."""
     c = F.col(text) if isinstance(text, str) else text

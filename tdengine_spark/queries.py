@@ -366,7 +366,7 @@ def q_fill_prev(spark, sf_dir):
         ev, "ts", "1h", partition_by=["event_type"],
         aggs=[_r4(F.avg("value")).alias("avg_value")],
     ).drop("_wend")
-    f = fill_op.fill(a, "prev", "1h", ["event_type"], ["avg_value"])
+    f = fill_op.fill(a, "prev", "1h", ["event_type"], ["avg_value"], ordered=False)
     return f.select("event_type", "_wstart", "avg_value")
 
 
@@ -408,7 +408,7 @@ def q_fill_linear(spark, sf_dir):
         ev, "ts", "1h", partition_by=["event_type"],
         aggs=[_r4(F.avg("value")).alias("avg_value")],
     ).drop("_wend")
-    f = fill_op.fill(a, "linear", "1h", ["event_type"], ["avg_value"])
+    f = fill_op.fill(a, "linear", "1h", ["event_type"], ["avg_value"], ordered=False)
     # epsilon-shift before rounding: interpolation midpoints (frac=1/2 of
     # 4-decimal endpoints) are exact decimal .xxxx5 values that different
     # engines' round() break differently
@@ -447,6 +447,7 @@ def q_session(spark, sf_dir):
         "ts",
         [F.count(F.lit(1)).alias("n_events"), _r4(F.sum("value")).alias("sum_value")],
         ["user_id"],
+        ordered=False,
     )
     return out.select("user_id", "_wid", "_wstart", "_wend", "n_events", "sum_value")
 
@@ -481,7 +482,8 @@ def q_state(spark, sf_dir):
         ev, "ts", "event_type", ["user_id"], state_nullable=False
     )
     out = window_agg(
-        assigned, "ts", [F.count(F.lit(1)).alias("n_rows")], ["user_id"], keep_state=True
+        assigned, "ts", [F.count(F.lit(1)).alias("n_rows")], ["user_id"], keep_state=True,
+        ordered=False,
     )
     return out.select(
         "user_id", "_wid", F.col("_state").alias("state"), "_wstart", "_wend", "n_rows"
@@ -511,6 +513,7 @@ def q_count_window(spark, sf_dir):
         "ts",
         [F.count(F.lit(1)).alias("n_rows2"), _r4(F.avg("value")).alias("avg_value")],
         ["user_id"],
+        ordered=False,
     )
     return out.select(
         "user_id", "_wid", "_wstart", "_wend",
@@ -547,7 +550,7 @@ def q_event_window(spark, sf_dir):
     assigned = assign_event_windows(
         ev, "ts", F.col("value") > 180, F.col("value") < 20, ["user_id"]
     )
-    out = window_agg(assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"])
+    out = window_agg(assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"], ordered=False)
     return out.select(
         "user_id", "_wid", "_wstart", "_wend", F.col("_wrows").alias("n_rows")
     )

@@ -220,11 +220,12 @@ def q_fill_value_near(spark, sf_dir):
         aggs=[_r4e(F.avg("value")).alias("v")],
     ).drop("_wend")
     fv = fill_op.fill(
-        a, "value", "1h", ["event_type"], ["v"], fill_values={"v": -1.0}
+        a, "value", "1h", ["event_type"], ["v"], fill_values={"v": -1.0},
+        ordered=False,
     ).withColumnRenamed("v", "v_value")
-    fn = fill_op.fill(a, "near", "1h", ["event_type"], ["v"]).withColumnRenamed(
-        "v", "v_near"
-    )
+    fn = fill_op.fill(
+        a, "near", "1h", ["event_type"], ["v"], ordered=False
+    ).withColumnRenamed("v", "v_near")
     return fv.join(fn, ["event_type", "_wstart"]).select(
         "event_type", "_wstart", "v_value", "v_near"
     )
@@ -255,7 +256,8 @@ def q_count_sliding(spark, sf_dir):
     ev = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
     assigned = assign_count_windows(ev, "ts", 30, 15, ["user_id"])
     out = window_agg(
-        assigned, "ts", [_r4e(F.sum("value")).alias("sum_v")], ["user_id"]
+        assigned, "ts", [_r4e(F.sum("value")).alias("sum_v")], ["user_id"],
+        ordered=False,
     )
     return out.select(
         "user_id", "_wid", "_wstart", "_wend",
@@ -440,7 +442,7 @@ def q_state_threshold(spark, sf_dir):
     )
     out = window_agg(
         assigned, "ts", [F.count(F.lit(1)).alias("n_rows2")], ["user_id"],
-        keep_state=True,
+        keep_state=True, ordered=False,
     )
     return out.select(
         "user_id", "_wid", F.col("_state").alias("state"),
@@ -972,6 +974,7 @@ def q_interp_none(spark, sf_dir):
         group_values=tag_domain(
             spark, f"{sf_dir}/events.parquet", ["event_type"]
         ),
+        ordered=False,
     )
     return out.select("event_type", "_irowts", "value", "_isfilled")
 

@@ -51,7 +51,9 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_token_counts(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    # spread: the single-file local scan otherwise runs the regex
+    # pipeline on one core (tx.spread is a no-op on multi-split inputs)
+    docs = tx.spread(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -90,7 +92,7 @@ def q_token_counts(spark, sf_dir):
     """,
 )
 def q_quality(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = tx.spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     feat = tx.quality_features(docs)
     eps = lambda c: F.round(F.col(c) + F.lit(1e-7), 4) + F.lit(0.0)
     return feat.select(
@@ -147,7 +149,7 @@ _SCORE_COLS = ",\n".join(
     """,
 )
 def q_langid(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = tx.spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = tx.language_id(docs)
     return out.select(
         "doc_id",
@@ -419,6 +421,7 @@ def q_interp_linear(spark, sf_dir):
         ev, "ts", "value", "2024-01-05", "2024-01-25", "1d",
         mode="linear", partition_by=["user_id"],
         group_values=tag_domain(spark, f"{sf_dir}/events.parquet", ["user_id"]),
+        ordered=False,
     )
     return out.select(
         "user_id", "_irowts",
@@ -458,6 +461,7 @@ def q_interp_prev(spark, sf_dir):
         group_values=tag_domain(
             spark, f"{sf_dir}/events.parquet", ["event_type"]
         ),
+        ordered=False,
     )
     return out.select(
         "event_type", "_irowts",
