@@ -66,10 +66,15 @@ def main():
     spark = get_spark("bench")
 
     def run_once(name: str) -> float:
+        # label the jobs (guide §1.5) so UI/event-log analysis can map
+        # stages back to queries; no effect on the timed work
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.time()
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
 
     def run(name: str, reps: int = 3) -> float:
         # min-of-N: single-run scheduler noise can neither fake nor mask

@@ -810,7 +810,18 @@ def extwin_corpus_db(spark):
           + [r + (2, "ext_cx_src_2") for r in cx2],
           [("ts", "ts"), ("v", "i"), ("v2", "i"), ("s1", "s"),
            ("t1", "i"), ("tbname", "s")])
-    yield Database(root=d)
+    db = Database(root=d)
+    # st1_1 is a CHILD of st1 in the reference DDL (test_external.py:294
+    # declares dev/t1 as TAGS) — register that metadata so `select *`
+    # expands to the data columns only, as the reference's
+    # createAllColumns does for a child table
+    from tdengine_spark.catalog import SuperTable
+
+    db.tables["st1_1"] = SuperTable(
+        name="st1_1", path=f"{d}/st1_1.parquet", child=True,
+        data_cols=("ts", "v1", "v2"), tag_cols=("dev",),
+    )
+    yield db
     shutil.rmtree(d, ignore_errors=True)
 
 
