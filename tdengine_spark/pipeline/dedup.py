@@ -58,7 +58,9 @@ def _token_hashes(text_col: str) -> Column:
     Tokenization: lower/trim, collapse whitespace, split (NULL/empty
     text → one "" token, so the array is never NULL/empty)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.regexp_replace(F.lower(F.trim(txt)), r"\s+", " "), " ")
+    # one regex pass (split on \s+) — token-identical to the old
+    # collapse-then-split form since trim leaves no edge separators
+    toks = F.split(F.lower(F.trim(txt)), r"\s+")
     return F.transform(toks, lambda w: F.xxhash64(w))
 
 
@@ -356,14 +358,17 @@ def jaccard_verify(
     runs on |candidates|, not n²). Returns pairs ≥ threshold.
 
     The pair is melted into its two member ids and joined against the
-    shingle table ONCE (r14): the old two-join form computed the
-    shingle regex pipeline over the full corpus twice (once per join
-    branch — plan branches cannot share a subtree). The candidate side
-    is tiny, so AQE broadcasts it and the corpus-side shingle pass is
-    never shuffled; the groupBy then reassembles each pair's two
-    shingle arrays (two rows per pair key)."""
+    corpus ONCE (r14): the old two-join form computed the shingle regex
+    pipeline over the full corpus twice (once per join branch — plan
+    branches cannot share a subtree). The candidate side is tiny, so
+    AQE broadcasts it and the corpus side is never shuffled — and the
+    shingle expression is computed AFTER the join, so the regex/array
+    pipeline runs only on the candidate-member rows that survive the
+    probe (|2·pairs| rows) instead of every corpus document; the
+    groupBy then reassembles each pair's two shingle arrays (two rows
+    per pair key)."""
     sh = df.select(
-        F.col(id_col).alias("_jid"), shingles(text_col, shingle_n).alias("_sh")
+        F.col(id_col).alias("_jid"), F.col(text_col).alias("_jtx")
     )
     melted = pairs.select(
         F.struct("id_a", "id_b").alias("_p")
@@ -372,6 +377,7 @@ def jaccard_verify(
     )
     j = (
         melted.join(sh, "_jid")
+        .select("_p", "_jid", shingles(F.col("_jtx"), shingle_n).alias("_sh"))
         .groupBy("_p")
         .agg(
             F.first(
@@ -453,8 +459,15 @@ def minhash_dedup(
     banded = sigs_b.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
     )
+    # The candidate distinct stays: near-dup pairs agree in nearly every
+    # band (measured dup factor ~16 at sf0.1), so skipping the dedup
+    # exchange would multiply the verify join ~16× — the tiny distinct
+    # is the cheaper side of that trade. The verify side gets the
+    # ORIGINAL df, not the spread: shingles are computed after the
+    # broadcast probe on |2·pairs| rows, so the round-robin exchange of
+    # the full text column bought nothing on that branch.
     cands = _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
-    return jaccard_verify(spread, cands, text_col, id_col, threshold=threshold)
+    return jaccard_verify(df, cands, text_col, id_col, threshold=threshold)
 
 
 def simhash(

@@ -186,7 +186,11 @@ def shingles(text: "Column | str", n: int = 3) -> Column:
     lambdas get no common-subexpression elimination, so each doc paid
     ~3·|grams| regex splits (profiled ~10x slower end-to-end)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    # ONE regex pass: split directly on \s+ (after trim there is no
+    # leading/trailing separator, so the token array is identical to the
+    # old collapse-then-split form — "" still yields [""]) instead of a
+    # regexp_replace pass followed by a split pass over the same bytes
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
     big = 1 << 30
     grams = toks
     for j in range(1, n):
