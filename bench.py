@@ -69,12 +69,15 @@ def main():
         # label the jobs (guide §1.5) so UI/event-log analysis can map
         # stages back to queries; no effect on the timed work
         spark.sparkContext.setJobDescription(f"bench:{name}")
-        t0 = time.time()
-        df = REGISTRY[name].spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        spark.sparkContext.setJobDescription(None)
-        return dt
+        try:
+            t0 = time.time()
+            df = REGISTRY[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+        finally:
+            # always reset — a raising query must not leak its label
+            # onto every subsequent job in the UI/event log
+            spark.sparkContext.setJobDescription(None)
 
     def run(name: str, reps: int = 3) -> float:
         # min-of-N: single-run scheduler noise can neither fake nor mask

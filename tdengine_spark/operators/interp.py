@@ -64,9 +64,19 @@ def _as_list(x, n, fill=None):
 
 def _epoch_us(v) -> "int | None":
     """Plan-time epoch-us of a literal timestamp bound (session tz is
-    UTC — naive values are read as UTC, matching F.lit(...).cast)."""
+    UTC — naive values are read as UTC, matching F.lit(...).cast).
+
+    Returns None for anything whose plan-time parse could disagree with
+    the spine's ``F.lit(v).cast("timestamp")`` — numeric bounds in
+    particular (Spark casts int/float as epoch-SECONDS, pd.Timestamp
+    reads them as nanoseconds), so those route to the union kernel,
+    which derives everything from F.lit and needs no plan-time value."""
+    import datetime
+
     import pandas as pd
 
+    if not isinstance(v, (str, datetime.date, datetime.datetime, pd.Timestamp)):
+        return None
     try:
         ts = pd.Timestamp(v)
     except (ValueError, TypeError):

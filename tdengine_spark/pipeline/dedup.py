@@ -583,7 +583,10 @@ def simhash_near_pairs(
     Candidates come from one groupBy + combination explode
     (``_bucket_pairs``) carrying each id's simhash as payload, so the
     simhash lineage is consumed exactly once — no self-join, no cache
-    (r14)."""
+    (r14). Precondition: ``id_col`` values are unique (the pipeline's
+    contract upstream) — the first-agreeing-block filter dedups pairs
+    across blocks exactly, but a duplicated id would re-emit its pairs
+    once per copy (the pre-r14 ``.distinct()`` collapsed those too)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(

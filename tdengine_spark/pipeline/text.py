@@ -59,7 +59,13 @@ def _marker_count(low: Column, words: list[str], cls: str) -> Column:
     codegen; profiled ~35% slower end-to-end on the language_id gate).
     Lookbehind/-ahead (zero-width) keep adjacent tokens matchable —
     a consumed separator would make 'the and' miss 'and'."""
-    pat = f"(?<![{cls}])(?:" + "|".join(words) + f")(?![{cls}])"
+    import re
+
+    # escape defensively: every current marker is letters-only, but a
+    # future marker with a regex metachar must not corrupt the pattern
+    pat = (
+        f"(?<![{cls}])(?:" + "|".join(re.escape(w) for w in words) + f")(?![{cls}])"
+    )
     return F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
 
 

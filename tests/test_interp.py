@@ -81,3 +81,23 @@ def test_interp_global_no_partition(spark):
     # semantics; only the interpolable instant remains
     assert len(out) == 1
     assert out[0]._irowts.second == 20 and out[0].v == 20.0
+
+
+def test_interp_numeric_bounds_match_string_bounds(spark):
+    """Integer RANGE bounds: Spark's F.lit(int).cast('timestamp') reads
+    epoch-SECONDS, so the plan-time bucket origin must agree or refuse
+    (pd.Timestamp would read the same int as nanoseconds — the r14
+    bucketed kernel gates numeric bounds back to the union kernel)."""
+    base = 1704067200  # 2024-01-01 00:00:00 UTC, epoch seconds
+    num = interp(
+        _series(spark), "t", "v", base, base + 40, "10s",
+        mode="prev", partition_by=["k"],
+    ).collect()
+    s = interp(
+        _series(spark), "t", "v",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:40", "10s",
+        mode="prev", partition_by=["k"],
+    ).collect()
+    key = lambda r: (r.k, r._irowts, r.v, r._isfilled)
+    assert sorted(map(key, num)) == sorted(map(key, s))
+    assert len(num) > 0

@@ -81,6 +81,38 @@ def test_simhash_arrow_equals_expr(spark):
     assert a == e
 
 
+def test_single_pass_tokenizer_matches_collapse_form(spark):
+    """r14 tokenizer: split directly on \\s+ must yield the exact token
+    arrays of the old regexp_replace-collapse-then-split form on every
+    whitespace shape, so shingle and simhash outputs are bit-stable
+    across the optimization."""
+    rows = [
+        (0, "plain words here"),
+        (1, "multi   spaces\tand\ttabs"),
+        (2, "  leading and trailing   "),
+        (3, "line\nbreaks\r\nand more"),  #   is NOT \s in Java
+        (4, ""),
+        (5, "   "),
+        (6, None),
+        (7, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    old = F.split(F.regexp_replace(F.lower(F.trim(txt)), r"\s+", " "), " ")
+    mismatch = (
+        df.select(old.alias("o"), F.split(F.lower(F.trim(txt)), r"\s+").alias("n"))
+        .where(F.col("o") != F.col("n"))
+        .count()
+    )
+    assert mismatch == 0
+    # and the derived surfaces agree end-to-end on the same edge rows
+    sh = {r.doc_id: list(r.s) for r in df.select(
+        "doc_id", tx.shingles("text").alias("s")).collect()}
+    assert sh[0] == ["plain words here"]
+    assert sh[1] == ["multi spaces and", "spaces and tabs"]
+    assert sh[4] == [""] and sh[5] == [""]
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
