@@ -21,7 +21,7 @@ import pandas as pd  # module-level: pandas_udf resolves "pd.Series" hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tdengine_spark.pipeline.text import fingerprint, shingles
+from tdengine_spark.pipeline.text import fingerprint, shingles, spread
 
 # MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod p.
 # p = 2^31 - 1 (Mersenne prime) keeps a*h < 2^62 — no int64 overflow in
@@ -416,7 +416,8 @@ def jaccard_pairs_bruteforce(
     ``minhash_dedup`` (same shingles, same verify arithmetic)."""
     sh = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    sh = spread(sh)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")
     )
@@ -445,16 +446,18 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify. Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
-    # repartition: a single large parquet file otherwise serializes the
-    # whole signature computation on one core. The bucket-pair
+    # spread(): a single large parquet file otherwise serializes the
+    # whole signature computation on one core — and on an
+    # already-parallel production scan it is a no-op, so no shuffle of
+    # the full text column is added at scale (§2). The bucket-pair
     # candidate kernel consumes the band keys exactly once, so the
     # cache + eager count() the old self-join needed are gone (r14) —
     # every bench reread recomputes from parquet. Band keys come fused
     # out of the signature kernel (``_minhash_bands_arrow``).
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    wide = spread(df)
     hashed = _shingle_hashes(text_col, 3)
     sigs_b = _minhash_bands_arrow(
-        spread, hashed, id_col, num_hashes, bands, seed=42
+        wide, hashed, id_col, num_hashes, bands, seed=42
     )
     banded = sigs_b.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
@@ -495,10 +498,11 @@ def simhash(
     Higher-order functions evaluate interpreted (not codegen'd); keep
     for environments where Python UDFs are barred.
 
-    Either way the input is repartitioned first so a single-file scan
-    doesn't serialize the computation on one core.
+    Either way the input goes through ``spread()`` first so a
+    single-file scan doesn't serialize the computation on one core —
+    and an already-parallel production scan passes through untouched.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = spread(df)
     hashes = _token_hashes(text_col)
     if method == "arrow":
         return _simhash_arrow(df, hashes, id_col, bits)
