@@ -300,7 +300,9 @@ def test_information_schema_views(spark):
     tbl.tag_cols = ("event_type",)
     stables = information_schema(spark, {"d": db}, "ins_stables").collect()
     assert len(stables) == 1 and stables[0].stable_name == "events"
-    assert stables[0].columns == 6 and stables[0].tags == 1
+    # columns counts data columns only — the event_type tag is excluded
+    # (reference systable userStbsSchema: tags are counted in `tags`)
+    assert stables[0].columns == 5 and stables[0].tags == 1
     cols = information_schema(spark, {"d": db}, "ins_columns").collect()
     assert [c.col_name for c in sorted(cols, key=lambda r: r.col_position)] == [
         "event_id", "ts", "user_id", "event_type", "value", "props"
