@@ -90,7 +90,12 @@ def main():
 
     # warmup: prime JVM/codegen + parquet footer caches, and spin up the
     # Python/Arrow worker pool so UDF-backed queries measure steady-state
-    # compute rather than one-time worker fork+import cost
+    # compute rather than one-time worker fork+import cost. TWO reps: the
+    # first timed query historically paid residual JIT that one warmup
+    # run did not absorb (r14 verdict #8 — agg_pricing_summary 0.45
+    # first-timed vs 0.31 steady; min-of-3 only partly absorbed it),
+    # which put a phantom ±0.1 s in every round-over-round diff.
+    run_once("agg_pricing_summary")
     run_once("agg_pricing_summary")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -123,6 +128,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # self-certify the CPU contract (r14 verdict #2): the
+                # driver's low-core scaling probe needs proof the session
+                # actually ran local[$SPARK_GRAFT_CPUS], not an
+                # environment-inherited master
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "streaming": streaming,
                 "scale_probe_10x": probe,
                 "scale_probe_superlinear": superlinear,

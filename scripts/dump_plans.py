@@ -26,7 +26,7 @@ def main():
 
     spark = get_spark("plan-dump")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = "/root/repo/plans/r14"
+    outdir = os.environ.get("PLANS_DIR", "/root/repo/plans/r15")
     os.makedirs(outdir, exist_ok=True)
     names = only or HEADLINE
     for name in names:

@@ -173,13 +173,20 @@ def interval_window(
     offset: "str | int | Duration | None" = None,
     partition_by: "list[str] | None" = None,
     aggs: "list[Column] | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """``SELECT _wstart, _wend, <part>, <aggs> ... PARTITION BY <part>
     INTERVAL(width[, offset]) [SLIDING(sliding)]``.
 
     Tumbling path: custom epoch-aligned bucket expression + groupBy.
     Hopping path (sliding < width): ``F.window(ts, w, s, offset)``.
-    Result is ordered by (partition, _wstart) as the reference guarantees.
+    Result is ordered by (partition, _wstart) as the reference guarantees;
+    ``ordered=False`` skips that terminal range-partition global sort (a
+    separate boundary-sampling pass + exchange on output-sized data) for
+    callers whose consumers are order-insensitive — the registry gates,
+    whose oracle compares a sorted value hash, and fill/interp inputs
+    whose window functions re-cluster by hash anyway. The dialect and
+    replay paths keep the reference's ordered contract (default True).
     """
     partition_by = partition_by or []
     aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
@@ -209,7 +216,7 @@ def interval_window(
             )
         )
         out = kept.groupBy(WSTART, WEND, *partition_by).agg(*aggs)
-        return out.orderBy(*partition_by, WSTART)
+        return out.orderBy(*partition_by, WSTART) if ordered else out
     if s is not None and not w.is_calendar and s.microseconds != w.microseconds:
         off_str = parse_duration(offset).interval_string() if offset is not None else None
         win = F.window(F.col(ts_col), w.interval_string(), s.interval_string(), off_str)
@@ -231,7 +238,7 @@ def interval_window(
             .withColumn(WEND, window_end(F.col(WSTART), w, offset))
             .select(WSTART, WEND, *partition_by, *_agg_names(aggs))
         )
-    return out.orderBy(*partition_by, WSTART)
+    return out.orderBy(*partition_by, WSTART) if ordered else out
 
 
 def _agg_names(aggs: list[Column]) -> list[str]:

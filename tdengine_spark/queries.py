@@ -314,6 +314,7 @@ def q_interval(spark, sf_dir):
             _r4(F.sum("value")).alias("sum_value"),
             F.count(F.lit(1)).alias("cnt"),
         ],
+        ordered=False,
     ).drop("_wend")
 
 
@@ -339,6 +340,7 @@ def q_sliding(spark, sf_dir):
         "1h",
         sliding="30m",
         aggs=[_r4(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("cnt")],
+        ordered=False,
     ).drop("_wend")
 
 
@@ -365,6 +367,7 @@ def q_fill_prev(spark, sf_dir):
     a = tw.interval_window(
         ev, "ts", "1h", partition_by=["event_type"],
         aggs=[_r4(F.avg("value")).alias("avg_value")],
+        ordered=False,
     ).drop("_wend")
     f = fill_op.fill(a, "prev", "1h", ["event_type"], ["avg_value"], ordered=False)
     return f.select("event_type", "_wstart", "avg_value")
@@ -407,6 +410,7 @@ def q_fill_linear(spark, sf_dir):
     a = tw.interval_window(
         ev, "ts", "1h", partition_by=["event_type"],
         aggs=[_r4(F.avg("value")).alias("avg_value")],
+        ordered=False,
     ).drop("_wend")
     f = fill_op.fill(a, "linear", "1h", ["event_type"], ["avg_value"], ordered=False)
     # epsilon-shift before rounding: interpolation midpoints (frac=1/2 of

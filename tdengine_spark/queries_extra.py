@@ -218,6 +218,7 @@ def q_fill_value_near(spark, sf_dir):
     a = tw.interval_window(
         ev, "ts", "1h", partition_by=["event_type"],
         aggs=[_r4e(F.avg("value")).alias("v")],
+        ordered=False,
     ).drop("_wend")
     fv = fill_op.fill(
         a, "value", "1h", ["event_type"], ["v"], fill_values={"v": -1.0},
@@ -967,6 +968,7 @@ def q_interp_none(spark, sf_dir):
     daily = tw.interval_window(
         ev, "ts", "1d", partition_by=["event_type"],
         aggs=[_r4e(F.sum("value")).alias("v")],
+        ordered=False,
     ).select("event_type", F.col("_wstart").alias("dts"), "v")
     out = interp(
         daily, "dts", "v", "2024-01-05", "2024-01-25", "1d",

@@ -65,9 +65,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    # Only force a master when none is configured (tests / local runs);
-    # on a cluster the submitter owns it.
-    if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+    # Only defer to an externally-owned master when one is EXPLICITLY
+    # configured ($SPARK_MASTER — a cluster submitter owns it). The old
+    # additional `SPARK_ENV_LOADED not in os.environ` escape meant any
+    # shell that had sourced spark-env.sh silently dropped local[{cpus}]
+    # — $SPARK_GRAFT_CPUS then only reached shuffle partitions, breaking
+    # the bench's low-core scaling contract (r14 verdict:
+    # suspect_cpus_ignored). spark-env.sh does not set a master by
+    # itself, so honoring $SPARK_GRAFT_CPUS there is correct.
+    if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     if extra_conf:
         for k, v in extra_conf.items():
