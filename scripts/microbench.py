@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+import pandas  # noqa: F401  (annotation target for the warmup udf)
+
 sys.path.insert(0, "/root/repo")
 
 
@@ -28,6 +30,16 @@ def main():
 
     # same warmup as bench.py: JVM/codegen + parquet footers + Arrow pool
     REGISTRY["agg_pricing_summary"].spark_fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _noop_udf(s: "pandas.Series") -> "pandas.Series":
+        return s
+
+    spark.range(0, 1024, 1, 32).select(_noop_udf("id")).write.format(
         "noop"
     ).mode("overwrite").save()
 

@@ -28,6 +28,13 @@ from tdengine_spark.pipeline.text import fingerprint, shingles, spread
 # the JVM expression.
 _MERSENNE_P = (1 << 31) - 1
 
+#: input bytes per task for the Arrow-crossing kernels (see
+#: ``text.spread``): each mapInArrow task pays a fixed Python-worker
+#: round-trip, so small inputs are sliced to ~task-overhead-sized
+#: pieces instead of cluster-wide; large inputs still cap at the
+#: cluster parallelism (and multi-split scans bypass spread entirely).
+_ARROW_BYTES_PER_TASK = 128 << 10
+
 
 def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
@@ -454,7 +461,7 @@ def minhash_dedup(
     # cache + eager count() the old self-join needed are gone (r14) —
     # every bench reread recomputes from parquet. Band keys come fused
     # out of the signature kernel (``_minhash_bands_arrow``).
-    wide = spread(df)
+    wide = spread(df, bytes_per_task=_ARROW_BYTES_PER_TASK)
     hashed = _shingle_hashes(text_col, 3)
     sigs_b = _minhash_bands_arrow(
         wide, hashed, id_col, num_hashes, bands, seed=42
@@ -502,7 +509,7 @@ def simhash(
     single-file scan doesn't serialize the computation on one core —
     and an already-parallel production scan passes through untouched.
     """
-    df = spread(df)
+    df = spread(df, bytes_per_task=_ARROW_BYTES_PER_TASK)
     hashes = _token_hashes(text_col)
     if method == "arrow":
         return _simhash_arrow(df, hashes, id_col, bits)

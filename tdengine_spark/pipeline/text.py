@@ -23,15 +23,41 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def spread(df: DataFrame, target: "int | None" = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    target: "int | None" = None,
+    bytes_per_task: "int | None" = None,
+) -> DataFrame:
     """Round-robin repartition ONLY when the scan parallelism is below
     the cluster's — a single-file single-row-group parquet input (the
     local testdata shape) otherwise serializes a pure-projection regex
     pipeline on one core. Scale-adaptive (guide §2): a production
     multi-split dataset passes through untouched, so no shuffle is
-    added where the scan is already parallel."""
+    added where the scan is already parallel.
+
+    ``bytes_per_task``: derive the partition count from the input's
+    estimated size instead of using the cluster parallelism outright
+    (guide §2 — partitioning derived from input size, not a constant).
+    Used by the Python/Arrow-crossing pipelines, where each task pays a
+    fixed worker round-trip + Arrow (de)serialization cost (~5-10 ms):
+    slicing a small input cluster-wide makes that overhead dominate
+    (measured at sf0.1: simhash/minhash are ~15% faster on
+    size-derived ~5 partitions than on 32). On a large input the size
+    estimate exceeds cluster × bytes_per_task, so the target caps at
+    the cluster parallelism — production behavior is unchanged. Pure
+    JVM regex pipelines (the text gates) keep the plain
+    cluster-parallel target: their per-task cost is a codegen'd task
+    launch (~1 ms), so finer slicing keeps winning there."""
     sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
+    cluster = sc.defaultParallelism
+    if target is None:
+        target = cluster
+        if bytes_per_task:
+            # Catalyst's relation-size estimate: driver-side, no job
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(2, min(cluster, -(-size // bytes_per_task)))
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target)
