@@ -107,17 +107,28 @@ def count_window_trigger(
     key_col: str,
     value_col: str,
     sliding: "int | None" = None,
+    buckets: "int | None" = None,
 ) -> DataFrame:
     """COUNT_WINDOW(n[, sliding]) trigger: emit one row per n rows per
     key; with ``sliding=s`` windows advance every s rows (overlapping
     when s < n).
 
-    Tumbling (default): applyInPandasWithState keeps (rows_so_far, sum,
-    min_ts) per key and emits a window each time the counter crosses n —
-    the reference's stream count-window semantics (streamTriggerTask.c
-    count trigger). Sliding: the state carries the last n−1 (ts, value)
-    pairs — bounded O(n) per key — and a window closes at every s-th
-    arriving row once n rows are in scope.
+    Tumbling (default): applyInPandasWithState emits a window each time
+    a key's row counter crosses n — the reference's stream count-window
+    semantics (streamTriggerTask.c count trigger). The state group is a
+    HASH BUCKET of keys, not a single key (r15, guide §4.5): per state
+    group, every micro-batch pays a Python call + an Arrow state
+    (de)serialization + a state-store op, so grouping per key made a
+    high-cardinality stream pay that fixed cost |keys| times per batch
+    (measured at sf0.1: 1500 keys 5.7k rows/s vs 5 keys 9.7k rows/s on
+    identical data). Each bucket keeps a dict {key: (cnt, sum, wstart)}
+    pickled into a binary state column; per-key arithmetic is the same
+    numpy kernel, applied per key segment of the bucket's sorted batch.
+    ``buckets`` defaults to 4× the cluster parallelism — it scales with
+    the cluster, keeps every core busy, and bounds the per-bucket dict
+    at |keys|/buckets entries. Sliding: the state carries the last n−1
+    (ts, value) pairs per key — bounded O(n) — and a window closes at
+    every s-th arriving row once n rows are in scope.
     """
     if sliding and sliding != count:
         return _sliding_count_window_trigger(
@@ -132,62 +143,94 @@ def count_window_trigger(
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("cnt", T.LongType()),
-            T.StructField("sum", T.DoubleType()),
-            T.StructField("wstart", T.LongType()),  # epoch us
-        ]
+    state_schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    n_buckets = buckets or (
+        src.sparkSession.sparkContext.defaultParallelism * 4
     )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import pickle
+
         import numpy as np
 
-        (cnt, total, wstart) = state.get if state.exists else (0, 0.0, None)
-        out_rows: list[dict[str, Any]] = []
+        st: dict = (
+            pickle.loads(bytes(state.get[0])) if state.exists else {}
+        )
+        out_k: list = []
+        out_ws: list = []
+        out_we: list = []
+        out_sum: list = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(ts_col)
+            # stable (k, ts) sort: each key's rows form one contiguous
+            # ts-ordered segment, so the per-key kernel below is the
+            # pre-r15 per-key-group body unchanged
+            pdf = pdf.sort_values(["k", ts_col], kind="stable")
+            ks = pdf["k"].to_numpy()
             ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
             v = pdf[value_col].to_numpy(dtype=float)
-            n = len(v)
-            # boundary i closes a window when the carried counter + i + 1
-            # hits a multiple of `count` — one cumsum, no row loop
-            bounds = np.nonzero((np.arange(1, n + 1) + cnt) % count == 0)[0]
-            if len(bounds):
-                csum = np.cumsum(v) + total
-                sums = csum[bounds] - np.concatenate(([0.0], csum[bounds[:-1]]))
-                starts = np.empty(len(bounds), dtype=np.int64)
-                starts[0] = wstart if wstart is not None else ts_us[0]
-                starts[1:] = ts_us[bounds[:-1] + 1]
-                out_rows.extend(
-                    {
-                        "k": key[0],
-                        "_wstart": pd.Timestamp(int(ws) * 1000),
-                        "_wend": pd.Timestamp(int(ts_us[b]) * 1000),
-                        "n_rows": count,
-                        "sum_value": round(float(s), 4),
-                    }
-                    for ws, b, s in zip(starts, bounds, sums)
-                )
-                rem = bounds[-1] + 1
-                cnt = n - rem
-                total = float(v[rem:].sum())
-                wstart = int(ts_us[rem]) if cnt else None
-            else:
-                if wstart is None:
-                    wstart = int(ts_us[0])
-                cnt += n
-                total += float(v.sum())
-        state.update((cnt, total, wstart))
-        yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema])
+            seg = np.concatenate(
+                ([0], np.nonzero(ks[1:] != ks[:-1])[0] + 1, [len(ks)])
+            )
+            for s0, e0 in zip(seg[:-1], seg[1:]):
+                k = ks[s0]
+                cnt, total, wstart = st.get(k, (0, 0.0, None))
+                tseg = ts_us[s0:e0]
+                vseg = v[s0:e0]
+                n = e0 - s0
+                # boundary i closes a window when the carried counter
+                # + i + 1 hits a multiple of `count` — one cumsum
+                bounds = np.nonzero(
+                    (np.arange(1, n + 1) + cnt) % count == 0
+                )[0]
+                if len(bounds):
+                    csum = np.cumsum(vseg) + total
+                    sums = csum[bounds] - np.concatenate(
+                        ([0.0], csum[bounds[:-1]])
+                    )
+                    starts = np.empty(len(bounds), dtype=np.int64)
+                    starts[0] = wstart if wstart is not None else tseg[0]
+                    starts[1:] = tseg[bounds[:-1] + 1]
+                    out_k.extend([k] * len(bounds))
+                    out_ws.extend(starts.tolist())
+                    out_we.extend(tseg[bounds].tolist())
+                    out_sum.extend(np.round(sums, 4).tolist())
+                    rem = bounds[-1] + 1
+                    cnt = n - rem
+                    total = float(vseg[rem:].sum())
+                    wstart = int(tseg[rem]) if cnt else None
+                else:
+                    if wstart is None:
+                        wstart = int(tseg[0])
+                    cnt += n
+                    total += float(vseg.sum())
+                st[k] = (cnt, total, wstart)
+        state.update((pickle.dumps(st, protocol=4),))
+        yield pd.DataFrame(
+            {
+                "k": pd.Series(out_k, dtype=object),
+                "_wstart": pd.to_datetime(
+                    pd.Series(out_ws, dtype="int64") * 1000
+                ),
+                "_wend": pd.to_datetime(
+                    pd.Series(out_we, dtype="int64") * 1000
+                ),
+                "n_rows": pd.Series(
+                    [count] * len(out_k), dtype="int64"
+                ),
+                "sum_value": pd.Series(out_sum, dtype="float64"),
+            }
+        )
 
     return (
         src.select(F.col(key_col).cast("string").alias("k"), ts_col, value_col)
-        .groupBy("k")
+        .withColumn(
+            "_kb", F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+        )
+        .groupBy("_kb")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
