@@ -72,10 +72,22 @@ def _epoch_us(v) -> "int | None":
     reads them as nanoseconds), so those route to the union kernel,
     which derives everything from F.lit and needs no plan-time value."""
     import datetime
+    import re
 
     import pandas as pd
 
     if not isinstance(v, (str, datetime.date, datetime.datetime, pd.Timestamp)):
+        return None
+    if isinstance(v, str) and not re.fullmatch(
+        # strict ISO only: pandas and Spark agree on these by
+        # construction; looser forms both happen to parse but can
+        # disagree silently ('24-01-05' → pandas year 2024, Spark year
+        # 0024), which would misalign the bucket origin from the spine —
+        # anything else routes to the union kernel, which derives every
+        # instant from F.lit and needs no plan-time value
+        r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?",
+        v.strip(),
+    ):
         return None
     try:
         ts = pd.Timestamp(v)

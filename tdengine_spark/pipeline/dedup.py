@@ -364,6 +364,14 @@ def jaccard_verify(
     """Exact shingle-Jaccard on candidate pairs only (the expensive step
     runs on |candidates|, not n²). Returns pairs ≥ threshold.
 
+    Preconditions (same contract as ``simhash_near_pairs``): ``id_col``
+    values are unique in ``df`` and ``pairs`` rows are distinct. The
+    groupBy reassembly collapses duplicate candidate pairs to ONE
+    output row, and a doc id appearing twice in ``df`` contributes one
+    arbitrary shingle row (``F.first``) — the pre-r14 two-join form
+    emitted a row per match instead. Callers with non-canonical input
+    should ``pairs.distinct()`` / dedup ids upstream.
+
     The pair is melted into its two member ids and joined against the
     corpus ONCE (r14): the old two-join form computed the shingle regex
     pipeline over the full corpus twice (once per join branch — plan

@@ -67,7 +67,11 @@ def pair_cosine(a: Column, b: Column, round4: bool = False) -> Column:
 
     # asNondeterministic: stop the optimizer duplicating the UDF when a
     # filter on its output is pushed below the projection (guide §4.4 —
-    # the function itself IS deterministic)
+    # the function itself IS deterministic). Trade-off (r14 ADVICE):
+    # the marking also blocks pushing OTHER filters/projections past
+    # this expression, so callers filtering on downstream columns lose
+    # pushdown through it — acceptable here because every call site
+    # filters only on the UDF's own output.
     return _pc.asNondeterministic()(a, b)
 
 

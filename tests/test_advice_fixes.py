@@ -590,3 +590,22 @@ def test_approx_aggregates_bound_reflects_rsd(spark):
     assert rows
     assert all(r.hll_within_bound for r in rows)
     assert all(r.p90_within_5pct for r in rows)
+
+
+def test_interp_epoch_us_strict_iso_gate():
+    """String bounds outside strict ISO (yyyy-MM-dd[ HH:mm[:ss[.f]]])
+    return None from _epoch_us, routing interp to the union kernel —
+    pandas and Spark can silently disagree on looser forms ('24-01-05'
+    is year 2024 to pandas, year 0024 to Spark's cast) and a plan-time
+    mismatch would misalign the bucket origin (r14 ADVICE low)."""
+    from tdengine_spark.operators.interp import _epoch_us
+
+    assert _epoch_us("2024-01-05") == 1704412800000000
+    assert _epoch_us("2024-01-05 06:30") == 1704436200000000
+    assert _epoch_us("2024-01-05T06:30:15.250") is not None
+    # looser-but-parseable forms must NOT take the bucketed path
+    assert _epoch_us("24-01-05") is None
+    assert _epoch_us("Jan 5 2024") is None
+    assert _epoch_us("2024/01/05") is None
+    assert _epoch_us("20240105") is None
+    assert _epoch_us(5) is None  # numerics already routed to union
