@@ -350,17 +350,93 @@ def write_into(
     return w.start()
 
 
+def _bucketed_apply(
+    selected: DataFrame,
+    ts_col: str,
+    data_cols: "list[str]",
+    out_schema: T.StructType,
+    state0: tuple,
+    kernel,
+    buckets: "int | None" = None,
+) -> DataFrame:
+    """Shared bucketed applyInPandasWithState harness (r15, guide §4.5):
+    the state group is a hash bucket of keys, so a micro-batch pays the
+    Python call + Arrow state round-trip + state-store op per BUCKET,
+    not per key (the per-key grouping made high-cardinality streams pay
+    that fixed cost |keys| times per batch — see count_window_trigger).
+    ``selected`` must carry a string key column ``k`` plus ``ts_col``
+    and ``data_cols``. Each bucket's state is a pickled
+    {key: per-key-state-tuple} dict; ``kernel(state, ts_us, arrs)``
+    processes one key's ts-sorted batch segment and returns
+    (rows_without_k, new_state)."""
+    state_schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    n_buckets = buckets or (
+        selected.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    out_cols = [f.name for f in out_schema]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        import numpy as np
+
+        st: dict = (
+            pickle.loads(bytes(state.get[0])) if state.exists else {}
+        )
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # stable (k, ts) sort: each key's rows form one contiguous
+            # ts-ordered segment — the kernel body is the pre-r15
+            # per-key-group body unchanged
+            pdf = pdf.sort_values(["k", ts_col], kind="stable")
+            ks = pdf["k"].to_numpy()
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            arrs = {c: pdf[c].to_numpy() for c in data_cols}
+            seg = np.concatenate(
+                ([0], np.nonzero(ks[1:] != ks[:-1])[0] + 1, [len(ks)])
+            )
+            for s0, e0 in zip(seg[:-1], seg[1:]):
+                k = ks[s0]
+                rows, new_st = kernel(
+                    st.get(k, state0),
+                    ts_us[s0:e0],
+                    {c: a[s0:e0] for c, a in arrs.items()},
+                )
+                for r in rows:
+                    r["k"] = k
+                out.extend(rows)
+                st[k] = new_st
+        state.update((pickle.dumps(st, protocol=4),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        selected.withColumn(
+            "_kb", F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+        )
+        .groupBy("_kb")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def state_window_trigger(
     src: DataFrame,
     ts_col: str,
     state_col: str,
     key_col: str,
     value_col: str,
+    buckets: "int | None" = None,
 ) -> DataFrame:
     """STATE_WINDOW(col) stream trigger: emit a window each time the
     state value changes (reference stream state trigger,
     streamTriggerTask.c). Keeps (state, wstart, last_ts, cnt, sum) per
-    key; a state flip closes and emits the previous window."""
+    key — bucketed per ``_bucketed_apply`` — and a state flip closes
+    and emits the previous window."""
     out_schema = T.StructType(
         [
             T.StructField("k", T.StringType()),
@@ -371,79 +447,64 @@ def state_window_trigger(
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("cur", T.StringType()),
-            T.StructField("wstart", T.LongType()),
-            T.StructField("wend", T.LongType()),
-            T.StructField("cnt", T.LongType()),
-            T.StructField("sum", T.DoubleType()),
-        ]
-    )
 
-    def fn(key, pdfs, state: GroupState):
+    def kernel(key_state, ts_us, arrs):
         import numpy as np
 
-        cur, wstart, wend, cnt, total = (
-            state.get if state.exists else (None, None, None, 0, 0.0)
-        )
+        cur, wstart, wend, cnt, total = key_state
+        v = arrs[value_col].astype(float)
+        st = arrs[state_col].astype(str)
+        n = len(v)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(ts_col)
-            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
-            v = pdf[value_col].to_numpy(dtype=float)
-            st = pdf[state_col].astype(str).to_numpy()
-            n = len(v)
-            # run starts: state differs from the previous row (numpy
-            # compare — the only python loop left is over runs, whose
-            # number is bounded by state flips, not rows)
-            is_start = np.empty(n, dtype=bool)
-            is_start[0] = cur is None or st[0] != cur
-            is_start[1:] = st[1:] != st[:-1]
-            run_starts = np.nonzero(is_start)[0]
-            run_ends = np.append(run_starts[1:] - 1, n - 1)
-            csum = np.cumsum(v)
-            # batch head continuing the carried run (same state value)
-            first = int(run_starts[0]) if len(run_starts) else n
-            if first > 0:
-                cnt += first
-                total += float(csum[first - 1])
-                wend = int(ts_us[first - 1])
-            for s_i, e_i in zip(run_starts, run_ends):
-                if cur is not None:  # a flip closes the carried window
-                    out.append(
-                        {
-                            "k": key[0],
-                            "state": cur,
-                            "_wstart": pd.Timestamp(wstart * 1000),
-                            "_wend": pd.Timestamp(wend * 1000),
-                            "n_rows": cnt,
-                            "sum_value": round(total, 4),
-                        }
-                    )
-                cur = str(st[s_i])
-                wstart = int(ts_us[s_i])
-                wend = int(ts_us[e_i])
-                cnt = int(e_i - s_i + 1)
-                total = float(csum[e_i] - (csum[s_i - 1] if s_i else 0.0))
-        state.update((cur, wstart, wend, cnt, total))
-        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
+        # run starts: state differs from the previous row (numpy
+        # compare — the only python loop left is over runs, whose
+        # number is bounded by state flips, not rows)
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = cur is None or st[0] != cur
+        is_start[1:] = st[1:] != st[:-1]
+        run_starts = np.nonzero(is_start)[0]
+        run_ends = np.append(run_starts[1:] - 1, n - 1)
+        csum = np.cumsum(v)
+        # batch head continuing the carried run (same state value)
+        first = int(run_starts[0]) if len(run_starts) else n
+        if first > 0:
+            cnt += first
+            total += float(csum[first - 1])
+            wend = int(ts_us[first - 1])
+        for s_i, e_i in zip(run_starts, run_ends):
+            if cur is not None:  # a flip closes the carried window
+                out.append(
+                    {
+                        "state": cur,
+                        "_wstart": pd.Timestamp(wstart * 1000),
+                        "_wend": pd.Timestamp(wend * 1000),
+                        "n_rows": cnt,
+                        "sum_value": round(total, 4),
+                    }
+                )
+            cur = str(st[s_i])
+            wstart = int(ts_us[s_i])
+            wend = int(ts_us[e_i])
+            cnt = int(e_i - s_i + 1)
+            total = float(csum[e_i] - (csum[s_i - 1] if s_i else 0.0))
+        return out, (cur, wstart, wend, cnt, total)
 
-    return (
-        src.select(
-            F.col(key_col).cast("string").alias("k"),
-            ts_col,
-            F.col(state_col).cast("string").alias(state_col)
-            if state_col != "k"
-            else F.col(state_col),
-            value_col,
-        )
-        .groupBy("k")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    sel = src.select(
+        F.col(key_col).cast("string").alias("k"),
+        ts_col,
+        F.col(state_col).cast("string").alias(state_col)
+        if state_col != "k"
+        else F.col(state_col),
+        value_col,
+    )
+    return _bucketed_apply(
+        sel,
+        ts_col,
+        [state_col, value_col],
+        out_schema,
+        (None, None, None, 0, 0.0),
+        kernel,
+        buckets,
     )
 
 
@@ -466,69 +527,54 @@ def event_window_trigger(
             T.StructField("n_rows", T.LongType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("open", T.BooleanType()),
-            T.StructField("wstart", T.LongType()),
-            T.StructField("cnt", T.LongType()),
-        ]
-    )
 
-    def fn(key, pdfs, state: GroupState):
+    def kernel(key_state, ts_us, arrs):
         import numpy as np
 
-        is_open, wstart, cnt = state.get if state.exists else (False, None, 0)
+        is_open, wstart, cnt = key_state
+        v = arrs[value_col].astype(float)
+        n = len(v)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(ts_col)
-            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
-            v = pdf[value_col].to_numpy(dtype=float)
-            n = len(v)
-            starts = np.nonzero(v > start_threshold)[0]
-            ends = np.nonzero(v < end_threshold)[0]
+        starts = np.nonzero(v > start_threshold)[0]
+        ends = np.nonzero(v < end_threshold)[0]
 
-            def emit(ws, e_i, rows):
-                out.append(
-                    {
-                        "k": key[0],
-                        "_wstart": pd.Timestamp(int(ws) * 1000),
-                        "_wend": pd.Timestamp(int(ts_us[e_i]) * 1000),
-                        "n_rows": int(rows),
-                    }
-                )
+        def emit(ws, e_i, rows):
+            out.append(
+                {
+                    "_wstart": pd.Timestamp(int(ws) * 1000),
+                    "_wend": pd.Timestamp(int(ts_us[e_i]) * 1000),
+                    "n_rows": int(rows),
+                }
+            )
 
-            pos = 0
-            if is_open:  # carried window: close at first end-row, if any
-                if len(ends):
-                    e_i = int(ends[0])
-                    emit(wstart, e_i, cnt + e_i + 1)
-                    is_open, wstart, cnt = False, None, 0
-                    pos = e_i + 1
-                else:
-                    cnt += n
-                    pos = n
-            # loop is over emitted windows (searchsorted jumps), not rows
-            while pos < n:
-                k_i = np.searchsorted(starts, pos)
-                if k_i >= len(starts):
-                    break
-                s_i = int(starts[k_i])
-                j = np.searchsorted(ends, s_i)
-                if j >= len(ends):
-                    is_open, wstart, cnt = True, int(ts_us[s_i]), n - s_i
-                    break
-                e_i = int(ends[j])
-                emit(ts_us[s_i], e_i, e_i - s_i + 1)
+        pos = 0
+        if is_open:  # carried window: close at first end-row, if any
+            if len(ends):
+                e_i = int(ends[0])
+                emit(wstart, e_i, cnt + e_i + 1)
+                is_open, wstart, cnt = False, None, 0
                 pos = e_i + 1
-        state.update((is_open, wstart, cnt))
-        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
+            else:
+                cnt += n
+                pos = n
+        # loop is over emitted windows (searchsorted jumps), not rows
+        while pos < n:
+            k_i = np.searchsorted(starts, pos)
+            if k_i >= len(starts):
+                break
+            s_i = int(starts[k_i])
+            j = np.searchsorted(ends, s_i)
+            if j >= len(ends):
+                is_open, wstart, cnt = True, int(ts_us[s_i]), n - s_i
+                break
+            e_i = int(ends[j])
+            emit(ts_us[s_i], e_i, e_i - s_i + 1)
+            pos = e_i + 1
+        return out, (is_open, wstart, cnt)
 
-    return (
-        src.select(F.col(key_col).cast("string").alias("k"), ts_col, value_col)
-        .groupBy("k")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    sel = src.select(
+        F.col(key_col).cast("string").alias("k"), ts_col, value_col
+    )
+    return _bucketed_apply(
+        sel, ts_col, [value_col], out_schema, (False, None, 0), kernel
     )
