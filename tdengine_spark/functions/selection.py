@@ -45,10 +45,16 @@ def top(
     k: int,
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """top(col, k): the k largest values with their ts (builtins.c:3371).
-    Ties broken by newer ts first (reference keeps ts with each value)."""
-    return _ranked(df, val_col, k, ts_col, partition_by, descending=True)
+    Ties broken by newer ts first (reference keeps ts with each value).
+    ``ordered=False`` skips the terminal heap-presentation sort (a
+    range-partition exchange on output-sized data) for callers whose
+    consumers are order-insensitive — the registry gate; the dialect
+    keeps the reference's presentation contract (default True)."""
+    return _ranked(df, val_col, k, ts_col, partition_by, descending=True,
+                   ordered=ordered)
 
 
 def bottom(
@@ -57,12 +63,14 @@ def bottom(
     k: int,
     ts_col: str = "ts",
     partition_by: "list[str] | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """bottom(col, k): the k smallest values with their ts (builtins.c:3406)."""
-    return _ranked(df, val_col, k, ts_col, partition_by, descending=False)
+    return _ranked(df, val_col, k, ts_col, partition_by, descending=False,
+                   ordered=ordered)
 
 
-def _ranked(df, val_col, k, ts_col, partition_by, descending):
+def _ranked(df, val_col, k, ts_col, partition_by, descending, ordered=True):
     keys = list(partition_by or [])
     order = [
         F.col(val_col).desc() if descending else F.col(val_col).asc(),
@@ -76,6 +84,8 @@ def _ranked(df, val_col, k, ts_col, partition_by, descending):
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if not ordered:
+        return out
     # presentation: the reference emits the k-heap's array layout
     # (builtinsimpl.c topBotFinalize walks pItems) — a min-heap for top
     # / max-heap for bottom, so top prints values ASCENDING and bottom

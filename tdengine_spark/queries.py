@@ -738,7 +738,8 @@ def q_last_row(spark, sf_dir):
 )
 def q_top(spark, sf_dir):
     out = sel_fn.top(
-        t(spark, sf_dir, "events"), "value", 3, "ts", ["event_type"]
+        t(spark, sf_dir, "events"), "value", 3, "ts", ["event_type"],
+        ordered=False,
     )
     return out.select("event_type", "ts", "value")
 
