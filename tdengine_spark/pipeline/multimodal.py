@@ -422,7 +422,8 @@ def decode_images(assets: DataFrame, batch_size: int = 64) -> DataFrame:
         # kernel stays a per-payload swap point for PIL/librosa
         for pdf in batches:
             widths, heights, feats = [], [], []
-            for payload in pdf["payload"].tolist():
+            payloads = pdf["payload"].tolist()
+            for payload in payloads:
                 try:
                     w, h, feat = _decode_image_bytes(payload)
                 except (ValueError, TypeError):
@@ -436,27 +437,26 @@ def decode_images(assets: DataFrame, batch_size: int = 64) -> DataFrame:
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "n_bytes": [
-                        len(p) if p is not None else 0
-                        for p in pdf["payload"].tolist()
+                        len(p) if p is not None else 0 for p in payloads
                     ],
-                    "payload_hash": pd.array(
-                        [None] * len(pdf), dtype="Int64"
-                    ),
+                    # JVM-computed upstream, passed through the kernel
+                    "payload_hash": pdf["payload_hash"].to_numpy(),
                     "feature": feats,
                 },
                 columns=[f.name for f in IMAGE_FEATURES_SCHEMA],
             )
 
-    with_hash = assets.where(F.col("modality") == "image")
-    decoded = with_hash.select("asset_id", "payload").mapInPandas(
-        run, IMAGE_FEATURES_SCHEMA
-    )
-    # payload hash is cheaper JVM-side; join it back in
-    hashes = with_hash.select("asset_id", F.xxhash64("payload").alias("payload_hash2"))
+    # payload hash is cheaper JVM-side: computed in the projection
+    # FEEDING the kernel and passed through it (r15, guide §8/§2.3) —
+    # the old form re-scanned the payload column on a second branch and
+    # joined it back on asset_id, i.e. two full passes over the heavy
+    # bytes plus a join, to attach 8 bytes the first pass could carry
     return (
-        decoded.drop("payload_hash")
-        .join(hashes, "asset_id")
-        .withColumnRenamed("payload_hash2", "payload_hash")
+        assets.where(F.col("modality") == "image")
+        .select(
+            "asset_id", "payload", F.xxhash64("payload").alias("payload_hash")
+        )
+        .mapInPandas(run, IMAGE_FEATURES_SCHEMA)
     )
 
 
