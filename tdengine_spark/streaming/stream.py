@@ -257,65 +257,48 @@ def _sliding_count_window_trigger(
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("ts_buf", T.ArrayType(T.LongType())),  # epoch us
-            T.StructField("v_buf", T.ArrayType(T.DoubleType())),
-            T.StructField("seen", T.LongType()),  # rows seen so far
-        ]
-    )
-
-    def fn(key, pdfs, state: GroupState):
+    def kernel(key_state, ts_us, arrs):
         import numpy as np
 
-        ts_buf, v_buf, seen = (
-            state.get if state.exists else ([], [], 0)
-        )
+        ts_buf, v_buf, seen = key_state
         ts_hist = np.asarray(ts_buf, dtype=np.int64)
         v_hist = np.asarray(v_buf, dtype=np.float64)
+        ts_new = ts_us
+        v_new = arrs[value_col].astype(float)
+        ts_all = np.concatenate([ts_hist, ts_new])
+        v_all = np.concatenate([v_hist, v_new])
+        n_hist = len(ts_hist)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(ts_col)
-            ts_new = pdf[ts_col].astype("int64").to_numpy() // 1000
-            v_new = pdf[value_col].to_numpy(dtype=float)
-            ts_all = np.concatenate([ts_hist, ts_new])
-            v_all = np.concatenate([v_hist, v_new])
-            n_hist = len(ts_hist)
-            # global row index of each arriving row (1-based): a window
-            # [i-count+1 .. i] closes when i % sliding == 0 and i >= count
-            idx = seen + np.arange(1, len(ts_new) + 1)
-            closes = idx[(idx % sliding == 0) & (idx >= count)]
-            csum = np.concatenate(([0.0], np.cumsum(v_all)))
-            for gi in closes:
-                # position of the closing row within ts_all
-                e = int(gi - seen) + n_hist - 1
-                s_i = e - count + 1
-                out.append(
-                    {
-                        "k": key[0],
-                        "_wstart": pd.Timestamp(int(ts_all[s_i]) * 1000),
-                        "_wend": pd.Timestamp(int(ts_all[e]) * 1000),
-                        "n_rows": count,
-                        "sum_value": round(float(csum[e + 1] - csum[s_i]), 4),
-                    }
-                )
-            seen += len(ts_new)
-            # clamp: a negative slice start would wrap around and
-            # silently DROP rows when fewer than count-1 are buffered
-            start = max(len(ts_all) - (count - 1), 0)
-            ts_hist = ts_all[start:]
-            v_hist = v_all[start:]
-        state.update((ts_hist.tolist(), v_hist.tolist(), seen))
-        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
-
-    return (
-        src.select(F.col(key_col).cast("string").alias("k"), ts_col, value_col)
-        .groupBy("k")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        # global row index of each arriving row (1-based): a window
+        # [i-count+1 .. i] closes when i % sliding == 0 and i >= count
+        idx = seen + np.arange(1, len(ts_new) + 1)
+        closes = idx[(idx % sliding == 0) & (idx >= count)]
+        csum = np.concatenate(([0.0], np.cumsum(v_all)))
+        for gi in closes:
+            # position of the closing row within ts_all
+            e = int(gi - seen) + n_hist - 1
+            s_i = e - count + 1
+            out.append(
+                {
+                    "_wstart": pd.Timestamp(int(ts_all[s_i]) * 1000),
+                    "_wend": pd.Timestamp(int(ts_all[e]) * 1000),
+                    "n_rows": count,
+                    "sum_value": round(float(csum[e + 1] - csum[s_i]), 4),
+                }
+            )
+        seen += len(ts_new)
+        # clamp: a negative slice start would wrap around and
+        # silently DROP rows when fewer than count-1 are buffered
+        start = max(len(ts_all) - (count - 1), 0)
+        return out, (
+            ts_all[start:].tolist(), v_all[start:].tolist(), seen
         )
+
+    sel = src.select(
+        F.col(key_col).cast("string").alias("k"), ts_col, value_col
+    )
+    return _bucketed_apply(
+        sel, ts_col, [value_col], out_schema, ([], [], 0), kernel
     )
 
 
