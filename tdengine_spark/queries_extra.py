@@ -131,23 +131,28 @@ def q_calendar_month(spark, sf_dir):
 )
 def q_virtual_table(spark, sf_dir):
     """Virtual table (virtualtablescanoperator.c): columns drawn from
-    different source tables aligned on ts — full-outer join + coalesce."""
+    different source tables aligned on ts.
+
+    Both member series here come from the SAME fact table, so the
+    full-outer-join alignment fuses into ONE conditional aggregation
+    (r15, guide §2.4): avg(when(type=X, value)) ignores the other
+    type's rows, a (ts, user) group exists iff either side has a row,
+    and a side with no rows aggregates to NULL — exactly the FULL OUTER
+    join's output, with one fact scan instead of two and no
+    SortMergeJoin (FULL OUTER cannot broadcast). Genuinely cross-table
+    virtual tables still use the join form the docstring describes."""
     ev = t(spark, sf_dir, "events")
 
-    def series(etype, alias):
-        return (
-            ev.where(F.col("event_type") == etype)
-            .groupBy(
-                tw.window_start("ts", "1m").alias("ts"), "user_id"
-            )
-            .agg(_r4e(F.avg("value")).alias(alias))
-        )
+    def side(etype):
+        return F.avg(F.when(F.col("event_type") == etype, F.col("value")))
 
-    p = series("purchase", "purchase_v")
-    c = series("click", "click_v")
     return (
-        p.alias("p")
-        .join(c.alias("c"), ["ts", "user_id"], "full_outer")
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(tw.window_start("ts", "1m").alias("ts"), "user_id")
+        .agg(
+            _r4e(side("purchase")).alias("purchase_v"),
+            _r4e(side("click")).alias("click_v"),
+        )
         .select("ts", "user_id", "purchase_v", "click_v")
     )
 
