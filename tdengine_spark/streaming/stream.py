@@ -197,7 +197,10 @@ def count_window_trigger(
                     out_k.extend([k] * len(bounds))
                     out_ws.extend(starts.tolist())
                     out_we.extend(tseg[bounds].tolist())
-                    out_sum.extend(np.round(sums, 4).tolist())
+                    # python round, not np.round: bit-parity with the
+                    # pre-r15 per-key path (np.round's scale-and-round
+                    # can differ by 1 ulp on halfway values)
+                    out_sum.extend(round(float(s), 4) for s in sums)
                     rem = bounds[-1] + 1
                     cnt = n - rem
                     total = float(vseg[rem:].sum())
